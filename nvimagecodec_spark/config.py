@@ -1,0 +1,57 @@
+"""Engine configuration.
+
+Reference analog: ``nvimgcodecInstanceCreateInfo_t`` / ``nvimgcodecExecutionParams_t``
+(/root/reference/include/nvimgcodec.h:1089-1130) — the knobs a caller hands the
+director before any work is scheduled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    """Tunables for the CDC engine.
+
+    Attributes
+    ----------
+    bucket_count:
+        Number of hash buckets the target table is partitioned into on
+        the primary key. At 100 TB scale this is the unit of
+        copy-on-write: a merge only rewrites buckets its batch touches.
+    hot_key_threshold:
+        Per-epoch event count above which a key is considered "hot" and
+        salted before the dedupe shuffle (reference analog: cost-descending
+        ``sortSamples`` straggler defusal,
+        /root/reference/src/image_generic_decoder.cpp:100-148).
+    salt_buckets:
+        Number of salt partitions for hot keys (phase-1 partial LWW).
+    broadcast_threshold_rows:
+        If a deduped batch is below this size, the merge uses the
+        broadcast-join path instead of the sort-merge path (reference
+        analog: priority-ordered backend fallback chain,
+        /root/reference/src/image_generic_codec.h:470-478).
+    target_batch_events:
+        Initial adaptive rate cap — events per epoch. The adaptive
+        controller re-tunes it from the previous epoch's duration
+        (reference analog: ADAPTIVE_MINIMIZE_IDLE_TIME load-hint policy,
+        /root/reference/src/image_generic_codec.h:1064-1123).
+    target_epoch_seconds:
+        The controller's setpoint for epoch wall time.
+    shuffle_partitions:
+        Shuffle parallelism used inside epochs; sized so a partition of
+        the dedupe shuffle fits in executor memory at the target SF.
+    """
+
+    bucket_count: int = 16
+    hot_key_threshold: int = 10_000
+    salt_buckets: int = 16
+    broadcast_threshold_rows: int = 100_000
+    target_batch_events: int = 1_000_000
+    target_epoch_seconds: float = 30.0
+    min_batch_events: int = 10_000
+    max_batch_events: int = 50_000_000
+    shuffle_partitions: int = 32
+    dead_letter_dir: str | None = None
+    extra: dict = field(default_factory=dict)

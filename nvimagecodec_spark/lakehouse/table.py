@@ -1,0 +1,419 @@
+"""An Iceberg-like transactional table format, from scratch, on parquet.
+
+No Iceberg runtime jar ships in this sandbox, so the engine carries its own
+minimal lakehouse table format with the Iceberg semantics the north rule
+needs:
+
+- **Atomic snapshot commits.** Every commit writes a new immutable
+  ``metadata/v%08d.metadata.json`` and then atomically flips
+  ``metadata/version-hint.text`` via ``os.replace`` (POSIX atomic rename).
+  Readers resolve the hint first, so they always see a complete snapshot —
+  never a half-written one. Reference analog: the cross-stream commit
+  barrier — results are never visible mid-epoch
+  (/root/reference/src/image_generic_codec.h:605-638).
+- **Commit tags → exactly-once.** A commit may carry
+  ``(source_id, batch_id)``; replays check the tag log and become no-ops.
+  Reference analog: the once-only promise latch — ``ProcessingResultsPromise
+  ::set`` throws on double-set (/root/reference/src/processing_results.cpp:30-48).
+- **Bucket partitioning + file pruning.** Data files live under
+  ``data/snap-*/_pb=<bucket>/``; the manifest records each file's bucket, so
+  a merge reads ONLY the buckets its batch touches (manifest-level pruning,
+  the scan never lists untouched data). At 100 TB this is what makes an
+  upsert epoch O(touched partitions), not O(table).
+- **Schema evolution** (add / rename / widen) is metadata-only: columns have
+  stable field ids; renames never rewrite data (see ``schema.py``).
+- **Time travel**: any historical snapshot can be read by id.
+
+Concurrency model: optimistic single-writer per table (O_EXCL create of the
+next metadata version; a concurrent writer loses and retries), which is
+exactly Iceberg's optimistic-commit protocol shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nvimagecodec_spark.lakehouse.schema import (
+    TableSchema,
+    spark_type_from_name,
+)
+
+BUCKET_COL = "_bucket"
+_PART_DIR_COL = "_pb"
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    timestamp_ms: int
+    operation: str  # "append" | "merge" | "overwrite" | "create" | "schema"
+    files: list[dict]  # [{"path": str, "bucket": int, "rows": int}]
+    summary: dict = field(default_factory=dict)
+    tag: dict | None = None  # {"source_id": str, "batch_id": int}
+    schema_version: int = 0
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same metadata version first."""
+
+
+class LakeTable:
+    """A transactional, bucket-partitioned, schema-evolving parquet table."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._meta: dict[str, Any] | None = None
+
+    # ------------------------------------------------------------------ paths
+    @property
+    def _metadata_dir(self) -> str:
+        return os.path.join(self.path, "metadata")
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    def _hint_path(self) -> str:
+        return os.path.join(self._metadata_dir, "version-hint.text")
+
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self._metadata_dir, f"v{v:08d}.metadata.json")
+
+    # ------------------------------------------------------------ create/load
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        bucket_count: int = 16,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        os.makedirs(t._metadata_dir, exist_ok=False)
+        os.makedirs(t._data_dir, exist_ok=True)
+        tschema = TableSchema.from_spark(schema)
+        meta = {
+            "format_version": 1,
+            "table_uuid": str(uuid.uuid4()),
+            "location": t.path,
+            "key_cols": key_cols,
+            "bucket_count": bucket_count,
+            "properties": properties or {},
+            "schemas": [tschema.to_dict()],
+            "current_schema_version": 0,
+            "snapshots": [
+                Snapshot(
+                    snapshot_id=1,
+                    parent_id=None,
+                    timestamp_ms=int(time.time() * 1000),
+                    operation="create",
+                    files=[],
+                ).__dict__
+            ],
+            "current_snapshot_id": 1,
+        }
+        t._write_version(1, meta)
+        t._meta = meta
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        t.refresh()
+        return t
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(path, "metadata", "version-hint.text"))
+
+    def refresh(self) -> "LakeTable":
+        with open(self._hint_path()) as f:
+            v = int(f.read().strip())
+        with open(self._version_path(v)) as f:
+            self._meta = json.load(f)
+        self._meta["_version"] = v
+        return self
+
+    # ---------------------------------------------------------------- meta io
+    def _write_version(self, v: int, meta: dict) -> None:
+        meta = {k: val for k, val in meta.items() if not k.startswith("_")}
+        vp = self._version_path(v)
+        # O_EXCL: optimistic concurrency — lose the race, get CommitConflict.
+        try:
+            fd = os.open(vp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(f"metadata version {v} already committed") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f, indent=1, default=str)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = self._hint_path() + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._hint_path())  # atomic flip — the commit point
+        meta["_version"] = v
+        self._meta = meta
+
+    @property
+    def meta(self) -> dict:
+        if self._meta is None:
+            self.refresh()
+        return self._meta
+
+    @property
+    def key_cols(self) -> list[str]:
+        return list(self.meta["key_cols"])
+
+    @property
+    def bucket_count(self) -> int:
+        return int(self.meta["bucket_count"])
+
+    @property
+    def table_schema(self) -> TableSchema:
+        v = self.meta["current_schema_version"]
+        return TableSchema.from_dict(self.meta["schemas"][v])
+
+    def schema(self) -> T.StructType:
+        """Current logical Spark schema (no bucket column)."""
+        return self.table_schema.to_spark()
+
+    def current_snapshot(self) -> Snapshot:
+        sid = self.meta["current_snapshot_id"]
+        return self.snapshot(sid)
+
+    def snapshot(self, snapshot_id: int) -> Snapshot:
+        for s in self.meta["snapshots"]:
+            if s["snapshot_id"] == snapshot_id:
+                return Snapshot(**{k: v for k, v in s.items()})
+        raise KeyError(f"no snapshot {snapshot_id}")
+
+    def history(self) -> list[Snapshot]:
+        return [Snapshot(**s) for s in self.meta["snapshots"]]
+
+    # --------------------------------------------------------------- tags
+    def has_commit_tag(self, source_id: str, batch_id: int) -> bool:
+        """Exactly-once check: has (source_id, batch_id) already committed?
+
+        Reference analog: once-only status latch
+        (/root/reference/src/processing_results.cpp:30-48).
+        """
+        for s in self.meta["snapshots"]:
+            tag = s.get("tag")
+            if tag and tag.get("source_id") == source_id and tag.get("batch_id") == batch_id:
+                return True
+        return False
+
+    def snapshot_for_tag(self, source_id: str, batch_id: int) -> Snapshot | None:
+        for s in self.meta["snapshots"]:
+            tag = s.get("tag")
+            if tag and tag.get("source_id") == source_id and tag.get("batch_id") == batch_id:
+                return Snapshot(**s)
+        return None
+
+    # --------------------------------------------------------------- buckets
+    def bucket_expr(self, df: DataFrame) -> F.Column:
+        """bucket = pmod(xxhash64(key...), B) — Iceberg-style bucket transform."""
+        return F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.bucket_count)).cast("int")
+
+    def with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(BUCKET_COL, self.bucket_expr(df))
+
+    # ------------------------------------------------------------------ read
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Read the table (optionally time-travel / bucket-pruned).
+
+        Bucket pruning is manifest-level: only the matching files are ever
+        handed to the parquet scan. Old files written before an added
+        column simply lack it; passing the table's explicit read schema
+        makes the parquet reader null-fill, which implements add-column
+        without rewriting data. Renames read the physical name and project
+        to the logical one (field-id style mapping, see schema.py).
+        """
+        snap = self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
+        tschema = (
+            self.table_schema
+            if snapshot_id is None
+            else TableSchema.from_dict(self.meta["schemas"][snap.schema_version])
+        )
+        files = snap.files
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        phys_schema = tschema.to_spark_physical().add(BUCKET_COL, T.IntegerType())
+        if not files:
+            out = self.spark.createDataFrame([], phys_schema)
+        else:
+            out = self.spark.read.schema(phys_schema).parquet(*[f["path"] for f in files])
+        return tschema.project_physical_to_logical(out, extra_cols=[BUCKET_COL])
+
+    def read_logical(self, **kw) -> DataFrame:
+        return self.read(**kw).drop(BUCKET_COL)
+
+    # ----------------------------------------------------------------- write
+    def _write_data_files(self, df: DataFrame, snapshot_id: int) -> list[dict]:
+        """Write df (must carry BUCKET_COL) partitioned by bucket; return manifest entries.
+
+        One output dir per commit keeps snapshots immutable: old files are
+        never touched, enabling time travel and safe concurrent readers.
+        """
+        out_dir = os.path.join(self._data_dir, f"snap-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}")
+        phys = self.table_schema.project_logical_to_physical(df, extra_cols=[BUCKET_COL])
+        (
+            phys.withColumn(_PART_DIR_COL, F.col(BUCKET_COL))
+            .write.partitionBy(_PART_DIR_COL)
+            .parquet(out_dir, compression="snappy")
+        )
+        files: list[dict] = []
+        for entry in sorted(os.listdir(out_dir)):
+            if not entry.startswith(f"{_PART_DIR_COL}="):
+                continue
+            bucket = int(entry.split("=", 1)[1])
+            bdir = os.path.join(out_dir, entry)
+            for fn in sorted(os.listdir(bdir)):
+                if fn.endswith(".parquet"):
+                    files.append({"path": os.path.join(bdir, fn), "bucket": bucket, "rows": -1})
+        return files
+
+    def _commit(
+        self,
+        operation: str,
+        files: list[dict],
+        summary: dict,
+        tag: dict | None = None,
+        schemas: list[dict] | None = None,
+        current_schema_version: int | None = None,
+        retries: int = 3,
+    ) -> Snapshot:
+        last_err: Exception | None = None
+        for _ in range(retries):
+            self.refresh()
+            meta = dict(self.meta)
+            v = meta["_version"] + 1
+            parent = meta["current_snapshot_id"]
+            snap = Snapshot(
+                snapshot_id=parent + 1,
+                parent_id=parent,
+                timestamp_ms=int(time.time() * 1000),
+                operation=operation,
+                files=files,
+                summary=summary,
+                tag=tag,
+                schema_version=(
+                    current_schema_version
+                    if current_schema_version is not None
+                    else meta["current_schema_version"]
+                ),
+            )
+            meta = dict(meta)
+            meta["snapshots"] = meta["snapshots"] + [snap.__dict__]
+            meta["current_snapshot_id"] = snap.snapshot_id
+            if schemas is not None:
+                meta["schemas"] = schemas
+            if current_schema_version is not None:
+                meta["current_schema_version"] = current_schema_version
+            try:
+                self._write_version(v, meta)
+                return snap
+            except CommitConflict as e:  # lost the optimistic race — retry on top
+                last_err = e
+        raise last_err  # type: ignore[misc]
+
+    def append(self, df: DataFrame, tag: dict | None = None) -> Snapshot:
+        """Append rows (no key resolution). Fast path for initial loads."""
+        self.refresh()
+        df = self.with_bucket(df) if BUCKET_COL not in df.columns else df
+        next_id = self.current_snapshot().snapshot_id + 1
+        new_files = self._write_data_files(df, next_id)
+        files = self.current_snapshot().files + new_files
+        return self._commit("append", files, {"appended_files": len(new_files)}, tag=tag)
+
+    def overwrite(self, df: DataFrame, tag: dict | None = None) -> Snapshot:
+        self.refresh()
+        df = self.with_bucket(df) if BUCKET_COL not in df.columns else df
+        next_id = self.current_snapshot().snapshot_id + 1
+        new_files = self._write_data_files(df, next_id)
+        return self._commit("overwrite", new_files, {"files": len(new_files)}, tag=tag)
+
+    def replace_buckets(
+        self,
+        touched_buckets: list[int],
+        df: DataFrame,
+        tag: dict | None = None,
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """Copy-on-write commit: swap out all files of `touched_buckets` for
+        the new data files. The merge operator builds `df` = new content of
+        exactly those buckets. Untouched buckets carry over by reference."""
+        self.refresh()
+        next_id = self.current_snapshot().snapshot_id + 1
+        new_files = self._write_data_files(df, next_id)
+        bset = set(touched_buckets)
+        extra = sorted({f["bucket"] for f in new_files} - bset)
+        if extra:
+            raise ValueError(f"merge wrote to undeclared buckets {extra}")
+        kept = [f for f in self.current_snapshot().files if f["bucket"] not in bset]
+        s = {"touched_buckets": sorted(bset), "new_files": len(new_files)}
+        s.update(summary or {})
+        return self._commit("merge", kept + new_files, s, tag=tag)
+
+    # -------------------------------------------------------- schema updates
+    def update_schema(self, updater) -> Snapshot:
+        """Apply a function TableSchema -> TableSchema as a metadata-only commit."""
+        self.refresh()
+        new_schema = updater(self.table_schema)
+        schemas = self.meta["schemas"] + [new_schema.to_dict()]
+        return self._commit(
+            "schema",
+            self.current_snapshot().files,
+            {"schema_change": True},
+            schemas=schemas,
+            current_schema_version=len(schemas) - 1,
+        )
+
+    def add_column(self, name: str, type_name: str) -> Snapshot:
+        return self.update_schema(lambda s: s.add_column(name, spark_type_from_name(type_name)))
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        return self.update_schema(lambda s: s.rename_column(old, new))
+
+    def widen_column(self, name: str, type_name: str) -> Snapshot:
+        return self.update_schema(lambda s: s.widen_column(name, spark_type_from_name(type_name)))
+
+    # ------------------------------------------------------------ maintenance
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Drop old snapshot entries + delete data files no live snapshot references."""
+        self.refresh()
+        snaps = self.meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return 0
+        kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+        live = {f["path"] for s in kept for f in s["files"]}
+        removed = 0
+        for s in dropped:
+            for f in s["files"]:
+                if f["path"] not in live and os.path.exists(f["path"]):
+                    os.remove(f["path"])
+                    removed += 1
+        meta = dict(self.meta)
+        meta["snapshots"] = kept
+        self._write_version(meta["_version"] + 1, meta)
+        return removed

@@ -1,0 +1,282 @@
+"""Change-stream source: encoding probe registry + vectorized parsers.
+
+Mirrors the reference's parser tier (SURVEY §2.2): each supported event
+encoding registers a *probe* (the analog of ``canParse`` magic-byte sniffing,
+/root/reference/src/parsers/jpeg.cpp:146) and a *parse* expression (the
+analog of ``getImageInfo``, /root/reference/src/parsers/jpeg.cpp:238-352).
+Probes are evaluated per record in priority order — a single ``F.when``
+chain, mirroring ``CodecRegistry::getParser``'s priority probe loop
+(/root/reference/src/codec_registry.cpp:47-59) — with the most common
+encoding probed first (the reference forces JPEG to the front of the probe
+order, /root/reference/src/codec_registry.cpp:38-43).
+
+Everything is column expressions over ``from_json`` — JVM-side, vectorized,
+no per-row Python (BASELINE.json:input_hint).
+
+Unparseable records get ``src_format = NULL`` → dead-letter disposition,
+the analog of the UNKNOWN/UNSUPPORTED sentinel statuses
+(/root/reference/include/nvimgcodec.h:735-768).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------- schemas
+#
+# The `after` row image stays a RAW JSON STRING through parse + LWW and is
+# only extracted into typed columns at merge time under the then-current
+# (possibly evolved) table schema. Two wins at scale: (1) the expensive
+# full-payload JSON decode runs once per *winning* key instead of once per
+# event; (2) schema events seen earlier in the same epoch apply to the
+# extraction. Mirrors the reference's lazy parse: metadata only
+# materializes when requested (/root/reference/src/code_stream.cpp:201).
+
+SCHEMA_CHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),  # add | rename | widen
+        T.StructField("column", T.StringType()),
+        T.StructField("new_name", T.StringType()),
+        T.StructField("new_type", T.StringType()),
+    ]
+)
+
+# The normalized change-event schema every parser emits (FIXTURES.md §2).
+CHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),  # I | U | D | S
+        T.StructField("lsn", T.LongType()),
+        T.StructField("commit_ts", T.TimestampType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("after", T.StringType()),  # raw JSON row image
+        T.StructField("schema_change", SCHEMA_CHANGE_SCHEMA),
+        T.StructField("src_file", T.StringType()),
+        T.StructField("src_offset", T.LongType()),
+    ]
+)
+
+# Envelope-only schemas: everything except the raw `after` payload.
+_PLAIN_ENVELOPE = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("commit_ts", T.StringType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("schema_change", SCHEMA_CHANGE_SCHEMA),
+    ]
+)
+
+_DBZ_KEY = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+    ]
+)
+_DEBEZIUM_ENVELOPE = T.StructType(
+    [
+        T.StructField(
+            "payload",
+            T.StructType(
+                [
+                    T.StructField("op", T.StringType()),
+                    T.StructField("before", _DBZ_KEY),
+                    T.StructField("after", _DBZ_KEY),
+                    T.StructField(
+                        "source",
+                        T.StructType(
+                            [
+                                T.StructField("lsn", T.LongType()),
+                                T.StructField("ts_ms", T.LongType()),
+                            ]
+                        ),
+                    ),
+                    T.StructField("schema_change", SCHEMA_CHANGE_SCHEMA),
+                ]
+            ),
+        )
+    ]
+)
+
+
+# ------------------------------------------------------- format registry
+
+@dataclass
+class SourceFormat:
+    """A registered change-event encoding (analog of a parser plugin, U1/U2)."""
+
+    name: str
+    priority: float  # lower = probed first
+    probe: Callable[[Column], Column]  # raw line -> boolean Column
+    parse: Callable[[DataFrame, Column], DataFrame]  # adds normalized cols
+
+
+def _plain_probe(raw: Column) -> Column:
+    # magic-byte analog: a JSON object with a top-level "op" field
+    return raw.startswith("{") & raw.contains('"op"') & ~raw.contains('"payload"')
+
+
+def _plain_parse(df: DataFrame, raw: Column) -> DataFrame:
+    j = F.from_json(raw, _PLAIN_ENVELOPE)
+    return df.select(
+        j["op"].alias("op"),
+        j["lsn"].alias("lsn"),
+        F.to_timestamp(j["commit_ts"]).alias("commit_ts"),
+        j["conv_id"].alias("conv_id"),
+        j["turn_idx"].alias("turn_idx"),
+        F.get_json_object(raw, "$.after").alias("after"),
+        j["schema_change"].alias("schema_change"),
+        F.col("src_file"),
+        F.col("src_offset"),
+    )
+
+
+def _debezium_probe(raw: Column) -> Column:
+    return raw.startswith("{") & raw.contains('"payload"')
+
+
+_DBZ_OP = {"c": "I", "r": "I", "u": "U", "d": "D", "s": "S"}
+
+
+def _debezium_parse(df: DataFrame, raw: Column) -> DataFrame:
+    j = F.from_json(raw, _DEBEZIUM_ENVELOPE)
+    p = j["payload"]
+    op_map = F.create_map(*[F.lit(x) for kv in _DBZ_OP.items() for x in kv])
+    key_src = F.when(p["op"] == "d", p["before"]).otherwise(p["after"])
+    return df.select(
+        op_map[p["op"]].alias("op"),
+        p["source"]["lsn"].alias("lsn"),
+        F.timestamp_millis(p["source"]["ts_ms"]).alias("commit_ts"),
+        key_src["conv_id"].alias("conv_id"),
+        key_src["turn_idx"].alias("turn_idx"),
+        F.when(p["op"].isin("c", "r", "u"), F.get_json_object(raw, "$.payload.after")).alias("after"),
+        p["schema_change"].alias("schema_change"),
+        F.col("src_file"),
+        F.col("src_offset"),
+    )
+
+
+FORMAT_REGISTRY: list[SourceFormat] = []
+
+
+def register_format(fmt: SourceFormat) -> None:
+    """Entry point for custom encodings (analog of extension module load,
+    /root/reference/src/plugin_framework.cpp:338-399)."""
+    FORMAT_REGISTRY.append(fmt)
+    FORMAT_REGISTRY.sort(key=lambda f: f.priority)
+
+
+register_format(SourceFormat("jsonlines", 1.0, _plain_probe, _plain_parse))
+register_format(SourceFormat("debezium", 2.0, _debezium_probe, _debezium_parse))
+
+
+def detect_format_expr(raw: Column) -> Column:
+    """Priority-ordered probe chain → format-name tag (NULL = dead letter)."""
+    expr = F.lit(None).cast("string")
+    for fmt in reversed(FORMAT_REGISTRY):
+        expr = F.when(fmt.probe(raw), F.lit(fmt.name)).otherwise(expr)
+    return expr
+
+
+def parse_changes(raw_df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Raw text lines → normalized CHANGE_SCHEMA rows.
+
+    ``raw_df`` must have ``value_col`` plus lineage columns ``src_file`` /
+    ``src_offset`` (use :func:`with_lineage` for file sources). Each
+    registered format's parse expression runs only over rows its probe
+    claimed — one pass, no shuffle, fully vectorized.
+    """
+    raw = F.col(value_col)
+    tagged = raw_df.withColumn("src_format", detect_format_expr(raw))
+    parts = []
+    for fmt in FORMAT_REGISTRY:
+        sub = tagged.where(F.col("src_format") == fmt.name)
+        parts.append(fmt.parse(sub, raw).withColumn("src_format", F.lit(fmt.name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dead_letters(raw_df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Rows no registered format claims (UNSUPPORTED sentinel analog)."""
+    raw = F.col(value_col)
+    return raw_df.where(detect_format_expr(raw).isNull() & (F.length(F.trim(raw)) > 0))
+
+
+def with_lineage(df: DataFrame, precise_offsets: bool = False) -> DataFrame:
+    """Attach (src_file, src_offset) lineage to a text-file scan.
+
+    Default (scale path): ``src_offset = monotonically_increasing_id()`` —
+    shuffle-free, monotone within each scan partition. The LWW tiebreak
+    only ever decides between *exact duplicates* (same key + lsn carry the
+    same payload, FIXTURES.md §3), so the winning payload is deterministic
+    even though the offset is not file-positional.
+
+    ``precise_offsets=True`` computes the true record index within each
+    file via a per-file window — a shuffle; use for audits/small streams.
+    """
+    df = df.withColumn("src_file", F.input_file_name())
+    if precise_offsets:
+        w = F.row_number().over(
+            Window.partitionBy("src_file").orderBy(F.monotonically_increasing_id())
+        )
+        return df.withColumn("src_offset", w.cast("long"))
+    return df.withColumn("src_offset", F.monotonically_increasing_id())
+
+
+class ChangeStream:
+    """A lazily-read change stream over a directory of event files.
+
+    Analog of ``CodeStream`` (/root/reference/src/code_stream.cpp:156-201):
+    registration is cheap; parsing happens on access. ``slice`` carves a
+    micro-batch view by LSN range — the analog of
+    ``nvimgcodecCodeStreamGetSubCodeStream``
+    (/root/reference/src/code_stream.cpp:47-95).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def raw(self) -> DataFrame:
+        return with_lineage(self.spark.read.text(self.path))
+
+    def events(self) -> DataFrame:
+        return parse_changes(self.raw())
+
+    def dead_letters(self) -> DataFrame:
+        return dead_letters(self.raw())
+
+    def slice(self, start_lsn: int | None = None, end_lsn: int | None = None) -> DataFrame:
+        """Events with start_lsn < lsn <= end_lsn (half-open micro-batch view).
+
+        The lsn predicate sits directly over the scan so Catalyst pushes
+        it into the source once events are stored columnar; for text
+        sources it at least prunes before any shuffle."""
+        df = self.events()
+        if start_lsn is not None:
+            df = df.where(F.col("lsn") > F.lit(start_lsn))
+        if end_lsn is not None:
+            df = df.where(F.col("lsn") <= F.lit(end_lsn))
+        return df
+
+    def max_lsn(self) -> int | None:
+        row = self.events().agg(F.max("lsn").alias("m")).collect()[0]
+        return row["m"]
+
+    def files(self) -> list[str]:
+        out = []
+        for root, _dirs, fns in os.walk(self.path):
+            for fn in sorted(fns):
+                if not fn.startswith((".", "_")):
+                    out.append(os.path.join(root, fn))
+        return sorted(out)
