@@ -50,6 +50,22 @@ from nvimagecodec_spark.lakehouse.schema import (
 BUCKET_COL = "_bucket"
 _PART_DIR_COL = "_pb"
 
+# System columns persisted with every row so cross-epoch LWW comparisons and
+# delete tombstones survive: the analog of Iceberg's per-row sequence
+# numbers. `_sys_deleted` rows are tombstones — invisible to read_logical,
+# kept so a late lower-LSN event can never resurrect a deleted key.
+SYSTEM_COLS: dict[str, T.DataType] = {
+    "_sys_lsn": T.LongType(),
+    "_sys_cts": T.TimestampType(),
+    "_sys_sf": T.StringType(),
+    "_sys_so": T.LongType(),
+    "_sys_deleted": T.BooleanType(),
+    # winning event's raw after-image: lets an add/rename schema event
+    # backfill fields that arrived (out of order) before the schema event
+    # itself — see operators/schema_events.py::reextract_payloads
+    "_sys_raw": T.StringType(),
+}
+
 
 @dataclass
 class Snapshot:
@@ -238,6 +254,7 @@ class LakeTable:
         self,
         snapshot_id: int | None = None,
         buckets: list[int] | None = None,
+        with_system: bool = False,
     ) -> DataFrame:
         """Read the table (optionally time-travel / bucket-pruned).
 
@@ -259,14 +276,22 @@ class LakeTable:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
         phys_schema = tschema.to_spark_physical().add(BUCKET_COL, T.IntegerType())
+        extra = [BUCKET_COL]
+        if with_system:
+            for name, dtype in SYSTEM_COLS.items():
+                phys_schema = phys_schema.add(name, dtype)
+            extra += list(SYSTEM_COLS)
         if not files:
             out = self.spark.createDataFrame([], phys_schema)
         else:
             out = self.spark.read.schema(phys_schema).parquet(*[f["path"] for f in files])
-        return tschema.project_physical_to_logical(out, extra_cols=[BUCKET_COL])
+        return tschema.project_physical_to_logical(out, extra_cols=extra)
 
     def read_logical(self, **kw) -> DataFrame:
-        return self.read(**kw).drop(BUCKET_COL)
+        """User-facing read: tombstones filtered, system/bucket cols hidden."""
+        df = self.read(with_system=True, **kw)
+        df = df.where(~F.coalesce(F.col("_sys_deleted"), F.lit(False)))
+        return df.drop(BUCKET_COL, *SYSTEM_COLS)
 
     # ----------------------------------------------------------------- write
     def _write_data_files(self, df: DataFrame, snapshot_id: int) -> list[dict]:
@@ -276,7 +301,8 @@ class LakeTable:
         never touched, enabling time travel and safe concurrent readers.
         """
         out_dir = os.path.join(self._data_dir, f"snap-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}")
-        phys = self.table_schema.project_logical_to_physical(df, extra_cols=[BUCKET_COL])
+        extra = [BUCKET_COL] + [c for c in SYSTEM_COLS if c in df.columns]
+        phys = self.table_schema.project_logical_to_physical(df, extra_cols=extra)
         (
             phys.withColumn(_PART_DIR_COL, F.col(BUCKET_COL))
             .write.partitionBy(_PART_DIR_COL)

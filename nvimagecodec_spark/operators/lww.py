@@ -40,6 +40,10 @@ def _null_floor(col_name: str) -> Column:
         "src_file": lambda: F.lit(""),
         "src_offset": lambda: F.lit(-(2**62)).cast("long"),
     }
+    floors["_sys_lsn"] = floors["lsn"]
+    floors["_sys_cts"] = floors["commit_ts"]
+    floors["_sys_sf"] = floors["src_file"]
+    floors["_sys_so"] = floors["src_offset"]
     return floors.get(col_name, lambda: F.lit(""))()
 
 

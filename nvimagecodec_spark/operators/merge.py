@@ -1,28 +1,32 @@
 """MERGE INTO — copy-on-write, bucket-granular upsert apply (SURVEY §2.3).
 
 Reference analog: the umbrella apply operator ``ImageGenericDecoder``
-(/root/reference/src/image_generic_decoder.cpp:45-98) with its
-batched hot path + fallback strategy chain
+(/root/reference/src/image_generic_decoder.cpp:45-98) with its batched hot
+path + prioritized fallback strategy chain
 (/root/reference/src/image_generic_codec.h:470-478, 1018-1049).
 
-Scale design:
+Correctness model (cross-epoch LWW): the table stores each row's winning
+order key in system columns (``_sys_lsn``, ``_sys_cts``, ``_sys_sf``,
+``_sys_so``) and keeps deletes as tombstones (``_sys_deleted``). A merge is
+therefore *order-aware*: a late event arriving epochs later only wins if
+its ``(lsn, commit_ts, src_file, src_offset)`` beats what the table already
+holds, and a delete can never be resurrected by a stale insert. This is the
+Iceberg sequence-number idea rebuilt by hand.
 
-- The target table is bucket-partitioned on the key
-  (``pmod(xxhash64(conv_id, turn_idx), B)``). A deduped batch touches a
-  set of buckets; ONLY those buckets' files are read (manifest pruning)
-  and rewritten. Cost per epoch is O(batch + touched-bucket data), never
-  O(table). At 100 TB, B is sized so a bucket (or bucket × day with a
-  time partition) fits a task comfortably.
-- Because both sides are bucketed by the *same* key hash, the join is
-  per-bucket co-partitioned; we repartition both sides on `_bucket` so
-  the sort-merge join shuffles only the (small) batch — the table side
-  moves once, and AQE coalesces empty partitions.
-- **Strategy selection** (analog of the priority/fallback backend chain,
-  G2): a small deduped batch (< broadcast_threshold_rows) uses a
-  broadcast hash join against the touched buckets — zero shuffle of the
-  table side; a large batch falls back to the shuffled sort-merge path.
-- Deletes apply as an anti-join filter; upserts as coalesce of
-  batch-over-current (full outer join on the key).
+Two physical strategies, chosen per batch (the G2 fallback chain):
+
+- **broadcast** (small batch — the steady-state CDC hot path): the deduped
+  batch is broadcast; touched-bucket table data is LEFT-OUTER joined
+  map-side (zero shuffle of the table side!), each matched row resolved by
+  order comparison; brand-new keys are computed with two more
+  broadcast-side joins. Table data never crosses the network.
+- **sort-merge** (large batch / backfill): union(table-as-pseudo-events,
+  batch) → the same map-side-combinable LWW ``max(struct)`` aggregation
+  used for dedupe. One shuffle of touched buckets, partial-aggregated,
+  hot-key safe.
+
+Both strategies end in a single atomic ``replace_buckets`` snapshot commit
+(the cross-stream barrier, G7): results are never visible mid-epoch.
 """
 
 from __future__ import annotations
@@ -32,8 +36,19 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from nvimagecodec_spark.lakehouse.table import BUCKET_COL, LakeTable, Snapshot
+from nvimagecodec_spark.lakehouse.table import BUCKET_COL, SYSTEM_COLS, LakeTable, Snapshot
+from nvimagecodec_spark.operators.lww import lww_dedupe
+
+# batch order-col → system col
+_SYS_MAP = {
+    "lsn": "_sys_lsn",
+    "commit_ts": "_sys_cts",
+    "src_file": "_sys_sf",
+    "src_offset": "_sys_so",
+}
+_SYS_ORDER = list(_SYS_MAP.values())
 
 
 @dataclass
@@ -46,19 +61,14 @@ class MergeResult:
     strategy: str  # "broadcast" | "sort-merge" | "noop" | "skipped-duplicate"
 
 
-def _batch_to_rows(table: LakeTable, deduped: DataFrame) -> DataFrame:
-    """Winning change events → target-schema rows (+ op kept for routing).
-
-    The raw `after` JSON is decoded HERE — once per winning key, not once
-    per event — with a from_json schema derived from the table's current
-    (evolved) schema. A renamed column is extracted under both its current
-    and original names and coalesced, so pre-rename events still apply;
-    columns added by schema evolution but absent in old payloads null-fill
-    (out-of-bounds constant fill analog,
-    /root/reference/src/imgproc/out_of_bound_roi_fill.cpp:26-46).
+def payload_extract_exprs(table: LakeTable, raw_col: str) -> list[F.Column]:
+    """Typed extraction of the table's non-key columns from a raw JSON
+    after-image, under the CURRENT (evolved) schema. A renamed column is
+    extracted under both its current and historical names and coalesced,
+    so pre-rename events still apply; columns added by schema evolution
+    but absent in old payloads null-fill (out-of-bounds constant fill
+    analog, /root/reference/src/imgproc/out_of_bound_roi_fill.cpp:26-46).
     """
-    from pyspark.sql import types as T
-
     key_cols = table.key_cols
     tschema = table.table_schema
     fields: list[T.StructField] = []
@@ -70,15 +80,43 @@ def _batch_to_rows(table: LakeTable, deduped: DataFrame) -> DataFrame:
         name_variants[c.name] = variants
         for v in variants:
             fields.append(T.StructField(v, c.logical_type(), True))
-    j = F.from_json(F.col("after"), T.StructType(fields))
-    exprs = [F.col(k) for k in key_cols]
+    j = F.from_json(F.col(raw_col), T.StructType(fields))
+    exprs = []
     for c in tschema.columns:
         if c.name in key_cols:
             continue
         variants = name_variants[c.name]
         e = F.coalesce(*[j[v] for v in variants]) if len(variants) > 1 else j[variants[0]]
         exprs.append(e.alias(c.name))
-    return deduped.select(*exprs, F.col("op"))
+    return exprs
+
+
+def _batch_to_rows(table: LakeTable, deduped: DataFrame) -> DataFrame:
+    """Winning change events → target-schema rows + system cols.
+
+    The raw `after` JSON is decoded HERE — once per winning key, not once
+    per event (lazy-parse analog, /root/reference/src/code_stream.cpp:201).
+    """
+    exprs = [F.col(k) for k in table.key_cols]
+    exprs += payload_extract_exprs(table, "after")
+    for src, dst in _SYS_MAP.items():
+        exprs.append(F.col(src).alias(dst))
+    exprs.append((F.col("op") == "D").alias("_sys_deleted"))
+    exprs.append(F.col("after").alias("_sys_raw"))
+    return deduped.select(*exprs)
+
+
+def _ord(prefix: str = "") -> F.Column:
+    """Comparable order struct from system columns (null-floored)."""
+    floors = {
+        "_sys_lsn": F.lit(-(2**62)).cast("long"),
+        "_sys_cts": F.to_timestamp(F.lit("1900-01-01 00:00:00")),
+        "_sys_sf": F.lit(""),
+        "_sys_so": F.lit(-(2**62)).cast("long"),
+    }
+    return F.struct(
+        *[F.coalesce(F.col(prefix + c), floors[c]).alias(c) for c in _SYS_ORDER]
+    )
 
 
 def merge_into(
@@ -98,55 +136,77 @@ def merge_into(
         return MergeResult(None, [], 0, 0, time.time() - t0, "skipped-duplicate")
 
     key_cols = table.key_cols
-    batch = _batch_to_rows(table, deduped)
-    batch = table.with_bucket(batch)
-    # Cache: the batch drives bucket discovery AND the join; at scale this
-    # is the (small) side we must not recompute from the raw stream twice.
+    data_cols = [f.name for f in table.schema().fields]  # includes keys
+    payload_cols = [c for c in data_cols if c not in key_cols]
+    all_cols = data_cols + _SYS_ORDER + ["_sys_deleted", "_sys_raw", BUCKET_COL]
+
+    batch = table.with_bucket(_batch_to_rows(table, deduped))
+    # The batch drives bucket discovery AND the join build side — persist so
+    # the raw stream isn't re-read per use. At scale this is the small side.
     batch = batch.persist()
     try:
         if batch_counts is not None:
             n_upserts, n_deletes = batch_counts
         else:
             agg = batch.agg(
-                F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("u"),
-                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("d"),
+                F.sum(F.when(~F.col("_sys_deleted"), 1).otherwise(0)).alias("u"),
+                F.sum(F.when(F.col("_sys_deleted"), 1).otherwise(0)).alias("d"),
             ).collect()[0]
             n_upserts, n_deletes = int(agg["u"] or 0), int(agg["d"] or 0)
-
+        n_batch = n_upserts + n_deletes
         touched = [r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()]
         if not touched:
             return MergeResult(None, [], 0, 0, time.time() - t0, "noop")
 
-        current = table.read(buckets=touched)
+        current = table.read(buckets=touched, with_system=True)
 
-        small = (n_upserts + n_deletes) <= broadcast_threshold_rows
-        joined_batch = F.broadcast(batch) if small else batch
-        strategy = "broadcast" if small else "sort-merge"
-        if not small:
-            # co-partition both sides on bucket+key so the sort-merge join
-            # shuffles each side exactly once on the same distribution
-            nparts = max(len(touched), 1)
-            current = current.repartition(nparts, BUCKET_COL)
-            joined_batch = batch.repartition(nparts, BUCKET_COL)
-
-        cond = [current[k].eqNullSafe(joined_batch[k]) for k in key_cols]
-        j = current.alias("t").join(joined_batch.alias("b"), cond, "full_outer")
-
-        data_cols = [f.name for f in table.schema().fields if f.name not in key_cols]
-        b_op = F.col("b.op")
-        merged = j.where(b_op.isNull() | (b_op != "D")).select(
-            *[F.coalesce(F.col(f"b.{k}"), F.col(f"t.{k}")).alias(k) for k in key_cols],
-            *[
-                F.when(b_op.isNotNull(), F.col(f"b.{c}"))
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
-                for c in data_cols
-            ],
-            F.coalesce(F.col(f"b.{BUCKET_COL}"), F.col(f"t.{BUCKET_COL}")).alias(BUCKET_COL),
-        )
+        if n_batch <= broadcast_threshold_rows:
+            strategy = "broadcast"
+            merged = _merge_broadcast(current, batch, key_cols, all_cols)
+        else:
+            strategy = "sort-merge"
+            merged = _merge_sortmerge(current, batch, key_cols, all_cols)
 
         summary = {"upserts": n_upserts, "deletes": n_deletes}
         snap = table.replace_buckets(sorted(touched), merged, tag=tag, summary=summary)
         return MergeResult(snap, sorted(touched), n_upserts, n_deletes, time.time() - t0, strategy)
     finally:
         batch.unpersist()
+
+
+def _merge_broadcast(
+    current: DataFrame, batch: DataFrame, key_cols: list[str], all_cols: list[str]
+) -> DataFrame:
+    """Hot path: table side never shuffles; batch is broadcast 3 ways.
+
+    1. current LEFT OUTER broadcast(batch) → keep the order-winning row.
+    2. matched keys (≤ |batch|) = current SEMI broadcast(batch keys).
+    3. new rows = batch ANTI broadcast(matched keys).
+    """
+    b = batch.alias("b")
+    c = current.alias("c")
+    cond = [F.col(f"c.{k}").eqNullSafe(F.col(f"b.{k}")) for k in key_cols]
+
+    batch_wins = F.col(f"b.{key_cols[0]}").isNotNull() & (_ord("b.") > _ord("c."))
+    resolved = c.join(F.broadcast(b), cond, "left_outer").select(
+        *[
+            F.when(batch_wins, F.col(f"b.{col}")).otherwise(F.col(f"c.{col}")).alias(col)
+            for col in all_cols
+        ]
+    )
+
+    batch_keys = batch.select(*key_cols).distinct()
+    matched_keys = (
+        current.join(F.broadcast(batch_keys), key_cols, "left_semi").select(*key_cols).distinct()
+    )
+    new_rows = batch.join(F.broadcast(matched_keys), key_cols, "left_anti").select(*all_cols)
+    return resolved.unionByName(new_rows)
+
+
+def _merge_sortmerge(
+    current: DataFrame, batch: DataFrame, key_cols: list[str], all_cols: list[str]
+) -> DataFrame:
+    """Backfill path: union + map-side-combinable LWW max — one shuffle of
+    the touched buckets, partial-aggregated, immune to hot keys."""
+    unioned = current.select(*all_cols).unionByName(batch.select(*all_cols))
+    return lww_dedupe(unioned, key_cols=key_cols, order_cols=_SYS_ORDER)

@@ -28,6 +28,10 @@ class SchemaApplyResult:
     applied: list[dict]
     rejected: list[dict]
 
+    @property
+    def needs_backfill(self) -> bool:
+        return any(a.get("kind") in ("add", "rename") for a in self.applied)
+
 
 def split_schema_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(data_events, schema_events) — one pass, no shuffle."""
@@ -70,3 +74,33 @@ def apply_schema_events(table: LakeTable, schema_events: DataFrame) -> SchemaApp
             sc["error"] = str(e)
             rejected.append(sc)
     return SchemaApplyResult(applied, rejected)
+
+
+def reextract_payloads(table: LakeTable) -> None:
+    """One-time backfill after an add/rename schema event.
+
+    With bounded delivery disorder, events carrying a new/renamed field can
+    be applied in an epoch BEFORE the schema event announcing the field —
+    extraction under the then-current schema dropped those values. Every
+    row keeps its winning raw after-image (``_sys_raw``), so applying the
+    new schema is a re-extraction over the table: all payload columns are
+    recomputed from the raw image under the evolved schema; keys, order
+    keys and tombstones pass through untouched.
+
+    Cost: one copy-on-write rewrite of the table per add/rename event.
+    Schema events are rare (a handful over a table's lifetime), and this is
+    the price of exact replay parity under disorder; the common fast path
+    (no disorder across the schema boundary) pays nothing extra because the
+    rewrite replaces work the next compaction would do anyway.
+    """
+    from pyspark.sql import functions as F2
+
+    from nvimagecodec_spark.lakehouse.table import BUCKET_COL, SYSTEM_COLS
+    from nvimagecodec_spark.operators.merge import payload_extract_exprs
+
+    current = table.read(with_system=True)
+    exprs = [F2.col(k) for k in table.key_cols]
+    exprs += payload_extract_exprs(table, "_sys_raw")
+    exprs += [F2.col(c) for c in SYSTEM_COLS]
+    exprs.append(F2.col(BUCKET_COL))
+    table.overwrite(current.select(*exprs))

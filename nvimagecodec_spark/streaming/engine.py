@@ -33,7 +33,11 @@ from nvimagecodec_spark.config import EngineConfig
 from nvimagecodec_spark.lakehouse.table import LakeTable
 from nvimagecodec_spark.operators.lww import lww_dedupe
 from nvimagecodec_spark.operators.merge import MergeResult, merge_into
-from nvimagecodec_spark.operators.schema_events import apply_schema_events, split_schema_events
+from nvimagecodec_spark.operators.schema_events import (
+    apply_schema_events,
+    reextract_payloads,
+    split_schema_events,
+)
 from nvimagecodec_spark.operators.skew import lww_dedupe_salted
 from nvimagecodec_spark.sources.changelog import ChangeStream, parse_changes, with_lineage
 from nvimagecodec_spark.streaming.lineage import LineageLog
@@ -71,6 +75,9 @@ class CdcEngine:
 
         data, schema_ev = split_schema_events(events)
         schema_res = apply_schema_events(self.table, schema_ev)
+        if schema_res.needs_backfill:
+            # recover out-of-order-delivered fields from stored raw images
+            reextract_payloads(self.table)
 
         # Hot-epoch detection on a cheap partial-agg count (G1). The stats
         # pass reuses the parsed events, cached for the epoch's two passes.

@@ -23,20 +23,27 @@ class AdaptiveRateController:
     cap: int = 1_000_000
     min_cap: int = 10_000
     max_cap: int = 50_000_000
-    step: float = 0.5  # initial relative step; decays toward step_floor
-    step_floor: float = 0.005  # the reference converges in ~0.5% increments
-    decay: float = 0.7
+    alpha: float = 0.8  # gain in log space; decays toward alpha_floor
+    alpha_floor: float = 0.2
+    decay: float = 0.9
     history: list = field(default_factory=list)
 
     def observe(self, epoch_events: int, epoch_seconds: float) -> int:
-        """Record an epoch; return the cap for the next epoch."""
+        """Record an epoch; return the cap for the next epoch.
+
+        Multiplicative (log-space) control: ``cap *= ratio^alpha`` where
+        ``ratio = target / measured``. Converges geometrically after a
+        regime change yet is a fixed point at the setpoint; the decaying
+        gain damps early oscillation, mirroring the reference's decaying
+        delta (/root/reference/src/image_generic_codec.h:1082-1101).
+        """
         self.history.append((epoch_events, epoch_seconds))
         if epoch_events <= 0 or epoch_seconds <= 0:
             return self.cap
-        ratio = self.target_epoch_seconds / epoch_seconds
-        # move a (decaying) fraction of the way toward the ideal cap
-        ideal = epoch_events * ratio
-        delta = (ideal - self.cap) * max(self.step, self.step_floor)
-        self.cap = int(min(self.max_cap, max(self.min_cap, self.cap + delta)))
-        self.step = max(self.step * self.decay, self.step_floor)
+        # estimate duration at the *cap* (epoch may have been smaller)
+        per_event = epoch_seconds / epoch_events
+        cap_seconds = per_event * self.cap
+        ratio = self.target_epoch_seconds / cap_seconds
+        self.cap = int(min(self.max_cap, max(self.min_cap, self.cap * ratio**self.alpha)))
+        self.alpha = max(self.alpha * self.decay, self.alpha_floor)
         return self.cap

@@ -1,0 +1,140 @@
+"""M2: streaming loop + exactly-once (SURVEY §7.1 M2, §2.8 T1-T3).
+
+Mirrors the reference's iteration protocol tests: epochs serialized,
+results latch once, replay/resume leaves final state identical.
+"""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from nvimagecodec_spark.config import EngineConfig
+from nvimagecodec_spark.lakehouse.table import LakeTable
+from nvimagecodec_spark.oracle.pandas_applier import apply_events_pandas
+from nvimagecodec_spark.sources.changelog import ChangeStream
+from nvimagecodec_spark.sources.generator import events_to_files, generate_change_events
+from nvimagecodec_spark.streaming.engine import CdcEngine
+from nvimagecodec_spark.streaming.ratelimit import AdaptiveRateController
+
+from tests.test_apply_end_to_end import TARGET_SCHEMA, canon_oracle, canon_spark
+
+
+def _setup(spark, tmp_dir, n_events=3000, with_schema=True, files=10):
+    events = generate_change_events(n_events=n_events, seed=42, with_schema_events=with_schema)
+    stream_dir = os.path.join(tmp_dir, "stream")
+    events_to_files(events, stream_dir, files=files)
+    table = LakeTable.create(
+        spark, os.path.join(tmp_dir, "table"), TARGET_SCHEMA, ["conv_id", "turn_idx"], bucket_count=8
+    )
+    return events, stream_dir, table
+
+
+def _assert_matches_oracle(table, events):
+    got = canon_spark(table.read_logical())
+    want = canon_oracle(apply_events_pandas(events))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got.astype("object").where(got.notna(), None),
+        want.astype("object").where(want.notna(), None),
+        check_dtype=False,
+    )
+
+
+def test_stream_multi_epoch_matches_oracle(spark, tmp_dir):
+    """NOTE: multi-epoch streaming splits the stream by FILE order, which
+    (with bounded LSN disorder across file boundaries) can apply a late
+    event in a later epoch — exactly the real CDC situation. LWW absorbs
+    it: the merge coalesces by max order key, so epoch boundaries don't
+    change the final state."""
+    events, stream_dir, table = _setup(spark, tmp_dir)
+    engine = CdcEngine(spark, table, source_id="s1")
+    n = engine.run_stream(stream_dir, max_files_per_trigger=3)
+    assert n >= 3  # multiple epochs actually exercised
+    _assert_matches_oracle(table, events)
+    recs = engine.lineage()
+    assert len(recs) == n
+    assert all(r["snapshot_id"] is not None or r["events"] == 0 for r in recs)
+
+
+def test_kill_resume_exactly_once(spark, tmp_dir):
+    """Run some epochs, 'crash' (drop the query, keep checkpoint), resume:
+    final state identical to a single clean run; replayed epochs no-op."""
+    events, stream_dir, table = _setup(spark, tmp_dir, n_events=2000, files=8)
+
+    # stage the files in two waves to force an interrupted run
+    half_dir = os.path.join(tmp_dir, "half")
+    os.makedirs(half_dir)
+    all_files = sorted(os.listdir(stream_dir))
+    for f in all_files[:4]:
+        shutil.copy(os.path.join(stream_dir, f), os.path.join(half_dir, f))
+
+    engine = CdcEngine(spark, table, source_id="s1")
+    engine.run_stream(half_dir, max_files_per_trigger=2)
+    mid_snapshot = table.current_snapshot().snapshot_id
+    assert mid_snapshot > 1
+
+    # "crash recovery": new engine object, same checkpoint; rest of files arrive
+    for f in all_files[4:]:
+        shutil.copy(os.path.join(stream_dir, f), os.path.join(half_dir, f))
+    engine2 = CdcEngine(spark, table, source_id="s1", checkpoint_dir=engine.checkpoint_dir)
+    engine2.run_stream(half_dir, max_files_per_trigger=2)
+
+    _assert_matches_oracle(table, events)
+
+
+def test_incremental_loop_resumes_from_lineage(spark, tmp_dir):
+    events, stream_dir, table = _setup(spark, tmp_dir, n_events=2000, with_schema=False)
+    # pin the adaptive cap so exactly ~4 epochs are needed (the controller
+    # would otherwise grow it and finish in 2 — its own test covers that)
+    cfg = EngineConfig(target_batch_events=1000, min_batch_events=200, max_batch_events=1000)
+    engine = CdcEngine(spark, table, source_id="inc", config=cfg)
+    stream = ChangeStream(spark, stream_dir)
+    n1 = engine.run_incremental(stream, max_epochs=2)
+    assert n1 == 2
+    # resume with a fresh engine — must pick up from lineage, not restart
+    engine2 = CdcEngine(spark, table, source_id="inc", config=cfg)
+    n2 = engine2.run_incremental(stream)
+    assert n2 >= 1
+    _assert_matches_oracle(table, events)
+    # replaying again: no new epochs
+    engine3 = CdcEngine(spark, table, source_id="inc", config=cfg)
+    assert engine3.run_incremental(stream) == 0
+
+
+def test_epoch_replay_is_noop_at_engine_level(spark, tmp_dir):
+    events, stream_dir, table = _setup(spark, tmp_dir, n_events=500, with_schema=False, files=2)
+    engine = CdcEngine(spark, table, source_id="x")
+    ev = ChangeStream(spark, stream_dir).events()
+    r1 = engine.apply_epoch(ev, batch_id=0)
+    assert r1.snapshot is not None
+    r2 = engine.apply_epoch(ev, batch_id=0)  # same epoch id → replay
+    assert r2.strategy == "skipped-duplicate"
+    assert table.current_snapshot().snapshot_id == r1.snapshot.snapshot_id
+
+
+def test_adaptive_rate_controller_converges():
+    c = AdaptiveRateController(target_epoch_seconds=10.0, cap=1000, min_cap=100, max_cap=10**7)
+    # throughput: 1000 events/sec → ideal cap 10_000
+    for _ in range(40):
+        cap = c.observe(c.cap, c.cap / 1000.0)
+    assert 8000 < cap < 12500
+    # regime change: now 100 events/sec → ideal cap 1_000
+    for _ in range(40):
+        cap = c.observe(c.cap, c.cap / 100.0)
+    assert 800 < cap < 1300
+
+
+def test_dead_letters_split(spark, tmp_dir):
+    stream_dir = os.path.join(tmp_dir, "s")
+    os.makedirs(stream_dir)
+    with open(os.path.join(stream_dir, "a.jsonl"), "w") as f:
+        f.write('{"op":"I","lsn":2,"commit_ts":"2025-01-01 00:00:00","conv_id":"c","turn_idx":0,"after":{"role":"user","text":"hi","ts":"2025-01-01 00:00:00"}}\n')
+        f.write("this is not an event\n")
+        f.write('<xml>nope</xml>\n')
+    cs = ChangeStream(spark, stream_dir)
+    assert cs.events().count() == 1
+    dead = cs.dead_letters().collect()
+    assert len(dead) == 2
