@@ -1,38 +1,602 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 /
+the training-data operator set, expressed through the
+``nvimagecodec_spark`` package; ``oracle_sql()`` holds the DuckDB-
+equivalent ANSI SQL. All hashes are md5-derived so both engines compute
+identical values; all float aggregates run on integer cents or are
+rounded; timestamps cross the boundary as unix micros.
+
+The CDC queries derive a deterministic change stream from the `events`
+table: key = (user_id, event_id % 50), lsn = event_id,
+op = error→D / click→U / else→I — so the LWW/merge semantics are
+SQL-checkable end to end, including a run of the REAL engine
+(``cdc_engine_apply``) against a windowed SQL oracle.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from nvimagecodec_spark.functions.compat import round4, sql_roundn, ts_micros
+from nvimagecodec_spark.operators import dedup as D
+from nvimagecodec_spark.operators import similarity as S
+from nvimagecodec_spark.operators import text as X
+from nvimagecodec_spark.operators.lww import lww_dedupe
+from nvimagecodec_spark.operators.merge import merge_into
+from nvimagecodec_spark.operators.sessionize import session_stats
+from nvimagecodec_spark.lakehouse.table import LakeTable
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------- CDC stream
+
+def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → deterministic change stream (see module docstring)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 50).cast("int").alias("turn_idx"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "click", "U")
+        .otherwise("I")
+        .alias("op"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("ts").alias("commit_ts"),
+        F.lit("events.parquet").alias("src_file"),
+        F.col("event_id").alias("src_offset"),
+    )
+
+
+_CHANGES_SQL = """
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 50 AS INTEGER) AS turn_idx,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_type = 'click' THEN 'U'
+              ELSE 'I' END AS op,
+         event_type, value, ts AS commit_ts
+  FROM events
+"""
+
+
+def q_cdc_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: last-writer-wins dedupe + delete filtering — the engine's core
+    aggregate, run via the map-side-combinable max(struct) operator."""
+    ch = _changes(spark, sf_dir)
+    won = lww_dedupe(ch)
+    return won.where(F.col("op") != "D").select(
+        "conv_id",
+        "turn_idx",
+        F.col("op").alias("last_op"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+        F.col("lsn").alias("last_lsn"),
+        ts_micros(F.col("commit_ts")).alias("last_commit_us"),
+    )
+
+
+def q_cdc_engine_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL pipeline: change stream → LWW → bucket-pruned CoW MERGE
+    into a lakehouse table → read back final state. Oracle = windowed SQL."""
+    ch = _changes(spark, sf_dir).withColumn(
+        "after",
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.col("value"),
+                F.date_format("commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            )
+        ),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nvics-apply-")
+    try:
+        table = LakeTable.create(
+            spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
+        )
+        merge_into(table, lww_dedupe(ch))
+        out = table.read_logical().select(
+            "conv_id",
+            "turn_idx",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            ts_micros(F.col("ts")).alias("ts_us"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # materialize before cleanup
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 metrics aggregation: per-op event counts + distinct keys."""
+    ch = _changes(spark, sf_dir)
+    return ch.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("conv_id", "turn_idx").alias("n_keys"),
+        F.max("lsn").alias("max_lsn"),
+    )
+
+
+def q_cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 skew stats: hot conv_ids + the salt factor the engine would use."""
+    ch = _changes(spark, sf_dir)
+    total = ch.count()
+    thresh = max(total // 200, 1)
+    return (
+        ch.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("n_events") > thresh)
+        .select(
+            "conv_id",
+            "n_events",
+            F.ceil(F.col("n_events") / thresh).cast("long").alias("salt_factor"),
+        )
+    )
+
+
+def q_cdc_epoch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 micro-batch views: per LSN-slice epoch stats (1000-lsn epochs)."""
+    ch = _changes(spark, sf_dir)
+    return (
+        ch.groupBy(F.floor(F.col("lsn") / 1000).alias("epoch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("conv_id", "turn_idx").alias("n_keys"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_deletes"),
+        )
+    )
+
+
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return session_stats(e, gap_minutes=30)
+
+
+def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-tier analog: vectorized JSON field extraction from the props payload."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        round4(F.avg(k)).alias("avg_k"),
+    )
+
+
+# ------------------------------------------------------------------- TPC-H
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (sums on integer cents for cross-engine exactness)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    disc_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(cents("l_extendedprice")).alias("sum_base_cents"),
+        F.sum(disc_cents).alias("sum_disc_cents"),
+        F.count(F.lit(1)).alias("count_order"),
+        round4(F.sum(F.col("l_quantity").cast("long")) / F.count(F.lit(1))).alias("avg_qty"),
+    )
+
+
+def q_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-joined rollup: customer revenue above threshold."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    joined = rev.join(F.broadcast(c), rev["o_custkey"] == c["c_custkey"])
+    total_avg = 2  # keep customers with more orders than this
+    return joined.where(F.col("n_orders") > total_avg).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        "revenue_cents",
+        "n_orders",
+    )
+
+
+# --------------------------------------------------------------- documents
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(_t(spark, sf_dir, "documents"), n_hashes=8)
+
+
+def q_docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(_t(spark, sf_dir, "documents"), n_hashes=8)
+    return D.minhash_lsh_pairs(sigs, bands=4, rows_per_band=2)
+
+
+def q_docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+# -------------------------------------------------------------- embeddings
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk(_t(spark, sf_dir, "embeddings"), anchor_id=0, k=25)
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_topk(_t(spark, sf_dir, "embeddings"), anchor_id=0, k=25, n_probe=2)
+
+
+def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.80)
+
+
+# ----------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the real CDC engine applying a change stream into the
+    lakehouse table and reading back the final state (sf0.001)."""
+    return q_cdc_engine_apply(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_lww_final_state": q_cdc_lww_final_state,
+        "cdc_engine_apply": q_cdc_engine_apply,
+        "cdc_op_stats": q_cdc_op_stats,
+        "cdc_hot_keys": q_cdc_hot_keys,
+        "cdc_epoch_stats": q_cdc_epoch_stats,
+        "events_sessionization": q_events_sessionization,
+        "events_props_extract": q_events_props_extract,
+        "pricing_summary": q_pricing_summary,
+        "top_customer_revenue": q_top_customer_revenue,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_lang_id": q_docs_lang_id,
+        "docs_fingerprint": q_docs_fingerprint,
+        "docs_minhash_signatures": q_docs_minhash_signatures,
+        "docs_minhash_lsh_pairs": q_docs_minhash_lsh_pairs,
+        "docs_ngram_jaccard_pairs": q_docs_ngram_jaccard_pairs,
+        "docs_simhash": q_docs_simhash,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_near_dup_pairs": q_emb_near_dup_pairs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_LWW_FINAL_SQL = f"""
+WITH changes AS ({_CHANGES_SQL}),
+w AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, turn_idx, op AS last_op, event_type AS last_event_type,
+       round(value, 2) AS last_value, lsn AS last_lsn,
+       epoch_us(commit_ts) AS last_commit_us
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+_SHINGLES_SQL = r"""
+  toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+    WHERE len(t) >= 3
+  )
+"""
+
+_H32 = "CAST(('0x' || substring(md5({payload}), 1, 8)) AS BIGINT)"
+
+
+def _h32(seed: int, col: str) -> str:
+    return _H32.format(payload=f"'{seed}' || '|' || {col}")
+
+
+_MINHASH_SIG_SQL = (
+    "WITH "
+    + _SHINGLES_SQL
+    + "SELECT doc_id, "
+    + ", ".join(f"min({_h32(s, 'shingle')}) AS mh{s}" for s in range(8))
+    + " FROM sh GROUP BY doc_id"
+)
+
+_LSH_PAIRS_SQL = (
+    "WITH "
+    + _SHINGLES_SQL
+    + ", sigs AS (SELECT doc_id, "
+    + ", ".join(f"min({_h32(s, 'shingle')}) AS mh{s}" for s in range(8))
+    + " FROM sh GROUP BY doc_id), banded AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id AS doc, {b} AS band, "
+        f"CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR) AS bkey FROM sigs"
+        for b in range(4)
+    )
+    + ") SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_bands"
+    " FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc"
+    " GROUP BY a.doc, b.doc"
+)
+
+_SIMHASH_SQL = (
+    r"""
+WITH ex AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, """
+    + _h32(99, "tok")
+    + """ AS hv FROM ex),
+b AS (
+  SELECT doc_id, """
+    + ", ".join(
+        f"sum(CASE WHEN (CAST(floor(hv / {2**i}.0) AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(32)
+    )
+    + """
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, """
+    + " + ".join(f"(CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)" for i in range(32))
+    + " AS simhash FROM b"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    stop = "', '".join(X.EN_STOPWORDS)
+    return {
+        "cdc_lww_final_state": _LWW_FINAL_SQL,
+        "cdc_engine_apply": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes)
+            SELECT conv_id, turn_idx, event_type, round(value, 2) AS value,
+                   epoch_us(commit_ts) AS ts_us
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_op_stats": f"""
+            WITH changes AS ({_CHANGES_SQL})
+            SELECT op, COUNT(*) AS n_events,
+                   COUNT(DISTINCT conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS n_keys,
+                   MAX(lsn) AS max_lsn
+            FROM changes GROUP BY op
+        """,
+        "cdc_hot_keys": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            tot AS (SELECT GREATEST(COUNT(*) // 200, 1) AS thresh FROM changes)
+            SELECT conv_id, COUNT(*) AS n_events,
+                   CAST(CEIL(COUNT(*) * 1.0 / (SELECT thresh FROM tot)) AS BIGINT) AS salt_factor
+            FROM changes GROUP BY conv_id
+            HAVING COUNT(*) > (SELECT thresh FROM tot)
+        """,
+        "cdc_epoch_stats": f"""
+            WITH changes AS ({_CHANGES_SQL})
+            SELECT CAST(FLOOR(lsn / 1000) AS BIGINT) AS epoch, COUNT(*) AS n_events,
+                   COUNT(DISTINCT conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS n_keys,
+                   SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes
+            FROM changes GROUP BY 1
+        """,
+        "events_sessionization": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+              FROM events
+            ),
+            flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN prev_us IS NULL
+                          OR (epoch_us(ts) - prev_us) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+              FROM o
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM flagged
+            ),
+            per AS (
+              SELECT user_id, session_idx, COUNT(*) AS n_events,
+                     epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur
+              FROM sess GROUP BY user_id, session_idx
+            )
+            SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+                   MAX(dur) AS max_session_us
+            FROM per GROUP BY user_id
+        """,
+        "events_props_extract": f"""
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   {sql_roundn("AVG(CAST(json_extract_string(props, '$.k') AS BIGINT))", 4)} AS avg_k
+            FROM events GROUP BY event_type
+        """,
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+                   COUNT(*) AS count_order,
+                   {sql_roundn("SUM(CAST(l_quantity AS BIGINT)) * 1.0 / COUNT(*)", 4)} AS avg_qty
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customer_revenue": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+                     COUNT(*) AS n_orders
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS mktsegment,
+                   revenue_cents, n_orders
+            FROM rev JOIN customer ON o_custkey = c_custkey
+            WHERE n_orders > 2
+        """,
+        "docs_exact_dedup": f"""
+            SELECT md5({norm}) AS content_hash, MIN(doc_id) AS keeper_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "docs_token_stats": rf"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+                     length(text) AS n_chars_computed
+              FROM documents
+            )
+            SELECT doc_id, len(toks) AS n_tokens, n_chars_computed,
+                   len(list_distinct(toks)) AS n_unique_tokens,
+                   {sql_roundn("n_chars_computed * 1.0 / len(toks)", 4)} AS chars_per_token
+            FROM t
+        """,
+        "docs_quality": rf"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS uniq,
+                     len(list_intersect(list_distinct(toks), ['{stop}'])) AS stop_hits
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   {sql_roundn("uniq * 1.0 / GREATEST(n_tokens, 1)", 4)} AS unique_ratio,
+                   {sql_roundn("stop_hits * 1.0 / GREATEST(uniq, 1)", 4)} AS stopword_ratio,
+                   {sql_roundn(
+                       "(CASE WHEN n_tokens < 5 THEN 0.0 ELSE 1.0 END) * "
+                       + sql_roundn("uniq * 1.0 / GREATEST(n_tokens, 1)", 4)
+                       + " * (0.5 + 0.5 * "
+                       + sql_roundn("stop_hits * 1.0 / GREATEST(uniq, 1)", 4)
+                       + ")",
+                       4,
+                   )} AS quality
+            FROM m
+        """,
+        "docs_lang_id": rf"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, lang, len(toks) AS n,
+                     len(list_intersect(toks, ['{stop}'])) AS hits
+              FROM t
+            )
+            SELECT doc_id, lang AS lang_declared,
+                   {sql_roundn("hits * 1.0 / GREATEST(n, 1)", 4)} AS en_ratio,
+                   CASE WHEN hits * 1.0 / GREATEST(n, 1) >= 0.02 THEN 'en' ELSE 'other' END AS lang_pred
+            FROM m
+        """,
+        "docs_fingerprint": f"""
+            SELECT doc_id, md5({norm}) AS fp_md5,
+                   {_H32.format(payload=f"'0' || '|' || {norm}")} AS fp_h32
+            FROM documents
+        """,
+        "docs_minhash_signatures": _MINHASH_SIG_SQL,
+        "docs_minhash_lsh_pairs": _LSH_PAIRS_SQL,
+        "docs_ngram_jaccard_pairs": "WITH "
+        + _SHINGLES_SQL
+        + """,
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            shared AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b, n_shared,
+                   {jx} AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE {jx} >= 0.2
+        """.format(jx=sql_roundn("n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared)", 4)),
+        "docs_simhash": _SIMHASH_SQL,
+        "emb_cosine_topk": """
+            WITH anchor AS (SELECT embedding AS a FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(embedding, (SELECT a FROM anchor)), 4) AS cos_sim
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id LIMIT 25
+        """,
+        "emb_ivf_topk": """
+            WITH ex AS (
+              SELECT label, generate_subscripts(embedding, 1) AS dim,
+                     unnest(embedding) AS val
+              FROM embeddings
+            ),
+            cents AS (
+              SELECT label, list(cval ORDER BY dim) AS centroid
+              FROM (SELECT label, dim, AVG(CAST(val AS DOUBLE)) AS cval
+                    FROM ex GROUP BY label, dim)
+              GROUP BY label
+            ),
+            anchor AS (SELECT embedding AS a FROM embeddings WHERE vec_id = 0),
+            probed AS (
+              SELECT label FROM cents
+              ORDER BY list_cosine_similarity(centroid, (SELECT a FROM anchor)) DESC, label
+              LIMIT 2
+            )
+            SELECT vec_id, e.label,
+                   ROUND(list_cosine_similarity(embedding, (SELECT a FROM anchor)), 4) AS cos_sim
+            FROM embeddings e JOIN probed p ON e.label = p.label
+            WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id LIMIT 25
+        """,
+        "emb_near_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < b.vec_id AND a.label = b.label
+            WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.80
+        """,
+    }

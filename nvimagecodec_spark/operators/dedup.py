@@ -1,0 +1,167 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The scale contracts:
+
+- **exact_dedup**: one hash-groupBy — map-side combinable, single shuffle
+  of (hash → min id), never materializes full duplicate groups.
+- **minhash_signatures**: one pass over exploded shingles, the H per-seed
+  minima computed as H parallel partial-aggregated mins (no crossJoin, no
+  per-row Python). Signatures are tiny (H longs/doc).
+- **lsh candidate pairs**: banding turns O(n²) similarity search into
+  groupBy(band value) — only docs agreeing on a full band ever meet,
+  which is the published MinHash-LSH recipe (Broder; MMDS ch.3).
+- **ngram_jaccard_pairs**: exact verify step — run on LSH candidates at
+  scale; the all-pairs form here is for small corpora / the oracle.
+
+Hashes are md5-derived (functions/hashing.py) so the DuckDB oracle can
+reproduce every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nvimagecodec_spark.functions.compat import round4
+from nvimagecodec_spark.functions.hashing import md5_hash32, normalize_text
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: normalized-content hash → keeper id + group size."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    return (
+        docs.groupBy(h.alias("content_hash"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct n-word shingles per document: (id, shingle)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    sh = F.expr(
+        f"transform(sequence(0, size(_toks) - {n}), i -> concat_ws(' ', slice(_toks, i + 1, {n})))"
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: columns mh0..mh{H-1} (portable md5 hashes)."""
+    sh = shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col)
+    aggs = [
+        F.min(md5_hash32(F.col("shingle"), seed=s)).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on ≥1 full band.
+
+    Output: (doc_a, doc_b, n_bands) with doc_a < doc_b.
+    """
+    parts = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        parts.append(
+            signatures.select(
+                F.col(id_col).alias("doc"),
+                F.lit(b).alias("band"),
+                F.concat_ws(":", *[F.col(c).cast("string") for c in cols]).alias("bkey"),
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    ``candidates`` (doc_a, doc_b) restricts the join to an LSH candidate
+    set — the scale path; without it this is all-pairs-sharing-a-shingle
+    (fine for oracle-sized corpora; still never a cartesian product).
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    if candidates is not None:
+        shared = shared.join(F.broadcast(candidates.select("doc_a", "doc_b")), ["doc_a", "doc_b"])
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            round4(F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash over whitespace tokens (portable md5-based bit hashes).
+
+    Per bit i, sum +1/-1 over token hashes; bit set if the sum is
+    positive. Pure conditional aggregation — map-side combinable, one
+    shuffle, reproducible in the SQL oracle via the same arithmetic.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    exploded = docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+    h = md5_hash32(F.col("tok"), seed=99)
+    bit_sums = [
+        F.sum(
+            F.when((F.floor(h / F.lit(float(2**i))) % 2) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    sums = exploded.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"_b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else (sig + term)
+    return sums.select(F.col(id_col), sig.alias("simhash"))

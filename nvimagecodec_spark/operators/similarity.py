@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- **cosine_topk**: brute-force exact baseline — a narrow map computing the
+  score (JVM-side `aggregate`/`zip_with`, no Python) + a global top-k.
+  At scale the top-k is a per-partition top-k then a tiny driver-side
+  merge (Spark's sort+limit already implements TakeOrdered that way).
+- **ivf_topk**: the scale path — an IVF-style coarse quantizer: embeddings
+  are grouped into cells (here the fixture's `label` column; in production
+  k-means centroids), the query probes only the nearest cells, and the
+  fine search runs over that pruned subset. Probing C of K cells cuts the
+  scan by ~K/C; the cell assignment is a partition key so the fine search
+  is partition-pruned, not just filtered.
+- **near_dup_pairs**: all-pairs cosine ≥ τ within blocking buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nvimagecodec_spark.functions.vectors import cosine
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    anchor_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to the anchor vector."""
+    anchor = embeddings.where(F.col(id_col) == anchor_id).select(
+        F.col(vec_col).alias("_anchor")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(anchor))
+        .where(F.col(id_col) != anchor_id)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_anchor")), 4).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    anchor_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: probe the n_probe nearest cells, exact search within.
+
+    Centroids are per-cell means (element-wise), computed with a single
+    aggregation; the candidate scan is pruned to the probed cells.
+    """
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    exploded = embeddings.select(
+        F.col(cell_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    centroids = (
+        exploded.groupBy(cell_col, "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("cval"))
+        .groupBy(cell_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("_pairs"))
+        .select(
+            F.col(cell_col),
+            F.transform(F.col("_pairs"), lambda p: p["cval"]).alias("centroid"),
+        )
+    )
+    anchor = embeddings.where(F.col(id_col) == anchor_id).select(
+        F.col(vec_col).alias("_anchor")
+    )
+    probed = (
+        centroids.crossJoin(F.broadcast(anchor))
+        .select(
+            F.col(cell_col),
+            cosine(F.col("centroid"), F.col("_anchor")).alias("_cdist"),
+        )
+        .orderBy(F.col("_cdist").desc(), F.col(cell_col))
+        .limit(n_probe)
+        .select(cell_col)
+    )
+    candidates = embeddings.join(F.broadcast(probed), cell_col)
+    del dim_idx
+    scored = (
+        candidates.crossJoin(F.broadcast(anchor))
+        .where(F.col(id_col) != anchor_id)
+        .select(
+            F.col(id_col),
+            F.col(cell_col),
+            F.round(cosine(F.col(vec_col), F.col("_anchor")), 4).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ≥ threshold.
+
+    ``block_col`` is the blocking key (only same-cell pairs compared) —
+    at scale, an LSH bucket or IVF cell; None = all pairs (oracle sizes).
+    """
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
