@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 from nvimagecodec_spark.functions.compat import round4, sql_roundn, ts_micros
 from nvimagecodec_spark.operators import dedup as D
 from nvimagecodec_spark.operators import similarity as S
+from nvimagecodec_spark.operators import multimodal as M
 from nvimagecodec_spark.operators import text as X
 from nvimagecodec_spark.operators.lww import lww_dedupe
 from nvimagecodec_spark.operators.merge import merge_into
@@ -261,6 +262,39 @@ def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"), bits=32)
 
 
+# -------------------------------------------------------------- multimodal
+
+def q_mm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary image column → magic-byte probe + header metadata,
+    all JVM-side (SURVEY §2.2 parser tier over real binary payloads)."""
+    docs = M.attach_fake_images(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return M.media_metadata(docs.select("doc_id", "image"))
+
+
+def q_mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode of binary payloads (D-tier analog)."""
+    docs = M.attach_fake_images(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return M.decode_images(docs)
+
+
+def q_mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→transcode round-trip: resize re-encodes a valid header; the
+    re-parsed metadata must show the new dimensions (E-tier analog)."""
+    docs = M.attach_fake_images(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    resized = M.resize_images(docs, new_width=32, new_height=24)
+    meta = M.media_metadata(resized.select("doc_id", "image"))
+    return meta.groupBy("codec", "width", "height", "channels").agg(
+        F.count(F.lit(1)).alias("n_images")
+    )
+
+
+def q_mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-frame container → every-2nd-frame sample (TIFF-pagination
+    analog), Arrow-batched explode."""
+    docs = M.attach_fake_videos(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return M.sample_frames(docs, every_n=2)
+
+
 # -------------------------------------------------------------- embeddings
 
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,6 +337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_lsh_pairs": q_docs_minhash_lsh_pairs,
         "docs_ngram_jaccard_pairs": q_docs_ngram_jaccard_pairs,
         "docs_simhash": q_docs_simhash,
+        "mm_image_metadata": q_mm_image_metadata,
+        "mm_image_decode": q_mm_image_decode,
+        "mm_image_resize": q_mm_image_resize,
+        "mm_video_frame_sample": q_mm_video_frame_sample,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
@@ -561,6 +599,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE {jx} >= 0.2
         """.format(jx=sql_roundn("n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared)", 4)),
         "docs_simhash": _SIMHASH_SQL,
+        "mm_image_metadata": """
+            SELECT doc_id, 'fimg' AS codec,
+                   CAST(CAST(('0x' || substring(md5(text), 1, 2)) AS INTEGER) % 48 + 16 AS INTEGER) AS width,
+                   CAST(CAST(('0x' || substring(md5(text), 3, 2)) AS INTEGER) % 48 + 16 AS INTEGER) AS height,
+                   3 AS channels, CAST(NULL AS INTEGER) AS n_frames, 29 AS n_bytes
+            FROM documents
+        """,
+        "mm_image_decode": """
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substring(md5(text), 1, 2)) AS INTEGER) % 48 + 16 AS INTEGER) AS width,
+                   CAST(CAST(('0x' || substring(md5(text), 3, 2)) AS INTEGER) % 48 + 16 AS INTEGER) AS height,
+                   3 AS channels,
+                   ("""
+        + " + ".join(
+            f"CAST(('0x' || substring(md5(text), {2 * i + 1}, 2)) AS BIGINT)" for i in range(16)
+        )
+        + """) AS payload_sum,
+                   CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) AS payload_h32
+            FROM documents
+        """,
+        "mm_image_resize": """
+            SELECT 'fimg' AS codec, 32 AS width, 24 AS height, 3 AS channels,
+                   COUNT(*) AS n_images
+            FROM documents
+        """,
+        "mm_video_frame_sample": """
+            WITH v AS (
+              SELECT doc_id, text,
+                     CAST(('0x' || substring(md5(text), 5, 2)) AS INTEGER) % 8 + 1 AS n_frames
+              FROM documents
+            )
+            SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+                   CAST(('0x' || substring(md5(text || '|frame|' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) AS frame_h32
+            FROM v, UNNEST(generate_series(0, n_frames - 1, 2)) AS g(i)
+        """,
         "emb_cosine_topk": """
             WITH anchor AS (SELECT embedding AS a FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline metric (BASELINE.json): change-events/sec applied (binlog ->
+lakehouse upsert). Two engine segments exercise the real apply path:
+
+- ``cdc_bulk_apply``  — a change stream synthesized IN SPARK from the sf
+  lineitem table (~600k events at sf0.1; key = (conv-<orderkey>,
+  linenumber%4), op mix I/U/D, JSON after-images) is LWW-deduped and
+  merged into a fresh LakeTable. Batch > broadcast threshold -> exercises
+  the sort-merge (backfill) strategy.
+- ``cdc_incr_apply`` — a 5% update slice with bumped LSNs merged on top:
+  the steady-state broadcast strategy (table side never shuffles).
+
+All other keys are the driver-contract queries from ``__spark_entry__``,
+each forced end-to-end with a noop-format write (full computation, no
+driver collect bottleneck).
+
+Usage: python bench.py [--cpus N] [--sf-dir D] [--cdc-only] [--tag NAME]
+Env:   SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SF_DIR (default
+       /root/testdata/sf0.1). Progress goes to stderr; the single JSON
+       result line goes to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"nvics-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def force(df) -> None:
+    """Full end-to-end execution without a driver-side collect."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+# --------------------------------------------------------------- CDC apply
+
+def synth_change_stream(spark, sf_dir: str):
+    """Deterministic transcript-shaped change stream, synthesized IN SPARK
+    (never on the driver) from the sf lineitem table. ~1 event/lineitem.
+
+    Shape per BASELINE.json input_hint: key (conv_id, turn_idx), op I/U/D,
+    monotone lsn, raw-JSON after image {role, text, tool, ts}.
+    """
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool"))
+    role = F.element_at(roles, (F.col("l_linenumber") % 4 + 1).cast("int"))
+    text = F.concat(
+        F.lit("turn text for order "),
+        F.col("l_orderkey").cast("string"),
+        F.lit(" part "),
+        F.col("l_partkey").cast("string"),
+        F.lit(" :: "),
+        F.hex(F.xxhash64("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")),
+    )
+    after = F.to_json(
+        F.struct(
+            role.alias("role"),
+            text.alias("text"),
+            F.when(role == "tool", F.lit("search")).alias("tool"),
+            F.date_format(
+                F.col("l_shipdate").cast("timestamp"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("ts"),
+        )
+    )
+    return li.select(
+        F.concat(F.lit("conv-"), F.col("l_orderkey").cast("string")).alias("conv_id"),
+        (F.col("l_linenumber") % 4).cast("int").alias("turn_idx"),
+        (F.col("l_orderkey") * 16 + F.col("l_linenumber")).cast("long").alias("lsn"),
+        F.when((F.col("l_returnflag") == "R") & (F.col("l_linenumber") % 7 == 0), "D")
+        .when(F.col("l_quantity") > 25, "U")
+        .otherwise("I")
+        .alias("op"),
+        after.alias("after"),
+        F.col("l_shipdate").cast("timestamp").alias("commit_ts"),
+        F.lit("bench-lineitem").alias("src_file"),
+        F.monotonically_increasing_id().alias("src_offset"),
+    )
+
+
+def bench_cdc_apply(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from nvimagecodec_spark.lakehouse.table import LakeTable
+    from nvimagecodec_spark.operators.lww import lww_dedupe
+    from nvimagecodec_spark.operators.merge import merge_into
+
+    ch = synth_change_stream(spark, sf_dir)
+    n_events = ch.count()
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nvics-bench-")
+    out: dict = {"cdc_events": n_events}
+    try:
+        table = LakeTable.create(
+            spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=32
+        )
+        t0 = time.time()
+        res = merge_into(table, lww_dedupe(ch))
+        bulk = time.time() - t0
+        out["cdc_bulk_apply"] = round(bulk, 3)
+        out["cdc_bulk_events_per_sec"] = round(n_events / bulk, 1)
+        out["cdc_bulk_strategy"] = res.strategy
+        log(f"cdc_bulk_apply: {n_events} events in {bulk:.2f}s "
+            f"({n_events / bulk:,.0f} ev/s, {res.strategy})")
+
+        upd = (
+            ch.where(F.col("lsn") % 20 == 0)
+            .withColumn("lsn", F.col("lsn") + F.lit(10**12).cast("long"))
+            .withColumn("op", F.when(F.col("op") == "D", "D").otherwise(F.lit("U")))
+        )
+        n_upd = upd.count()
+        t0 = time.time()
+        res2 = merge_into(table, lww_dedupe(upd))
+        incr = time.time() - t0
+        out["cdc_incr_apply"] = round(incr, 3)
+        out["cdc_incr_events"] = n_upd
+        out["cdc_incr_events_per_sec"] = round(n_upd / incr, 1)
+        out["cdc_incr_strategy"] = res2.strategy
+        log(f"cdc_incr_apply: {n_upd} events in {incr:.2f}s "
+            f"({n_upd / incr:,.0f} ev/s, {res2.strategy})")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# ------------------------------------------------------------------- main
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--cdc-only", action="store_true", help="engine apply segments only")
+    ap.add_argument("--skip", default="", help="comma-separated query names to skip")
+    args = ap.parse_args()
+
+    sf = float(os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = build_spark(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict = {}
+    extras: dict = {}
+
+    t_all = time.time()
+    cdc = bench_cdc_apply(spark, args.sf_dir)
+    queries["cdc_bulk_apply"] = cdc["cdc_bulk_apply"]
+    queries["cdc_incr_apply"] = cdc["cdc_incr_apply"]
+    extras.update({k: v for k, v in cdc.items() if k not in queries})
+
+    if not args.cdc_only:
+        import __spark_entry__ as entry
+
+        skip = {s for s in args.skip.split(",") if s}
+        for name, fn in entry.queries().items():
+            if name in skip:
+                continue
+            t0 = time.time()
+            try:
+                force(fn(spark, args.sf_dir))
+                queries[name] = round(time.time() - t0, 3)
+                log(f"{name}: {queries[name]}s")
+            except Exception as e:  # keep the bench line intact on one failure
+                queries[name] = None
+                extras.setdefault("errors", {})[name] = str(e)[:200]
+                log(f"{name}: FAILED {e}")
+
+    total = round(time.time() - t_all, 3)
+    result = {
+        "metric": "total bench seconds (headline: change-events/sec applied, "
+        "see cdc_bulk_events_per_sec / cdc_incr_events_per_sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": args.cpus,
+        **extras,
+    }
+    print(json.dumps(result), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Multimodal binary-column plumbing: probe, metadata, decode, resize,
+frame sampling (reference parser/decoder/encoder tier analogs)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from nvimagecodec_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"document number {i} with some text body " * (i % 3 + 1)) for i in range(20)],
+        "doc_id long, text string",
+    )
+
+
+def test_attach_and_metadata_roundtrip(spark, docs):
+    meta = M.media_metadata(M.attach_fake_images(docs).select("doc_id", "image"))
+    rows = {r["doc_id"]: r for r in meta.collect()}
+    assert len(rows) == 20
+    for r in rows.values():
+        assert r["codec"] == "fimg"
+        assert 16 <= r["width"] <= 63 and 16 <= r["height"] <= 63
+        assert r["channels"] == 3
+        assert r["n_bytes"] == 29  # 4 magic + 8 dims + 1 channels + 16 payload
+
+
+def test_decode_matches_metadata(spark, docs):
+    imgs = M.attach_fake_images(docs)
+    meta = {r["doc_id"]: r for r in M.media_metadata(imgs.select("doc_id", "image")).collect()}
+    dec = {r["doc_id"]: r for r in M.decode_images(imgs).collect()}
+    assert set(dec) == set(meta)
+    for did, d in dec.items():
+        assert (d["width"], d["height"]) == (meta[did]["width"], meta[did]["height"])
+        assert 0 <= d["payload_sum"] <= 16 * 255
+        assert d["payload_h32"] >= 0
+
+
+def test_resize_rewrites_header_keeps_payload(spark, docs):
+    imgs = M.attach_fake_images(docs)
+    before = {r["doc_id"]: r["payload_h32"] for r in M.decode_images(imgs).collect()}
+    resized = M.resize_images(imgs, new_width=32, new_height=24)
+    after = M.decode_images(resized).collect()
+    for r in after:
+        assert (r["width"], r["height"]) == (32, 24)
+        assert r["payload_h32"] == before[r["doc_id"]]  # payload untouched
+
+
+def test_frame_sampling(spark, docs):
+    vids = M.attach_fake_videos(docs)
+    n_frames = {
+        r["doc_id"]: r["n_frames"]
+        for r in M.media_metadata(vids.select("doc_id", "video"), binary_col="video").collect()
+    }
+    frames = M.sample_frames(vids, every_n=2).collect()
+    per_doc: dict = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for did, nf in n_frames.items():
+        expected = list(range(0, nf, 2))
+        assert sorted(per_doc[did]) == expected
+
+
+def test_unknown_magic_dead_letters(spark):
+    df = spark.createDataFrame([(1, bytearray(b"XXXX" + b"\x00" * 25))], "doc_id long, image binary")
+    row = M.media_metadata(df).collect()[0]
+    assert row["codec"] is None and row["width"] is None
+
+
+def test_real_decode_seam_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        M._real_decode(b"", 1, 1, 3)
