@@ -303,9 +303,18 @@ class LakeTable:
         out_dir = os.path.join(self._data_dir, f"snap-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}")
         extra = [BUCKET_COL] + [c for c in SYSTEM_COLS if c in df.columns]
         phys = self.table_schema.project_logical_to_physical(df, extra_cols=extra)
+        # Cluster rows by bucket before the dynamic-partition write: without
+        # this every reducer task holds rows of MANY buckets and opens one
+        # tiny parquet writer per bucket (tasks x buckets files — measured
+        # 4x anti-scaling at 32 cores). One shuffle of the merged output
+        # yields one well-formed file per bucket, which is also the layout
+        # manifest-level pruning wants. maxRecordsPerFile caps file size at
+        # production scale (Iceberg's write.target-file-size analog).
         (
             phys.withColumn(_PART_DIR_COL, F.col(BUCKET_COL))
+            .repartition(self.bucket_count, F.col(_PART_DIR_COL))
             .write.partitionBy(_PART_DIR_COL)
+            .option("maxRecordsPerFile", 5_000_000)
             .parquet(out_dir, compression="snappy")
         )
         files: list[dict] = []

