@@ -309,6 +309,14 @@ def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.80)
 
 
+def q_emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH blocking + exact cosine verify — the ANN
+    near-dup scale path (per-bucket joins instead of all-pairs)."""
+    return S.lsh_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.80, n_planes=8, seed=7
+    )
+
+
 # ----------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -344,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
+        "emb_lsh_near_dup": q_emb_lsh_near_dup,
     }
 
 
@@ -672,4 +681,26 @@ def oracle_sql() -> dict[str, str]:
               ON a.vec_id < b.vec_id AND a.label = b.label
             WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.80
         """,
+        "emb_lsh_near_dup": _lsh_near_dup_sql(),
     }
+
+
+def _lsh_near_dup_sql(n_planes: int = 8, seed: int = 7, dim: int = 64) -> str:
+    """DuckDB replica of the LSH blocking: identical plane literals,
+    double-precision sequential dot products, so bucket ids match the
+    Spark expressions bit-for-bit."""
+    from nvimagecodec_spark.operators.similarity import lsh_planes
+
+    planes = lsh_planes(dim, n_planes, seed)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {2**p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, CAST({bits} AS BIGINT) AS lsh FROM embeddings)
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.lsh AS lsh_bucket,
+               ROUND(list_cosine_similarity(a.embedding, c.embedding), 4) AS cos_sim
+        FROM b a JOIN b c ON a.lsh = c.lsh AND a.vec_id < c.vec_id
+        WHERE ROUND(list_cosine_similarity(a.embedding, c.embedding), 4) >= 0.80
+    """

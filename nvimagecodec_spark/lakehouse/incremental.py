@@ -1,0 +1,90 @@
+"""Incremental snapshot-diff reads — the table's OWN change stream.
+
+The export half of the CDC loop (reference analog: the encoder tier,
+/root/reference/extensions/nvjpeg/cuda_encoder.cpp — the engine's results
+re-emitted in a consumable format; plus time travel via the snapshot log,
+/root/reference/include/nvimgcodec.h:1793-1811's per-sample status query).
+
+``read_changes(table, from_id, to_id)`` emits one row per key whose state
+differs between the two snapshots, classified I/U/D, carrying the new row
+image (old image for D) and the winning order key. Downstream consumers
+can chain engines: table A's changelog is a valid source for table B.
+
+Scale: the manifest diff first narrows to buckets whose FILE SETS changed
+between the snapshots — copy-on-write commits replace whole bucket file
+sets, so an epoch that touched 3 of 4096 buckets reads exactly those 3
+from each snapshot. The join is bucket-aligned by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nvimagecodec_spark.lakehouse.table import LakeTable
+
+
+def changed_buckets(table: LakeTable, from_id: int, to_id: int) -> list[int]:
+    """Buckets whose file sets differ between the two snapshots (manifest
+    diff — no data read)."""
+    old = table.snapshot(from_id).files
+    new = table.snapshot(to_id).files
+    by_bucket_old: dict[int, set] = {}
+    by_bucket_new: dict[int, set] = {}
+    for f in old:
+        by_bucket_old.setdefault(f["bucket"], set()).add(f["path"])
+    for f in new:
+        by_bucket_new.setdefault(f["bucket"], set()).add(f["path"])
+    out = []
+    for b in set(by_bucket_old) | set(by_bucket_new):
+        if by_bucket_old.get(b, set()) != by_bucket_new.get(b, set()):
+            out.append(b)
+    return sorted(out)
+
+
+def read_changes(table: LakeTable, from_id: int, to_id: int) -> DataFrame:
+    """Row-level diff between two snapshots, as change events.
+
+    Output: key columns + ``op`` (I/U/D) + the current payload columns
+    (new image for I/U, last image for D) + ``lsn``/``commit_ts`` of the
+    winning write. Keys identical in both snapshots are never emitted
+    (and never shuffled — the bucket pruning drops untouched buckets
+    before the scan).
+    """
+    buckets = changed_buckets(table, from_id, to_id)
+    key_cols = table.key_cols
+    payload_cols = [f.name for f in table.schema().fields if f.name not in key_cols]
+
+    def side(snapshot_id: int, tag: str) -> DataFrame:
+        df = table.read(snapshot_id=snapshot_id, buckets=buckets, with_system=True)
+        cols = [F.col(k) for k in key_cols]
+        cols += [F.col(c).alias(f"{tag}_{c}") for c in payload_cols]
+        cols += [
+            F.col("_sys_lsn").alias(f"{tag}_lsn"),
+            F.col("_sys_cts").alias(f"{tag}_cts"),
+            F.coalesce(F.col("_sys_deleted"), F.lit(False)).alias(f"{tag}_del"),
+        ]
+        return df.select(*cols)
+
+    old = side(from_id, "o")
+    new = side(to_id, "n")
+    j = old.join(new, key_cols, "full_outer")
+
+    o_live = F.col("o_lsn").isNotNull() & ~F.col("o_del")
+    n_live = F.col("n_lsn").isNotNull() & ~F.col("n_del")
+    op = (
+        F.when(~o_live & n_live, "I")
+        .when(o_live & ~n_live, "D")
+        .when(o_live & n_live & (F.col("n_lsn") != F.col("o_lsn")), "U")
+    )
+    picked = [
+        F.when(F.col("n_lsn").isNotNull(), F.col(f"n_{c}")).otherwise(F.col(f"o_{c}")).alias(c)
+        for c in payload_cols
+    ]
+    lsn = F.when(F.col("n_lsn").isNotNull(), F.col("n_lsn")).otherwise(F.col("o_lsn"))
+    cts = F.when(F.col("n_lsn").isNotNull(), F.col("n_cts")).otherwise(F.col("o_cts"))
+    return (
+        j.withColumn("op", op)
+        .where(F.col("op").isNotNull())
+        .select("op", *key_cols, *picked, lsn.alias("lsn"), cts.alias("commit_ts"))
+    )

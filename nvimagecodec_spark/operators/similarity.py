@@ -99,6 +99,81 @@ def ivf_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def lsh_planes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
+    """Deterministic random-hyperplane set for sign-bit LSH.
+
+    Components are a fixed affine sequence mapped to [-1, 1] — a plain
+    closed form (no library RNG) so the DuckDB oracle can embed the SAME
+    planes as SQL literals and reproduce bucket ids bit-for-bit.
+    """
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            # LCG-ish integer mix, then map to [-1, 1]
+            v = (seed * 1_000_003 + p * 7_919 + d * 104_729) % 2_000_003
+            row.append(round(v / 1_000_001.0 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_expr(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
+    """Sign-bit LSH bucket id: bit p set iff dot(vec, plane_p) > 0.
+
+    Pure column expressions (zip_with/aggregate) — JVM-side, no Python.
+    The bucket is a shuffle/blocking key: at 10^10 vectors, candidate
+    generation is a per-bucket self-join instead of all-pairs.
+    """
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.80,
+    n_planes: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs via random-hyperplane LSH blocking.
+
+    Candidates = pairs sharing an LSH bucket (collision probability
+    (1 - angle/pi)^n_planes); exact cosine verifies. Recall < 1 by design —
+    the scale path trades the O(n^2) all-pairs join for per-bucket joins.
+    """
+    planes = lsh_planes(dim, n_planes, seed)
+    b = embeddings.withColumn("_lsh", lsh_bucket_expr(F.col(vec_col), planes))
+    left = b.alias("a")
+    right = b.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a._lsh") == F.col("b._lsh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._lsh").alias("lsh_bucket"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

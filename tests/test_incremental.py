@@ -1,0 +1,98 @@
+"""Snapshot-diff changelog reads (lakehouse/incremental.py): the table's
+own change stream, bucket-pruned by manifest diff."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from nvimagecodec_spark.lakehouse.incremental import changed_buckets, read_changes
+from nvimagecodec_spark.lakehouse.table import LakeTable
+from nvimagecodec_spark.operators.lww import lww_dedupe
+from nvimagecodec_spark.operators.merge import merge_into
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(
+        rows,
+        "op string, conv_id string, turn_idx int, lsn long, commit_ts string, "
+        "src_file string, src_offset long, after string",
+    )
+    return df.withColumn("commit_ts", F.to_timestamp("commit_ts"))
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], 8)
+    merge_into(
+        t,
+        lww_dedupe(
+            _events(
+                spark,
+                [
+                    ("I", "c1", 0, 1, "2025-01-01 00:00:00", "f", 0, '{"text":"a"}'),
+                    ("I", "c1", 1, 2, "2025-01-01 00:00:01", "f", 1, '{"text":"b"}'),
+                    ("I", "c2", 0, 3, "2025-01-01 00:00:02", "f", 2, '{"text":"c"}'),
+                ],
+            )
+        ),
+    )
+    return t
+
+
+def test_read_changes_classifies_iud(spark, table):
+    snap1 = table.current_snapshot().snapshot_id
+    merge_into(
+        table,
+        lww_dedupe(
+            _events(
+                spark,
+                [
+                    ("U", "c1", 0, 10, "2025-01-01 01:00:00", "g", 0, '{"text":"a2"}'),
+                    ("D", "c1", 1, 11, "2025-01-01 01:00:01", "g", 1, None),
+                    ("I", "c3", 0, 12, "2025-01-01 01:00:02", "g", 2, '{"text":"d"}'),
+                ],
+            )
+        ),
+    )
+    snap2 = table.current_snapshot().snapshot_id
+    changes = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in read_changes(table, snap1, snap2).collect()
+    }
+    assert changes[("c1", 0)]["op"] == "U" and changes[("c1", 0)]["text"] == "a2"
+    assert changes[("c1", 1)]["op"] == "D"
+    assert changes[("c3", 0)]["op"] == "I" and changes[("c3", 0)]["text"] == "d"
+    assert ("c2", 0) not in changes  # untouched key never emitted
+    assert changes[("c1", 0)]["lsn"] == 10
+
+
+def test_changed_buckets_is_manifest_only(spark, table):
+    snap1 = table.current_snapshot().snapshot_id
+    merge_into(
+        table,
+        lww_dedupe(
+            _events(
+                spark,
+                [("U", "c2", 0, 20, "2025-01-01 02:00:00", "h", 0, '{"text":"c2v2"}')],
+            )
+        ),
+    )
+    snap2 = table.current_snapshot().snapshot_id
+    bs = changed_buckets(table, snap1, snap2)
+    # exactly the buckets of the touched key's commit — a strict subset
+    assert 0 < len(bs) < table.bucket_count
+    ch = read_changes(table, snap1, snap2).collect()
+    assert len(ch) == 1 and ch[0]["op"] == "U"
+
+
+def test_same_snapshot_yields_no_changes(spark, table):
+    s = table.current_snapshot().snapshot_id
+    assert read_changes(table, s, s).count() == 0
