@@ -434,6 +434,64 @@ class LakeTable:
         return self.update_schema(lambda s: s.widen_column(name, spark_type_from_name(type_name)))
 
     # ------------------------------------------------------------ maintenance
+    def compact(self, max_files_per_bucket: int = 1, tag: dict | None = None) -> Snapshot | None:
+        """Rewrite buckets holding more than ``max_files_per_bucket`` live
+        files into one file each (Iceberg ``rewrite_data_files`` analog).
+        Append-heavy histories fragment buckets; merge commits don't (they
+        already replace whole buckets). Metadata + data of untouched
+        buckets carry over by reference; returns None if nothing to do."""
+        self.refresh()
+        per_bucket: dict[int, int] = {}
+        for f in self.current_snapshot().files:
+            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+        fragmented = sorted(b for b, n in per_bucket.items() if n > max_files_per_bucket)
+        if not fragmented:
+            return None
+        df = self.read(buckets=fragmented, with_system=True)
+        return self.replace_buckets(
+            fragmented, df, tag=tag, summary={"compacted_buckets": len(fragmented)}
+        )
+
+    def export(
+        self,
+        path: str,
+        sort_order: list[str] | None = None,
+        target_file_size_rows: int = 5_000_000,
+        format: str = "parquet",
+    ) -> None:
+        """Export the logical table (tombstones dropped, system columns
+        hidden) for downstream consumers — the encoder-tier analog
+        (/root/reference/extensions/nvjpeg2k/cuda_encoder.cpp: progression
+        order / tile knobs ↔ sort order / file size / format knobs here).
+        ``sort_order`` uses a range repartition so files are globally
+        clustered on the sort key (layout for downstream range pruning)."""
+        df = self.read_logical()
+        if sort_order:
+            df = df.repartitionByRange(*[F.col(c) for c in sort_order]).sortWithinPartitions(
+                *sort_order
+            )
+        writer = df.write.mode("overwrite").option("maxRecordsPerFile", target_file_size_rows)
+        writer.format(format).save(path)
+
+    def schema_log(self) -> list[dict]:
+        """All schema versions with the snapshots that introduced them
+        (metadata inspection API — reference analog: get_metadata,
+        /root/reference/python/decoder.cpp:573-597)."""
+        out = []
+        for v, s in enumerate(self.meta["schemas"]):
+            introduced = next(
+                (snap for snap in self.meta["snapshots"] if snap["schema_version"] == v), None
+            )
+            out.append(
+                {
+                    "schema_version": v,
+                    "columns": [(c["name"], c["type_name"]) for c in s["columns"]],
+                    "snapshot_id": introduced["snapshot_id"] if introduced else None,
+                    "timestamp_ms": introduced["timestamp_ms"] if introduced else None,
+                }
+            )
+        return out
+
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """Drop old snapshot entries + delete data files no live snapshot references."""
         self.refresh()

@@ -1,0 +1,70 @@
+"""Table maintenance: compaction, export layout, schema log."""
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from nvimagecodec_spark.lakehouse.table import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _rows(spark, n, start=0):
+    return spark.range(start, start + n).select(
+        F.concat(F.lit("c"), (F.col("id") % 37).cast("string")).alias("conv_id"),
+        (F.col("id") % 11).cast("int").alias("turn_idx"),
+        F.concat(F.lit("txt"), F.col("id").cast("string")).alias("text"),
+    )
+
+
+def test_compact_defragments_buckets(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], 4)
+    for i in range(3):  # appends fragment buckets (no bucket replacement)
+        t.append(_rows(spark, 50, start=1000 * i))
+    before = t.read(with_system=True).count()
+    per_bucket: dict = {}
+    for f in t.current_snapshot().files:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert max(per_bucket.values()) > 1
+    snap = t.compact()
+    assert snap is not None and snap.operation == "merge"
+    per_bucket2: dict = {}
+    for f in t.current_snapshot().files:
+        per_bucket2[f["bucket"]] = per_bucket2.get(f["bucket"], 0) + 1
+    assert max(per_bucket2.values()) == 1
+    assert t.read(with_system=True).count() == before  # no rows lost
+    assert t.compact() is None  # idempotent: nothing left to do
+
+
+def test_export_sorted_layout(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], 4)
+    t.append(_rows(spark, 200))
+    out = str(tmp_path / "export")
+    t.export(out, sort_order=["conv_id", "turn_idx"])
+    back = spark.read.parquet(out)
+    assert back.count() == t.read_logical().count()
+    assert set(back.columns) == {"conv_id", "turn_idx", "text"}
+    # within every file, rows are sorted by the requested order
+    # (groupby preserves original in-file row order; no re-sorting here)
+    pdf = back.withColumn("_f", F.input_file_name()).toPandas()
+    for _, grp in pdf.groupby("_f"):
+        keys = list(zip(grp["conv_id"], grp["turn_idx"]))
+        assert keys == sorted(keys)
+
+
+def test_schema_log_tracks_versions(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], 4)
+    t.add_column("rating", "int")
+    t.rename_column("text", "body")
+    log = t.schema_log()
+    assert [e["schema_version"] for e in log] == [0, 1, 2]
+    assert ("rating", "int") in log[1]["columns"]
+    names_v2 = [c[0] for c in log[2]["columns"]]
+    assert "body" in names_v2 and "text" not in names_v2
