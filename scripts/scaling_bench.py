@@ -41,18 +41,36 @@ def log(msg: str) -> None:
     print(f"[scale] {msg}", file=sys.stderr, flush=True)
 
 
-def build_spark(cpus: int):
+def build_spark(cpus: int, mode: str = "threads"):
+    """Two evidence modes for "N vs 4N executors":
+
+    - threads: local[cpus] — one JVM, cpus task threads.
+    - processes: local-cluster[n_exec, 8, 12288] — REAL separate executor
+      JVMs (cpus/8 of them, 8 cores + 12 GB each) talking to the driver
+      over RPC with netty shuffle, the closest this sandbox gets to a
+      multi-executor cluster.
+    """
     from pyspark.sql import SparkSession
 
+    if mode == "processes":
+        n_exec = max(cpus // 8, 1)
+        builder = (
+            SparkSession.builder.master(f"local-cluster[{n_exec},8,12288]")
+            .config("spark.driver.memory", "8g")
+            .config("spark.executor.memory", "10g")
+        )
+    else:
+        builder = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .config("spark.driver.memory", "48g")
+            .config("spark.driver.extraJavaOptions", "-Xms24g")
+        )
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(f"nvics-scale-{cpus}")
+        builder.appName(f"nvics-scale-{cpus}-{mode}")
         .config("spark.sql.shuffle.partitions", str(2 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "48g")
-        .config("spark.driver.extraJavaOptions", "-Xms24g")
         .config("spark.io.compression.codec", os.environ.get("SPARK_GRAFT_CODEC", "lz4"))
         .getOrCreate()
     )
@@ -101,7 +119,7 @@ def stage_stream(sf_dir: str, out_dir: str, multiplier: int, files: int) -> int:
     return n
 
 
-def run_level(cpus: int, stream_dir: str, n_events: int) -> dict:
+def run_level(cpus: int, stream_dir: str, n_events: int, mode: str = "threads") -> dict:
     """One timed parse->LWW->merge apply at local[cpus]; prints JSON."""
     from pyspark.sql import types as T
 
@@ -110,7 +128,7 @@ def run_level(cpus: int, stream_dir: str, n_events: int) -> dict:
     from nvimagecodec_spark.operators.merge import merge_into
     from nvimagecodec_spark.sources.changelog import ChangeStream
 
-    spark = build_spark(cpus)
+    spark = build_spark(cpus, mode)
     spark.sparkContext.setLogLevel("ERROR")
     schema = T.StructType(
         [
@@ -163,6 +181,7 @@ def run_level(cpus: int, stream_dir: str, n_events: int) -> dict:
         dt = min(times)
         out = {
             "cpus": cpus,
+            "mode": mode,
             "events": n_events,
             "apply_sec": dt,
             "apply_sec_reps": times,
@@ -185,12 +204,13 @@ def main() -> None:
     ap.add_argument("--files", type=int, default=128)
     ap.add_argument("--stream-dir", default=None)
     ap.add_argument("--run-level", type=int, default=None, help="internal: run one level")
+    ap.add_argument("--mode", default="threads", choices=["threads", "processes"])
     ap.add_argument("--n-events", type=int, default=0, help="internal")
     ap.add_argument("--skip-stage", action="store_true", help="reuse an already-staged stream")
     args = ap.parse_args()
 
     if args.run_level is not None:
-        print(json.dumps(run_level(args.run_level, args.stream_dir, args.n_events)), flush=True)
+        print(json.dumps(run_level(args.run_level, args.stream_dir, args.n_events, args.mode)), flush=True)
         return
 
     stream_dir = args.stream_dir or os.path.join(tempfile.gettempdir(), "nvics-scale-stream")
@@ -208,6 +228,7 @@ def main() -> None:
         cmd = [
             sys.executable, os.path.abspath(__file__),
             "--run-level", str(cpus),
+            "--mode", args.mode,
             "--stream-dir", stream_dir,
             "--n-events", str(n_events),
         ]
