@@ -181,16 +181,33 @@ def merge_into(
 
         current = table.read(buckets=touched, with_system=True)
 
+        # Prioritized strategy chain with RUNTIME fallback (reference G5:
+        # a failed sample re-probes the next processor in the chain,
+        # /root/reference/src/image_generic_codec.h:864-911). The classic
+        # trigger: a batch under the row threshold whose broadcast build
+        # side still blows the broadcast memory limit — the sort-merge
+        # path then applies the identical semantics with one shuffle.
+        # Safe to retry: data files written by a failed attempt are
+        # orphans until the metadata commit, which is the last step.
         if n_batch <= broadcast_threshold_rows:
-            strategy = "broadcast"
-            merged = _merge_broadcast(current, batch, key_cols, all_cols)
+            chain = [("broadcast", _merge_broadcast), ("sort-merge", _merge_sortmerge)]
         else:
-            strategy = "sort-merge"
-            merged = _merge_sortmerge(current, batch, key_cols, all_cols)
+            chain = [("sort-merge", _merge_sortmerge)]
 
         summary = {"upserts": n_upserts, "deletes": n_deletes}
-        snap = table.replace_buckets(sorted(touched), merged, tag=tag, summary=summary)
-        return MergeResult(snap, sorted(touched), n_upserts, n_deletes, time.time() - t0, strategy)
+        last_err: Exception | None = None
+        for strategy, impl in chain:
+            try:
+                merged = impl(current, batch, key_cols, all_cols)
+                snap = table.replace_buckets(sorted(touched), merged, tag=tag, summary=summary)
+                return MergeResult(
+                    snap, sorted(touched), n_upserts, n_deletes, time.time() - t0, strategy
+                )
+            except Exception as e:  # noqa: BLE001 — chain walks on any exec failure
+                last_err = e
+                if strategy == chain[-1][0]:
+                    raise
+        raise last_err  # pragma: no cover — loop always returns or raises
     finally:
         batch.unpersist()
 

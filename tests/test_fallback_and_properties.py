@@ -1,0 +1,133 @@
+"""Runtime strategy fallback (G5 analog) + property-based LWW checks."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from nvimagecodec_spark.lakehouse.table import LakeTable
+from nvimagecodec_spark.operators import merge as merge_mod
+from nvimagecodec_spark.operators.lww import lww_dedupe, lww_dedupe_window
+from nvimagecodec_spark.operators.merge import merge_into
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(
+        rows,
+        "op string, conv_id string, turn_idx int, lsn long, commit_ts string, "
+        "src_file string, src_offset long, after string",
+    )
+    return df.withColumn("commit_ts", F.to_timestamp("commit_ts"))
+
+
+def test_broadcast_failure_falls_back_to_sortmerge(spark, tmp_path, monkeypatch):
+    """The strategy chain walks to the next processor on execution failure
+    — the reference's per-sample retry-on-fallback, at batch granularity."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], 4)
+
+    def exploding_broadcast(*a, **k):
+        raise RuntimeError("simulated broadcast OOM")
+
+    monkeypatch.setattr(merge_mod, "_merge_broadcast", exploding_broadcast)
+    res = merge_into(
+        t,
+        lww_dedupe(
+            _events(
+                spark,
+                [("I", "c1", 0, 1, "2025-01-01 00:00:00", "f", 0, '{"text":"a"}')],
+            )
+        ),
+    )
+    assert res.strategy == "sort-merge"  # fell back, did not fail
+    rows = t.read_logical().collect()
+    assert len(rows) == 1 and rows[0]["text"] == "a"
+
+
+def test_last_strategy_failure_propagates(spark, tmp_path, monkeypatch):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], 4)
+    monkeypatch.setattr(
+        merge_mod, "_merge_broadcast", lambda *a, **k: (_ for _ in ()).throw(RuntimeError("b"))
+    )
+    monkeypatch.setattr(
+        merge_mod, "_merge_sortmerge", lambda *a, **k: (_ for _ in ()).throw(RuntimeError("s"))
+    )
+    with pytest.raises(RuntimeError, match="s"):
+        merge_into(
+            t,
+            lww_dedupe(
+                _events(
+                    spark,
+                    [("I", "c1", 0, 1, "2025-01-01 00:00:00", "f", 0, '{"text":"a"}')],
+                )
+            ),
+        )
+    assert t.read_logical().count() == 0  # no partial commit
+
+
+# --------------------------------------------------------------- properties
+
+@st.composite
+def event_lists(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    events = []
+    for i in range(n):
+        conv = draw(st.integers(min_value=0, max_value=3))
+        turn = draw(st.integers(min_value=0, max_value=2))
+        lsn = draw(st.integers(min_value=1, max_value=60))
+        op = draw(st.sampled_from(["I", "U", "D"]))
+        events.append((op, f"c{conv}", turn, lsn, i))
+    return events
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_lists())
+def test_lww_agg_equals_window_formulation(spark, events):
+    """max-struct LWW and the row_number window formulation must agree on
+    every random event set (duplicates, ties broken by offset)."""
+    df = spark.createDataFrame(
+        [(op, c, t, lsn, "f", off, f"{op}-{lsn}") for op, c, t, lsn, off in events],
+        "op string, conv_id string, turn_idx int, lsn long, src_file string, "
+        "src_offset long, payload string",
+    ).withColumn("commit_ts", F.to_timestamp(F.lit("2025-01-01 00:00:00")))
+    a = {
+        (r["conv_id"], r["turn_idx"]): (r["op"], r["lsn"], r["payload"])
+        for r in lww_dedupe(df).collect()
+    }
+    b = {
+        (r["conv_id"], r["turn_idx"]): (r["op"], r["lsn"], r["payload"])
+        for r in lww_dedupe_window(df).collect()
+    }
+    assert a == b
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_lists())
+def test_lww_matches_pandas_reference(spark, events):
+    """LWW winner per key == a straightforward pandas groupby idxmax on
+    (lsn, src_offset) — an independent formulation of the same rule."""
+    df = spark.createDataFrame(
+        [(op, c, t, lsn, "f", off) for op, c, t, lsn, off in events],
+        "op string, conv_id string, turn_idx int, lsn long, src_file string, src_offset long",
+    ).withColumn("commit_ts", F.to_timestamp(F.lit("2025-01-01 00:00:00")))
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["lsn"], r["src_offset"])
+        for r in lww_dedupe(df).collect()
+    }
+    pdf = pd.DataFrame(events, columns=["op", "conv_id", "turn_idx", "lsn", "src_offset"])
+    pdf = pdf.sort_values(["lsn", "src_offset"], kind="stable").groupby(
+        ["conv_id", "turn_idx"], as_index=False
+    ).last()
+    exp = {
+        (r.conv_id, r.turn_idx): (r.lsn, r.src_offset) for r in pdf.itertuples()
+    }
+    assert got == exp
