@@ -47,7 +47,19 @@ class EngineConfig:
     bucket_count: int = 16
     hot_key_threshold: int = 10_000
     salt_buckets: int = 16
+    # Salting is exact but adds a shuffle stage; the default LWW agg is
+    # map-side combinable and therefore already skew-immune (measured:
+    # plain 1.2s vs salted 3.6s on a 50%-hot 10M-event epoch). Enable only
+    # when plugging a non-combinable dedupe formulation into the epoch.
+    salt_non_combinable: bool = False
     broadcast_threshold_rows: int = 100_000
+    # Snapshot retention: every snapshot entry carries the table's full
+    # live-file manifest, so an unbounded epoch stream grows the metadata
+    # json without bound. The engine expires old snapshots every
+    # `expire_every_epochs` epochs, keeping `keep_snapshots` (the time-
+    # travel window). 0/None disables (tests, short jobs).
+    expire_every_epochs: int = 50
+    keep_snapshots: int = 20
     target_batch_events: int = 1_000_000
     target_epoch_seconds: float = 30.0
     min_batch_events: int = 10_000

@@ -232,7 +232,9 @@ class LakeTable:
             tag = s.get("tag")
             if tag and tag.get("source_id") == source_id and tag.get("batch_id") == batch_id:
                 return True
-        return False
+        # tags outlive their snapshots: expiry compacts them here so a very
+        # late replay of an ancient batch stays a no-op
+        return [source_id, batch_id] in self.meta.get("expired_tags", [])
 
     def snapshot_for_tag(self, source_id: str, batch_id: int) -> Snapshot | None:
         for s in self.meta["snapshots"]:
@@ -508,5 +510,16 @@ class LakeTable:
                     removed += 1
         meta = dict(self.meta)
         meta["snapshots"] = kept
+        # commit tags must outlive their snapshots: they are the
+        # exactly-once replay guard (a late replay of an expired batch must
+        # still no-op). Kept as compact [source_id, batch_id] pairs.
+        expired_tags = list(self.meta.get("expired_tags", []))
+        for s in dropped:
+            tag = s.get("tag")
+            if tag:
+                pair = [tag["source_id"], tag["batch_id"]]
+                if pair not in expired_tags:
+                    expired_tags.append(pair)
+        meta["expired_tags"] = expired_tags
         self._write_version(meta["_version"] + 1, meta)
         return removed

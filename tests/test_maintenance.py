@@ -68,3 +68,17 @@ def test_schema_log_tracks_versions(spark, tmp_path):
     assert ("rating", "int") in log[1]["columns"]
     names_v2 = [c[0] for c in log[2]["columns"]]
     assert "body" in names_v2 and "text" not in names_v2
+
+
+def test_expiry_preserves_commit_tags(spark, tmp_path):
+    """Exactly-once must survive snapshot expiry: a replay of an expired
+    batch's tag is still a no-op."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], 4)
+    for i in range(6):
+        t.append(_rows(spark, 10, start=100 * i), tag={"source_id": "s", "batch_id": i})
+    assert t.has_commit_tag("s", 0)
+    t.expire_snapshots(keep_last=2)
+    assert len(t.meta["snapshots"]) == 2
+    assert t.has_commit_tag("s", 0)  # tag outlived its snapshot
+    assert t.has_commit_tag("s", 5)
+    assert not t.has_commit_tag("s", 99)
