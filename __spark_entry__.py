@@ -172,6 +172,35 @@ def q_cdc_epoch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the customer's latest order with
+    o_orderdate <= event ts (union + running-last window — one shuffle,
+    no range-join explosion). Oracle = DuckDB's native ASOF JOIN."""
+    from nvimagecodec_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    # deterministic right side: one order per (custkey, date) — max orderkey
+    o1 = (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("_w"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            F.col("_w.o_orderkey").alias("o_orderkey"),
+            F.col("_w.o_totalprice").alias("o_totalprice"),
+        )
+    )
+    joined = asof_join(e, o1, key="user_id", left_time="ts", right_time="o_orderdate")
+    return joined.select(
+        "event_id",
+        "user_id",
+        ts_micros(F.col("ts")).alias("ts_us"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("order_price_cents"),
+    )
+
+
 def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return session_stats(e, gap_minutes=30)
@@ -332,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_op_stats": q_cdc_op_stats,
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_epoch_stats": q_cdc_epoch_stats,
+        "events_asof_order": q_events_asof_order,
         "events_sessionization": q_events_sessionization,
         "events_props_extract": q_events_props_extract,
         "pricing_summary": q_pricing_summary,
@@ -471,6 +501,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS n_keys,
                    SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes
             FROM changes GROUP BY 1
+        """,
+        "events_asof_order": """
+            WITH o1 AS (
+              SELECT o_custkey AS user_id, o_orderdate,
+                     MAX({'o_orderkey': o_orderkey, 'o_totalprice': o_totalprice}) AS w
+              FROM orders GROUP BY 1, 2
+            ),
+            o2 AS (
+              SELECT user_id, o_orderdate,
+                     w.o_orderkey AS o_orderkey, w.o_totalprice AS o_totalprice
+              FROM o1
+            )
+            SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+                   o2.o_orderkey,
+                   CAST(ROUND(o2.o_totalprice * 100) AS BIGINT) AS order_price_cents
+            FROM events e
+            ASOF LEFT JOIN o2 ON e.user_id = o2.user_id AND e.ts >= o2.o_orderdate
         """,
         "events_sessionization": """
             WITH o AS (
