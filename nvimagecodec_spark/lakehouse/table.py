@@ -83,6 +83,16 @@ class CommitConflict(RuntimeError):
     """Another writer committed the same metadata version first."""
 
 
+class ConcurrentModification(RuntimeError):
+    """A racing writer changed data this commit was computed from.
+
+    Raised (instead of blind retry) when a replace_buckets retry finds the
+    touched buckets' file sets differ from what the merge read: the merged
+    output is stale and committing it would drop the winner's rows. The
+    caller must re-run the merge against the new snapshot — Iceberg's
+    serializable-isolation validation, not just optimistic versioning."""
+
+
 class LakeTable:
     """A transactional, bucket-partitioned, schema-evolving parquet table."""
 
@@ -333,25 +343,32 @@ class LakeTable:
     def _commit(
         self,
         operation: str,
-        files: list[dict],
+        files,  # list[dict] | Callable[[Snapshot], list[dict]]
         summary: dict,
         tag: dict | None = None,
         schemas: list[dict] | None = None,
         current_schema_version: int | None = None,
-        retries: int = 3,
+        retries: int = 15,
     ) -> Snapshot:
+        """Optimistic commit with retry. ``files`` may be a CALLABLE that
+        recomputes the manifest against the refreshed current snapshot —
+        required for correctness under concurrent writers: a retry that
+        reused a file list computed against a stale base would silently
+        drop the files a racing writer just committed (Iceberg's
+        reapply-on-refreshed-base retry semantics)."""
         last_err: Exception | None = None
-        for _ in range(retries):
+        for attempt in range(retries):
             self.refresh()
             meta = dict(self.meta)
             v = meta["_version"] + 1
             parent = meta["current_snapshot_id"]
+            snap_files = files(self.current_snapshot()) if callable(files) else files
             snap = Snapshot(
                 snapshot_id=parent + 1,
                 parent_id=parent,
                 timestamp_ms=int(time.time() * 1000),
                 operation=operation,
-                files=files,
+                files=snap_files,
                 summary=summary,
                 tag=tag,
                 schema_version=(
@@ -372,6 +389,7 @@ class LakeTable:
                 return snap
             except CommitConflict as e:  # lost the optimistic race — retry on top
                 last_err = e
+                time.sleep(min(0.05 * (attempt + 1), 0.5) * (0.5 + 0.5 * os.urandom(1)[0] / 255))
         raise last_err  # type: ignore[misc]
 
     def append(self, df: DataFrame, tag: dict | None = None) -> Snapshot:
@@ -380,8 +398,14 @@ class LakeTable:
         df = self.with_bucket(df) if BUCKET_COL not in df.columns else df
         next_id = self.current_snapshot().snapshot_id + 1
         new_files = self._write_data_files(df, next_id)
-        files = self.current_snapshot().files + new_files
-        return self._commit("append", files, {"appended_files": len(new_files)}, tag=tag)
+        # callable: on a retry after losing a commit race, re-base on the
+        # WINNER's file list so its files are never dropped
+        return self._commit(
+            "append",
+            lambda snap: snap.files + new_files,
+            {"appended_files": len(new_files)},
+            tag=tag,
+        )
 
     def overwrite(self, df: DataFrame, tag: dict | None = None) -> Snapshot:
         self.refresh()
@@ -407,10 +431,24 @@ class LakeTable:
         extra = sorted({f["bucket"] for f in new_files} - bset)
         if extra:
             raise ValueError(f"merge wrote to undeclared buckets {extra}")
-        kept = [f for f in self.current_snapshot().files if f["bucket"] not in bset]
         s = {"touched_buckets": sorted(bset), "new_files": len(new_files)}
         s.update(summary or {})
-        return self._commit("merge", kept + new_files, s, tag=tag)
+        # what the merge read for the touched buckets — the validation base
+        assumed = {f["path"] for f in self.current_snapshot().files if f["bucket"] in bset}
+
+        def files_fn(snap: Snapshot) -> list[dict]:
+            # re-base on the refreshed snapshot: untouched buckets committed
+            # by a racing writer carry over. But if the racer touched OUR
+            # buckets, this merge's output is stale — abort, don't clobber.
+            current = {f["path"] for f in snap.files if f["bucket"] in bset}
+            if current != assumed:
+                raise ConcurrentModification(
+                    f"buckets {sorted(bset)} changed since merge read "
+                    f"({len(assumed)} -> {len(current)} files); re-run the merge"
+                )
+            return [f for f in snap.files if f["bucket"] not in bset] + new_files
+
+        return self._commit("merge", files_fn, s, tag=tag)
 
     # -------------------------------------------------------- schema updates
     def update_schema(self, updater) -> Snapshot:
@@ -420,7 +458,7 @@ class LakeTable:
         schemas = self.meta["schemas"] + [new_schema.to_dict()]
         return self._commit(
             "schema",
-            self.current_snapshot().files,
+            lambda snap: snap.files,
             {"schema_change": True},
             schemas=schemas,
             current_schema_version=len(schemas) - 1,
