@@ -99,6 +99,60 @@ def ivf_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_topk_kmeans(
+    embeddings: DataFrame,
+    anchor_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with LEARNED centroids (k-means via pyspark.ml) instead of
+    a pre-labeled cell column — the production shape of :func:`ivf_topk`.
+
+    Train once per index build (seeded, deterministic given the data),
+    assign every vector to its nearest centroid, probe the ``n_probe``
+    cells nearest the anchor, exact-search within. At 10^10 vectors the
+    cell assignment is the partition key: the fine search reads only the
+    probed cells' partitions. Train/assign crosses to pyspark.ml's vector
+    type via `array_to_vector` (JVM-side, no Python rows).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.withColumn("_features", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell").fit(feats)
+    assigned = model.transform(feats).drop("_features")
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+
+    anchor = assigned.where(F.col(id_col) == anchor_id).select(F.col(vec_col).alias("_anchor"))
+    probed = (
+        cent_df.crossJoin(F.broadcast(anchor))
+        .select("cell", cosine(F.col("centroid"), F.col("_anchor")).alias("_cdist"))
+        .orderBy(F.col("_cdist").desc(), F.col("cell"))
+        .limit(n_probe)
+        .select(F.col("cell").alias("_cell"))
+    )
+    candidates = assigned.join(F.broadcast(probed), "_cell")
+    scored = (
+        candidates.crossJoin(F.broadcast(anchor))
+        .where(F.col(id_col) != anchor_id)
+        .select(
+            F.col(id_col),
+            F.col("_cell").alias("cell"),
+            F.round(cosine(F.col(vec_col), F.col("_anchor")), 4).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
 def lsh_planes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
     """Deterministic random-hyperplane set for sign-bit LSH.
 
