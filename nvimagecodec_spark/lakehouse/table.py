@@ -452,9 +452,15 @@ class LakeTable:
 
     # -------------------------------------------------------- schema updates
     def update_schema(self, updater) -> Snapshot:
-        """Apply a function TableSchema -> TableSchema as a metadata-only commit."""
+        """Apply a function TableSchema -> TableSchema as a metadata-only
+        commit. A no-op update (replayed widen/add after a crash between
+        schema apply and data commit) returns the current snapshot without
+        appending a duplicate schema version — schema application stays
+        idempotent under epoch replay."""
         self.refresh()
         new_schema = updater(self.table_schema)
+        if new_schema.to_dict() == self.table_schema.to_dict():
+            return self.current_snapshot()
         schemas = self.meta["schemas"] + [new_schema.to_dict()]
         return self._commit(
             "schema",

@@ -138,3 +138,33 @@ def test_dead_letters_split(spark, tmp_dir):
     assert cs.events().count() == 1
     dead = cs.dead_letters().collect()
     assert len(dead) == 2
+
+
+def test_crash_between_schema_apply_and_merge_commit(spark, tmp_dir):
+    """Hard part (SURVEY §7.3 #2): a crash AFTER the epoch's schema events
+    were applied but BEFORE the data merge committed. On replay the schema
+    events re-apply as no-ops (add/rename/widen are all idempotent) and
+    the merge runs — final state equals the clean-run oracle."""
+    from nvimagecodec_spark.operators.schema_events import (
+        apply_schema_events,
+        split_schema_events,
+    )
+
+    events, stream_dir, table = _setup(spark, tmp_dir, n_events=1500, with_schema=True, files=1)
+    ev = ChangeStream(spark, stream_dir).events()
+
+    # simulate the partial epoch: schema applied, merge never committed
+    _data, schema_ev = split_schema_events(ev)
+    res1 = apply_schema_events(table, schema_ev)
+    assert res1.applied and not res1.rejected
+    schema_versions_after_crash = len(table.meta["schemas"])
+    assert table.read_logical().count() == 0  # no data committed
+
+    # recovery: the full epoch replays from the checkpointed offset
+    engine = CdcEngine(spark, table, source_id="rec")
+    r = engine.apply_epoch(ev, batch_id=0)
+    assert r.snapshot is not None
+    _assert_matches_oracle(table, events)
+    # idempotent re-application added no duplicate schema versions
+    table.refresh()
+    assert len(table.meta["schemas"]) == schema_versions_after_crash
