@@ -96,3 +96,34 @@ def test_changed_buckets_is_manifest_only(spark, table):
 def test_same_snapshot_yields_no_changes(spark, table):
     s = table.current_snapshot().snapshot_id
     assert read_changes(table, s, s).count() == 0
+
+
+def test_changelog_feeds_windowed_metrics(spark, table):
+    """Wired pipeline (ROADMAP #7): table -> snapshot-diff changelog ->
+    event-time windowed op metrics, batch formulation (a streaming
+    consumer would add a watermark; see streaming/windows.py)."""
+    snap1 = table.current_snapshot().snapshot_id
+    merge_into(
+        table,
+        lww_dedupe(
+            _events(
+                spark,
+                [
+                    ("U", "c1", 0, 30, "2025-01-01 00:01:00", "g", 0, '{"text":"a2"}'),
+                    ("D", "c1", 1, 31, "2025-01-01 00:02:00", "g", 1, None),
+                    ("I", "c4", 0, 32, "2025-01-01 00:07:00", "g", 2, '{"text":"z"}'),
+                ],
+            )
+        ),
+    )
+    snap2 = table.current_snapshot().snapshot_id
+    ch = read_changes(table, snap1, snap2)
+    rates = (
+        ch.groupBy(F.window("commit_ts", "5 minutes").alias("w"), "op")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "op", "n_events")
+    )
+    got = {(str(r["window_start"]), r["op"]): r["n_events"] for r in rates.collect()}
+    assert got[("2025-01-01 00:00:00", "U")] == 1
+    assert got[("2025-01-01 00:00:00", "D")] == 1
+    assert got[("2025-01-01 00:05:00", "I")] == 1
