@@ -499,7 +499,7 @@ def oracle_sql() -> dict[str, str]:
             WITH changes AS ({_CHANGES_SQL})
             SELECT CAST(FLOOR(lsn / 1000) AS BIGINT) AS epoch, COUNT(*) AS n_events,
                    COUNT(DISTINCT conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS n_keys,
-                   SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes
+                   CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
             FROM changes GROUP BY 1
         """,
         "events_asof_order": """
@@ -542,21 +542,22 @@ def oracle_sql() -> dict[str, str]:
                      epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur
               FROM sess GROUP BY user_id, session_idx
             )
-            SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
                    MAX(dur) AS max_session_us
             FROM per GROUP BY user_id
         """,
         "events_props_extract": f"""
             SELECT event_type, COUNT(*) AS n,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    {sql_roundn("AVG(CAST(json_extract_string(props, '$.k') AS BIGINT))", 4)} AS avg_k
             FROM events GROUP BY event_type
         """,
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                    COUNT(*) AS count_order,
                    {sql_roundn("SUM(CAST(l_quantity AS BIGINT)) * 1.0 / COUNT(*)", 4)} AS avg_qty
             FROM lineitem
@@ -566,7 +567,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customer_revenue": """
             WITH rev AS (
               SELECT o_custkey,
-                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                      COUNT(*) AS n_orders
               FROM orders GROUP BY o_custkey
             )

@@ -28,10 +28,17 @@ def ducks():
 
 
 def _canon(v):
+    """Driver-hash-strict canonicalization: an int64 201 and a float64
+    201.0 must NOT collide (that laxness hid the r01 HUGEINT→float64
+    oracle mismatches). Floats canonicalize to a repr that always keeps
+    a type marker; ints stay bare."""
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        s = f"{v:.6g}"
+        if "." not in s and "e" not in s and "inf" not in s:
+            s += ".0"
+        return s
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
