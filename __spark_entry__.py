@@ -334,15 +334,45 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(_t(spark, sf_dir, "embeddings"), anchor_id=0, k=25, n_probe=2)
 
 
+def _emb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings + planted near-duplicates: each vec_id < 30 gets a copy
+    at vec_id+1000000 with every component shifted by +0.05 (cosine vs the
+    original lands in [0.917, 0.939] on the fixtures). The testdata itself
+    has no near-dup pairs, so round 1's near-dup checks matched vacuously
+    on 0 rows; planting (identically in the DuckDB oracle) makes the
+    checked output real."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = e.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double") + F.lit(0.05)).alias(
+            "embedding"
+        ),
+    )
+    return base.unionAll(planted)
+
+
+_AUG_SQL = """
+aug AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05) AS embedding
+  FROM embeddings WHERE vec_id < 30
+)
+"""
+
+
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.80)
+    return S.near_dup_pairs(_emb_augmented(spark, sf_dir), threshold=0.90)
 
 
 def q_emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH blocking + exact cosine verify — the ANN
     near-dup scale path (per-bucket joins instead of all-pairs)."""
     return S.lsh_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.80, n_planes=8, seed=7
+        _emb_augmented(spark, sf_dir), threshold=0.90, n_planes=8, seed=7
     )
 
 
@@ -722,12 +752,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id <> 0
             ORDER BY cos_sim DESC, vec_id LIMIT 25
         """,
-        "emb_near_dup_pairs": """
+        "emb_near_dup_pairs": f"""
+            WITH {_AUG_SQL}
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
-            FROM embeddings a JOIN embeddings b
+            FROM aug a JOIN aug b
               ON a.vec_id < b.vec_id AND a.label = b.label
-            WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.80
+            WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.90
         """,
         "emb_lsh_near_dup": _lsh_near_dup_sql(),
     }
@@ -736,19 +767,21 @@ def oracle_sql() -> dict[str, str]:
 def _lsh_near_dup_sql(n_planes: int = 8, seed: int = 7, dim: int = 64) -> str:
     """DuckDB replica of the LSH blocking: identical plane literals,
     double-precision sequential dot products, so bucket ids match the
-    Spark expressions bit-for-bit."""
+    Spark expressions bit-for-bit. Runs over the same augmented
+    (planted-near-dup) input as the Spark query."""
     from nvimagecodec_spark.operators.similarity import lsh_planes
 
     planes = lsh_planes(dim, n_planes, seed)
     bits = " + ".join(
-        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"(CASE WHEN list_dot_product(embedding, "
         f"[{', '.join(repr(x) for x in plane)}]) > 0 THEN {2**p} ELSE 0 END)"
         for p, plane in enumerate(planes)
     )
     return f"""
-        WITH b AS (SELECT vec_id, embedding, CAST({bits} AS BIGINT) AS lsh FROM embeddings)
+        WITH {_AUG_SQL},
+        b AS (SELECT vec_id, embedding, CAST({bits} AS BIGINT) AS lsh FROM aug)
         SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.lsh AS lsh_bucket,
                ROUND(list_cosine_similarity(a.embedding, c.embedding), 4) AS cos_sim
         FROM b a JOIN b c ON a.lsh = c.lsh AND a.vec_id < c.vec_id
-        WHERE ROUND(list_cosine_similarity(a.embedding, c.embedding), 4) >= 0.80
+        WHERE ROUND(list_cosine_similarity(a.embedding, c.embedding), 4) >= 0.90
     """

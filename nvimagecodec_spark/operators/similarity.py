@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nvimagecodec_spark.functions.vectors import cosine
+from nvimagecodec_spark.functions.vectors import cosine, dot, norm
 
 
 def cosine_topk(
@@ -156,17 +156,22 @@ def ivf_topk_kmeans(
 def lsh_planes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
     """Deterministic random-hyperplane set for sign-bit LSH.
 
-    Components are a fixed affine sequence mapped to [-1, 1] — a plain
-    closed form (no library RNG) so the DuckDB oracle can embed the SAME
-    planes as SQL literals and reproduce bucket ids bit-for-bit.
+    Each component is md5-derived (same scheme as functions/hashing.py's
+    md5_hash32) and mapped to [-1, 1] — deterministic, library-RNG-free,
+    and embeddable as SQL literals so the DuckDB oracle reproduces bucket
+    ids bit-for-bit. md5 decorrelates the planes: the round-1 affine
+    sequence made all planes nearly collinear, collapsing 97% of vectors
+    into 2 of 256 buckets (an all-pairs join in disguise); a test now
+    asserts near-uniform bucket occupancy.
     """
+    import hashlib
+
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            # LCG-ish integer mix, then map to [-1, 1]
-            v = (seed * 1_000_003 + p * 7_919 + d * 104_729) % 2_000_003
-            row.append(round(v / 1_000_001.0 - 1.0, 6))
+            h = int(hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[:8], 16)
+            row.append(round(h / 2147483648.0 - 1.0, 6))
         planes.append(row)
     return planes
 
@@ -207,9 +212,27 @@ def lsh_near_dup_pairs(
     Candidates = pairs sharing an LSH bucket (collision probability
     (1 - angle/pi)^n_planes); exact cosine verifies. Recall < 1 by design —
     the scale path trades the O(n^2) all-pairs join for per-bucket joins.
+
+    The per-row expensive work — the n_planes bucket dot products and the
+    vector norm — is computed ONCE per row before the self-join (the
+    shuffle on ``_lsh`` materializes the projected ``(_lsh, _nvec)``
+    columns on both sides), so the join evaluates only a single dot
+    product of pre-normalized vectors per candidate pair. Round 1
+    recomputed bucket expr + both norms per PAIR: 4x slower measured.
     """
     planes = lsh_planes(dim, n_planes, seed)
-    b = embeddings.withColumn("_lsh", lsh_bucket_expr(F.col(vec_col), planes))
+    # two-stage projection: norm once per row, THEN element-wise divide
+    # (a norm expr inside the transform lambda would re-evaluate per element)
+    b = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("_lsh"),
+        norm(F.col(vec_col)).alias("_norm"),
+    ).select(
+        F.col(id_col),
+        F.col("_lsh"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_norm")).alias("_nvec"),
+    )
     left = b.alias("a")
     right = b.alias("b")
     return (
@@ -222,7 +245,7 @@ def lsh_near_dup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a._lsh").alias("lsh_bucket"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos_sim"),
+            F.round(dot(F.col("a._nvec"), F.col("b._nvec")), 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -239,9 +262,22 @@ def near_dup_pairs(
 
     ``block_col`` is the blocking key (only same-cell pairs compared) —
     at scale, an LSH bucket or IVF cell; None = all pairs (oracle sizes).
+
+    Vectors are unit-normalized once per row before the self-join (the
+    shuffle on the blocking key materializes them), so each candidate
+    pair costs one dot product, not a cosine with two norm recomputes.
     """
-    a = embeddings.alias("a")
-    b = embeddings.alias("b")
+    keep = [id_col] + ([block_col] if block_col else [])
+    nd = embeddings.select(
+        *[F.col(c) for c in keep],
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("_norm"),
+    ).select(
+        *[F.col(c) for c in keep],
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_norm")).alias("_nvec"),
+    )
+    a = nd.alias("a")
+    b = nd.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
@@ -250,7 +286,7 @@ def near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos_sim"),
+            F.round(dot(F.col("a._nvec"), F.col("b._nvec")), 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
