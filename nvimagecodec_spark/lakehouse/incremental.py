@@ -53,10 +53,21 @@ def read_changes(table: LakeTable, from_id: int, to_id: int) -> DataFrame:
     """
     buckets = changed_buckets(table, from_id, to_id)
     key_cols = table.key_cols
-    payload_cols = [f.name for f in table.schema().fields if f.name not in key_cols]
+    # Both sides are read under the TO snapshot's schema: a range spanning
+    # an add/rename schema event would otherwise give the old side a
+    # different column set and fail the full-outer join (stable field ids
+    # let the older snapshot null-fill added columns and surface renamed
+    # ones under the new name — Iceberg/Delta CDC-read semantics).
+    to_sv = table.snapshot(to_id).schema_version
+    from nvimagecodec_spark.lakehouse.schema import TableSchema
+
+    to_schema = TableSchema.from_dict(table.meta["schemas"][to_sv]).to_spark()
+    payload_cols = [f.name for f in to_schema.fields if f.name not in key_cols]
 
     def side(snapshot_id: int, tag: str) -> DataFrame:
-        df = table.read(snapshot_id=snapshot_id, buckets=buckets, with_system=True)
+        df = table.read(
+            snapshot_id=snapshot_id, buckets=buckets, with_system=True, schema_version=to_sv
+        )
         cols = [F.col(k) for k in key_cols]
         cols += [F.col(c).alias(f"{tag}_{c}") for c in payload_cols]
         cols += [

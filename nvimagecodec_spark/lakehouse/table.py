@@ -267,6 +267,7 @@ class LakeTable:
         snapshot_id: int | None = None,
         buckets: list[int] | None = None,
         with_system: bool = False,
+        schema_version: int | None = None,
     ) -> DataFrame:
         """Read the table (optionally time-travel / bucket-pruned).
 
@@ -276,13 +277,22 @@ class LakeTable:
         makes the parquet reader null-fill, which implements add-column
         without rewriting data. Renames read the physical name and project
         to the logical one (field-id style mapping, see schema.py).
+
+        ``schema_version`` overrides the projection schema — a snapshot-diff
+        spanning a schema change reads BOTH snapshots under the newer
+        schema so their columns line up (Iceberg/Delta CDC-read semantics);
+        field ids are stable, so older files null-fill added columns and
+        surface renamed ones under the new logical name.
         """
         snap = self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
-        tschema = (
-            self.table_schema
-            if snapshot_id is None
-            else TableSchema.from_dict(self.meta["schemas"][snap.schema_version])
-        )
+        if schema_version is not None:
+            tschema = TableSchema.from_dict(self.meta["schemas"][schema_version])
+        else:
+            tschema = (
+                self.table_schema
+                if snapshot_id is None
+                else TableSchema.from_dict(self.meta["schemas"][snap.schema_version])
+            )
         files = snap.files
         if buckets is not None:
             bset = set(buckets)
@@ -538,32 +548,50 @@ class LakeTable:
             )
         return out
 
-    def expire_snapshots(self, keep_last: int = 10) -> int:
-        """Drop old snapshot entries + delete data files no live snapshot references."""
-        self.refresh()
-        snaps = self.meta["snapshots"]
-        if len(snaps) <= keep_last:
-            return 0
-        kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
-        live = {f["path"] for s in kept for f in s["files"]}
-        removed = 0
-        for s in dropped:
-            for f in s["files"]:
-                if f["path"] not in live and os.path.exists(f["path"]):
-                    os.remove(f["path"])
-                    removed += 1
-        meta = dict(self.meta)
-        meta["snapshots"] = kept
-        # commit tags must outlive their snapshots: they are the
-        # exactly-once replay guard (a late replay of an expired batch must
-        # still no-op). Kept as compact [source_id, batch_id] pairs.
-        expired_tags = list(self.meta.get("expired_tags", []))
-        for s in dropped:
-            tag = s.get("tag")
-            if tag:
-                pair = [tag["source_id"], tag["batch_id"]]
-                if pair not in expired_tags:
-                    expired_tags.append(pair)
-        meta["expired_tags"] = expired_tags
-        self._write_version(meta["_version"] + 1, meta)
-        return removed
+    def expire_snapshots(self, keep_last: int = 10, retries: int = 15) -> int:
+        """Drop old snapshot entries + delete data files no live snapshot references.
+
+        Ordering is metadata-FIRST: the pruned metadata commits (with
+        optimistic retry, like every other commit), and only then are the
+        now-unreferenced data files deleted. Deleting first would mean a
+        lost race or a crash between os.remove and the commit leaves
+        committed metadata whose retained snapshots reference deleted
+        files — time travel and read_changes on them would fail."""
+        last_err: Exception | None = None
+        for attempt in range(retries):
+            self.refresh()
+            snaps = self.meta["snapshots"]
+            if len(snaps) <= keep_last:
+                return 0
+            kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+            meta = dict(self.meta)
+            meta["snapshots"] = kept
+            # commit tags must outlive their snapshots: they are the
+            # exactly-once replay guard (a late replay of an expired batch
+            # must still no-op). Kept as compact [source_id, batch_id] pairs.
+            expired_tags = list(self.meta.get("expired_tags", []))
+            for s in dropped:
+                tag = s.get("tag")
+                if tag:
+                    pair = [tag["source_id"], tag["batch_id"]]
+                    if pair not in expired_tags:
+                        expired_tags.append(pair)
+            meta["expired_tags"] = expired_tags
+            try:
+                self._write_version(meta["_version"] + 1, meta)
+            except CommitConflict as e:  # racer committed — recompute on top
+                last_err = e
+                time.sleep(min(0.05 * (attempt + 1), 0.5))
+                continue
+            # commit landed: anything referenced only by dropped snapshots
+            # is unreachable (new commits always build on the latest kept
+            # snapshot), so physical deletion is safe now.
+            live = {f["path"] for s in kept for f in s["files"]}
+            removed = 0
+            for s in dropped:
+                for f in s["files"]:
+                    if f["path"] not in live and os.path.exists(f["path"]):
+                        os.remove(f["path"])
+                        removed += 1
+            return removed
+        raise last_err  # type: ignore[misc]

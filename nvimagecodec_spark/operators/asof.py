@@ -41,6 +41,12 @@ def asof_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in keys and c != right_time
     ]
+    clashes = [c for c in right_cols if c + suffix in left.columns]
+    if clashes:
+        raise ValueError(
+            f"asof_join output would duplicate column(s) {clashes}; "
+            f"pass suffix= (e.g. '_right') or narrow right_cols"
+        )
 
     l_tagged = left.select(
         *[F.col(k) for k in keys],
@@ -60,10 +66,13 @@ def asof_join(
         ).alias("_l"),
         F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
     )
-    # right rows first on time ties => inclusive right_time <= left_time
+    # right rows first on time ties => inclusive right_time <= left_time;
+    # ties BETWEEN right rows at the same (key, right_time) break on the
+    # payload struct itself so the winner is deterministic, not
+    # partition-order-dependent (struct ordering is field-wise)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_t").asc(), F.col("_is_right").desc())
+        .orderBy(F.col("_t").asc(), F.col("_is_right").desc(), F.col("_r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).withColumn(

@@ -38,7 +38,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from nvimagecodec_spark.lakehouse.table import BUCKET_COL, SYSTEM_COLS, LakeTable, Snapshot
+from nvimagecodec_spark.lakehouse.table import (
+    BUCKET_COL,
+    SYSTEM_COLS,
+    CommitConflict,
+    ConcurrentModification,
+    LakeTable,
+    Snapshot,
+)
 from nvimagecodec_spark.operators.lww import lww_dedupe
 
 # batch order-col → system col
@@ -203,6 +210,14 @@ def merge_into(
                 return MergeResult(
                     snap, sorted(touched), n_upserts, n_deletes, time.time() - t0, strategy
                 )
+            except (ConcurrentModification, CommitConflict):
+                # NOT an execution failure — a racing writer committed after
+                # our scan. Falling through to the next strategy would merge
+                # STALE `current` data against the refreshed snapshot and
+                # silently drop the racer's rows (the exact lost update the
+                # serializable validation exists to prevent). The caller
+                # owns the retry: re-scan, re-merge, re-commit.
+                raise
             except Exception as e:  # noqa: BLE001 — chain walks on any exec failure
                 last_err = e
                 if strategy == chain[-1][0]:

@@ -123,8 +123,13 @@ def conversation_progress(changes: DataFrame) -> DataFrame:
     """Custom stateful operator: per-conversation running progress,
     state carried across micro-batches via the checkpointed state store
     (Arrow-batched — pandas per group, no per-row Python)."""
+    # lsn coalesced like turn_idx: CHANGE_SCHEMA allows null lsn (e.g. a
+    # Debezium envelope without source.lsn) and int(NaN.max()) would kill
+    # the whole streaming query inside the state function
     data = changes.where(F.col("conv_id").isNotNull()).select(
-        "conv_id", F.coalesce(F.col("turn_idx"), F.lit(-1)).alias("turn_idx"), "lsn"
+        "conv_id",
+        F.coalesce(F.col("turn_idx"), F.lit(-1)).alias("turn_idx"),
+        F.coalesce(F.col("lsn"), F.lit(-1)).alias("lsn"),
     )
     return data.groupBy("conv_id").applyInPandasWithState(
         _progress_fn,

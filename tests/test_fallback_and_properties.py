@@ -74,6 +74,40 @@ def test_last_strategy_failure_propagates(spark, tmp_path, monkeypatch):
     assert t.read_logical().count() == 0  # no partial commit
 
 
+def test_concurrent_modification_not_swallowed_by_chain(spark, tmp_path, monkeypatch):
+    """A racing writer's commit between our scan and our commit must surface
+    as ConcurrentModification — the fallback chain walking to sort-merge
+    with the STALE scan would silently drop the racer's rows (the lost
+    update the serializable validation exists to prevent)."""
+    from nvimagecodec_spark.lakehouse.table import ConcurrentModification
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], 4)
+    attempts = []
+    orig_sm = merge_mod._merge_sortmerge
+
+    def tracking_sortmerge(*a, **k):
+        attempts.append("sort-merge")
+        return orig_sm(*a, **k)
+
+    monkeypatch.setattr(merge_mod, "_merge_sortmerge", tracking_sortmerge)
+    monkeypatch.setattr(
+        type(t),
+        "replace_buckets",
+        lambda *a, **k: (_ for _ in ()).throw(ConcurrentModification("racer won")),
+    )
+    with pytest.raises(ConcurrentModification):
+        merge_into(
+            t,
+            lww_dedupe(
+                _events(
+                    spark,
+                    [("I", "c1", 0, 1, "2025-01-01 00:00:00", "f", 0, '{"text":"a"}')],
+                )
+            ),
+        )
+    assert attempts == [], "chain fell through to sort-merge on a commit race"
+
+
 # --------------------------------------------------------------- properties
 
 @st.composite

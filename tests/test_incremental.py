@@ -127,3 +127,80 @@ def test_changelog_feeds_windowed_metrics(spark, table):
     assert got[("2025-01-01 00:00:00", "U")] == 1
     assert got[("2025-01-01 00:00:00", "D")] == 1
     assert got[("2025-01-01 00:05:00", "I")] == 1
+
+
+def test_read_changes_across_schema_evolution(spark, table):
+    """A from..to range spanning add + rename schema events must read both
+    sides under the TO schema: old-side rows null-fill the added column
+    and surface the renamed one under its new name (Iceberg/Delta CDC
+    semantics). Round-1 behavior was an AnalysisException."""
+    snap1 = table.current_snapshot().snapshot_id
+    table.add_column("rating", "int")
+    table.rename_column("text", "body")
+    merge_into(
+        table,
+        lww_dedupe(
+            _events(
+                spark,
+                [
+                    ("U", "c1", 0, 40, "2025-01-01 03:00:00", "k", 0,
+                     '{"body":"a3","rating":5}'),
+                    ("I", "c5", 0, 41, "2025-01-01 03:00:01", "k", 1,
+                     '{"body":"new","rating":7}'),
+                ],
+            )
+        ),
+    )
+    snap2 = table.current_snapshot().snapshot_id
+    changes = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in read_changes(table, snap1, snap2).collect()
+    }
+    assert changes[("c1", 0)]["op"] == "U"
+    assert changes[("c1", 0)]["body"] == "a3" and changes[("c1", 0)]["rating"] == 5
+    assert changes[("c5", 0)]["op"] == "I" and changes[("c5", 0)]["rating"] == 7
+    # pre-evolution keys untouched by the merge are never emitted
+    assert ("c2", 0) not in changes
+
+
+def test_expire_commits_metadata_before_deleting_files(spark, table, monkeypatch):
+    """expire_snapshots must commit the pruned metadata BEFORE deleting
+    data files: a crash (or exception) during deletion must never leave
+    retained snapshots pointing at removed files."""
+    import os as _os
+
+    for i in range(4):
+        merge_into(
+            table,
+            lww_dedupe(
+                _events(
+                    spark,
+                    [("U", "c1", 0, 100 + i, "2025-01-02 00:00:00", "x", i,
+                      f'{{"text":"v{i}"}}')],
+                )
+            ),
+        )
+    calls = {"n": 0}
+    orig_remove = _os.remove
+
+    def crashing_remove(p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            orig_remove(p)
+            raise RuntimeError("simulated crash mid-deletion")
+        return orig_remove(p)
+
+    monkeypatch.setattr(
+        "nvimagecodec_spark.lakehouse.table.os.remove", crashing_remove
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        table.expire_snapshots(keep_last=2)
+    # metadata already pruned and every RETAINED snapshot fully readable
+    table.refresh()
+    assert len(table.meta["snapshots"]) == 2
+    for s in table.history():
+        for f in s.files:
+            assert _os.path.exists(f["path"]), "retained snapshot lost a file"
+    assert table.read_logical().count() == 3
