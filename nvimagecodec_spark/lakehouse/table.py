@@ -77,6 +77,10 @@ class Snapshot:
     summary: dict = field(default_factory=dict)
     tag: dict | None = None  # {"source_id": str, "batch_id": int}
     schema_version: int = 0
+    # v2 metadata: persisted snapshots carry a manifest-list PATH instead of
+    # the inline `files` list (which is loaded lazily through it) — see
+    # LakeTable._write_manifests. None on legacy v1 entries.
+    manifest_list: str | None = None
 
 
 class CommitConflict(RuntimeError):
@@ -100,6 +104,9 @@ class LakeTable:
         self.spark = spark
         self.path = os.path.abspath(path)
         self._meta: dict[str, Any] | None = None
+        # manifest/manifest-list files are immutable + content-addressed →
+        # safe to cache across refreshes for the life of the handle
+        self._manifest_cache: dict[str, list] = {}
 
     # ------------------------------------------------------------------ paths
     @property
@@ -109,6 +116,10 @@ class LakeTable:
     @property
     def _data_dir(self) -> str:
         return os.path.join(self.path, "data")
+
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self._metadata_dir, "manifests")
 
     def _hint_path(self) -> str:
         return os.path.join(self._metadata_dir, "version-hint.text")
@@ -194,6 +205,31 @@ class LakeTable:
         os.replace(tmp, self._hint_path())  # atomic flip — the commit point
         meta["_version"] = v
         self._meta = meta
+        self._cleanup_old_versions(v)
+
+    # how many superseded v*.metadata.json files to keep on disk (Iceberg's
+    # write.metadata.previous-versions-max + delete-after-commit analog).
+    # Without this the metadata dir grows by one full metadata copy per
+    # commit forever — the 10^5-epoch bottleneck flagged in round 1.
+    KEEP_METADATA_VERSIONS = 50
+
+    def _cleanup_old_versions(self, current_v: int) -> None:
+        floor = current_v - self.KEEP_METADATA_VERSIONS
+        if floor <= 1:
+            return
+        # cheap targeted probe (no directory listing): versions are dense,
+        # so walking down from the floor until a miss bounds the work to
+        # O(deleted this call), amortized O(1) per commit
+        v = floor
+        while v >= 1:
+            p = self._version_path(v)
+            if not os.path.exists(p):
+                break
+            try:
+                os.remove(p)
+            except OSError:
+                break
+            v -= 1
 
     @property
     def meta(self) -> dict:
@@ -225,11 +261,80 @@ class LakeTable:
     def snapshot(self, snapshot_id: int) -> Snapshot:
         for s in self.meta["snapshots"]:
             if s["snapshot_id"] == snapshot_id:
-                return Snapshot(**{k: v for k, v in s.items()})
+                return self._entry_to_snapshot(s)
         raise KeyError(f"no snapshot {snapshot_id}")
 
     def history(self) -> list[Snapshot]:
-        return [Snapshot(**s) for s in self.meta["snapshots"]]
+        return [self._entry_to_snapshot(s) for s in self.meta["snapshots"]]
+
+    # ---------------------------------------------- manifests (v2 metadata)
+    # An Iceberg-style two-level indirection: metadata.json snapshot entries
+    # hold ONE manifest-list path; the manifest-list holds one entry per
+    # occupied bucket pointing at a per-bucket manifest file; manifests hold
+    # the actual data-file lists. Manifests are content-addressed (sha1 of
+    # the sorted file list), so a commit touching 3 of 4096 buckets writes
+    # 3 new manifest files + 1 manifest-list and re-REFERENCES the other
+    # 4093 — per-commit metadata I/O is O(touched buckets), not O(live
+    # files), and metadata.json grows O(1) per snapshot. Round 1 embedded
+    # the full live-file list in every snapshot entry: at 10^5 epochs x
+    # 4096 buckets the per-commit JSON rewrite was the scale bottleneck.
+
+    def _load_manifest(self, path: str) -> list:
+        cached = self._manifest_cache.get(path)
+        if cached is None:
+            with open(path) as f:
+                cached = json.load(f)
+            self._manifest_cache[path] = cached
+        return cached
+
+    def _entry_to_snapshot(self, entry: dict) -> Snapshot:
+        e = dict(entry)
+        ml = e.get("manifest_list")
+        if ml and not e.get("files"):
+            files: list[dict] = []
+            for m in self._load_manifest(os.path.join(self._manifest_dir, ml)):
+                mpath = os.path.join(self._manifest_dir, m["manifest"])
+                for f in self._load_manifest(mpath):
+                    files.append({**f, "path": os.path.join(self.path, f["path"])})
+            e["files"] = files
+        e.setdefault("files", [])
+        return Snapshot(**e)
+
+    def _write_immutable(self, path: str, payload) -> None:
+        if os.path.exists(path):
+            return
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, default=str)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def _write_manifests(self, snapshot_id: int, files: list[dict]) -> str:
+        """Persist `files` as per-bucket content-addressed manifests + one
+        manifest-list; return the manifest-list NAME (paths inside
+        manifests/MLs are stored relative — to the table root and the
+        manifest dir respectively — keeping entries small and the table
+        relocatable). Unchanged buckets reuse their existing manifest file
+        byte-for-byte (no write)."""
+        import hashlib
+
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        by_bucket: dict[int, list[dict]] = {}
+        for f in files:
+            rel = {**f, "path": os.path.relpath(f["path"], self.path)}
+            by_bucket.setdefault(f["bucket"], []).append(rel)
+        entries = []
+        for b in sorted(by_bucket):
+            flist = sorted(by_bucket[b], key=lambda f: f["path"])
+            content = json.dumps(flist, sort_keys=True, default=str)
+            h = hashlib.sha1(content.encode()).hexdigest()[:16]
+            mname = f"m-{h}.json"
+            self._write_immutable(os.path.join(self._manifest_dir, mname), flist)
+            entries.append({"bucket": b, "manifest": mname, "n_files": len(flist)})
+        ml_name = f"ml-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.json"
+        self._write_immutable(os.path.join(self._manifest_dir, ml_name), entries)
+        return ml_name
 
     # --------------------------------------------------------------- tags
     def has_commit_tag(self, source_id: str, batch_id: int) -> bool:
@@ -387,8 +492,12 @@ class LakeTable:
                     else meta["current_schema_version"]
                 ),
             )
+            # v2 persistence: the entry carries a manifest-list path; the
+            # (possibly huge) file list never enters metadata.json
+            snap.manifest_list = self._write_manifests(snap.snapshot_id, snap_files)
+            entry = {k: v for k, v in snap.__dict__.items() if k != "files"}
             meta = dict(meta)
-            meta["snapshots"] = meta["snapshots"] + [snap.__dict__]
+            meta["snapshots"] = meta["snapshots"] + [entry]
             meta["current_snapshot_id"] = snap.snapshot_id
             if schemas is not None:
                 meta["schemas"] = schemas
@@ -586,12 +695,37 @@ class LakeTable:
             # commit landed: anything referenced only by dropped snapshots
             # is unreachable (new commits always build on the latest kept
             # snapshot), so physical deletion is safe now.
-            live = {f["path"] for s in kept for f in s["files"]}
+            kept_snaps = [self._entry_to_snapshot(s) for s in kept]
+            dropped_snaps = [self._entry_to_snapshot(s) for s in dropped]
+            live = {f["path"] for s in kept_snaps for f in s.files}
             removed = 0
-            for s in dropped:
-                for f in s["files"]:
+            for s in dropped_snaps:
+                for f in s.files:
                     if f["path"] not in live and os.path.exists(f["path"]):
                         os.remove(f["path"])
                         removed += 1
+            # reap metadata files the dropped snapshots owned: their
+            # manifest-lists, plus manifests no kept snapshot references
+            # (content-addressed manifests are shared across snapshots)
+            kept_manifests = set()
+            for e in kept:
+                ml = e.get("manifest_list")
+                if ml:
+                    ml_path = os.path.join(self._manifest_dir, ml)
+                    kept_manifests.update(m["manifest"] for m in self._load_manifest(ml_path))
+            for e in dropped:
+                ml = e.get("manifest_list")
+                if not ml:
+                    continue
+                ml_path = os.path.join(self._manifest_dir, ml)
+                if not os.path.exists(ml_path):
+                    continue
+                for m in self._load_manifest(ml_path):
+                    mp = os.path.join(self._manifest_dir, m["manifest"])
+                    if m["manifest"] not in kept_manifests and os.path.exists(mp):
+                        os.remove(mp)
+                        self._manifest_cache.pop(mp, None)
+                os.remove(ml_path)
+                self._manifest_cache.pop(ml_path, None)
             return removed
         raise last_err  # type: ignore[misc]
