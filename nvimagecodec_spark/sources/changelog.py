@@ -213,7 +213,9 @@ def detect_format_expr(raw: Column) -> Column:
 _FIELD_ORDER = ["op", "lsn", "commit_ts", "conv_id", "turn_idx", "after", "schema_change"]
 
 
-def parse_changes(raw_df: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_changes(
+    raw_df: DataFrame, value_col: str = "value", keep_dead: bool = False
+) -> DataFrame:
     """Raw text lines → normalized CHANGE_SCHEMA rows, in ONE scan.
 
     ``raw_df`` must have ``value_col`` plus lineage columns ``src_file`` /
@@ -224,10 +226,21 @@ def parse_changes(raw_df: DataFrame, value_col: str = "value") -> DataFrame:
     projects the normalized fields via when-chains over those structs —
     pure struct-field access, no re-parse. Unclaimed rows (dead letters)
     are filtered out; unused fields are pruned by Catalyst.
+
+    ``keep_dead=True`` keeps unclaimed non-blank rows (``src_format``
+    NULL, all normalized fields NULL) and carries the raw line through as
+    ``raw_value`` — the epoch driver splits them off for the dead-letter
+    sink in the SAME pass that feeds the apply, instead of re-scanning
+    the source (UNSUPPORTED-status analog,
+    /root/reference/include/nvimgcodec.h:735-768).
     """
     raw = F.col(value_col)
     fmt_col = detect_format_expr(raw)
-    df = raw_df.withColumn("src_format", fmt_col).where(F.col("src_format").isNotNull())
+    df = raw_df.withColumn("src_format", fmt_col)
+    if keep_dead:
+        df = df.where(F.col("src_format").isNotNull() | (F.length(F.trim(raw)) > 0))
+    else:
+        df = df.where(F.col("src_format").isNotNull())
     # stage 1: guarded expensive parses, one projection column per format
     for fmt in FORMAT_REGISTRY:
         df = df.withColumn(
@@ -248,7 +261,10 @@ def parse_changes(raw_df: DataFrame, value_col: str = "value") -> DataFrame:
                 .otherwise(expr)
             )
         cols.append(expr.alias(field))
-    return df.select(*cols, F.col("src_file"), F.col("src_offset"), F.col("src_format"))
+    extra = [F.col("src_file"), F.col("src_offset"), F.col("src_format")]
+    if keep_dead:
+        extra.append(raw.alias("raw_value"))
+    return df.select(*cols, *extra)
 
 
 def dead_letters(raw_df: DataFrame, value_col: str = "value") -> DataFrame:

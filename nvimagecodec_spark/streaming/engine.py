@@ -66,57 +66,130 @@ class CdcEngine:
             max_cap=self.config.max_batch_events,
         )
 
+    # how many per-source-file lineage rows an epoch record keeps verbatim
+    # before truncating to a summary (a 10^5-file epoch must not write a
+    # 10^5-entry JSON line; the counts stay exact either way)
+    MAX_PARTITION_LINEAGE = 64
+
     # ------------------------------------------------------------- epoch core
     def apply_epoch(self, events: DataFrame, batch_id: int, offset_range: dict | None = None) -> MergeResult:
-        """Apply one epoch of parsed change events. Idempotent per batch_id."""
+        """Apply one epoch of parsed change events. Idempotent per batch_id.
+
+        ``events`` may include dead rows (``src_format`` NULL, from
+        ``parse_changes(keep_dead=True)``): they are split off here, routed
+        to the dead-letter sink, and accounted per source file — the apply
+        itself never sees them.
+        """
         t0 = time.time()
         if self.table.has_commit_tag(self.source_id, batch_id):
             return MergeResult(None, [], 0, 0, 0.0, "skipped-duplicate")
 
-        data, schema_ev = split_schema_events(events)
+        events = events.persist()
+        try:
+            return self._apply_epoch_inner(events, batch_id, offset_range, t0)
+        finally:
+            events.unpersist()
+
+    def _apply_epoch_inner(
+        self, events: DataFrame, batch_id: int, offset_range: dict | None, t0: float
+    ) -> MergeResult:
+        has_dead = "raw_value" in events.columns
+        claimed = events.where(F.col("src_format").isNotNull()) if has_dead else events
+
+        # Per-partition lineage (SURVEY G8: the reference latches a status
+        # per SAMPLE in its results vector, processing_results.h:51-89; the
+        # Spark-scale unit is the source file/offset-range): one combinable
+        # aggregation over the epoch's cached events yields per-file parsed
+        # vs dead-letter counts and the offset/LSN ranges actually applied.
+        part_rows = (
+            events.groupBy("src_file")
+            .agg(
+                F.sum(F.when(F.col("src_format").isNotNull(), 1).otherwise(0)).alias("rows"),
+                F.sum(F.when(F.col("src_format").isNull(), 1).otherwise(0)).alias("dead"),
+                F.min("src_offset").alias("min_offset"),
+                F.max("src_offset").alias("max_offset"),
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+            )
+            .collect()
+        )
+        n_dead = sum(int(r["dead"] or 0) for r in part_rows)
+        partitions = [
+            {
+                "src_file": r["src_file"],
+                "rows": int(r["rows"] or 0),
+                "dead_letters": int(r["dead"] or 0),
+                "offset_range": [r["min_offset"], r["max_offset"]],
+                "lsn_range": [r["min_lsn"], r["max_lsn"]],
+                "status": "ok" if (r["rows"] or 0) > 0 else "dead-only",
+            }
+            for r in sorted(part_rows, key=lambda r: r["src_file"] or "")
+        ]
+        truncated = len(partitions) > self.MAX_PARTITION_LINEAGE
+        if truncated:
+            bad = [p for p in partitions if p["status"] != "ok"]
+            partitions = (bad + [p for p in partitions if p["status"] == "ok"])[
+                : self.MAX_PARTITION_LINEAGE
+            ]
+
+        if n_dead and self.config.dead_letter_dir:
+            # sink keeps the raw line + lineage so operators can replay it
+            # after registering the missing format (the reference never
+            # loses a sample — it latches UNSUPPORTED)
+            (
+                events.where(F.col("src_format").isNull())
+                .select(
+                    "src_file",
+                    "src_offset",
+                    "raw_value",
+                    F.lit(batch_id).alias("batch_id"),
+                    F.lit(self.source_id).alias("source_id"),
+                )
+                .write.mode("append")
+                .parquet(self.config.dead_letter_dir)
+            )
+
+        data, schema_ev = split_schema_events(claimed)
         schema_res = apply_schema_events(self.table, schema_ev)
         if schema_res.needs_backfill:
             # recover out-of-order-delivered fields from stored raw images
             reextract_payloads(self.table)
 
-        # Hot-epoch detection on a cheap partial-agg count (G1). The stats
-        # pass reuses the parsed events, cached for the epoch's two passes.
-        data = data.persist()
-        try:
-            counts = (
-                data.groupBy("conv_id", "turn_idx")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .agg(
-                    F.max("n").alias("max_n"),
-                    F.sum("n").alias("total"),
-                    F.count(F.lit(1)).alias("keys"),
-                )
-                .collect()[0]
+        # Hot-epoch detection on a cheap partial-agg count (G1); `data`
+        # re-derives from the epoch-persisted `events` by filter, so each
+        # pass reads the cache, not the source.
+        counts = (
+            data.groupBy("conv_id", "turn_idx")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.max("n").alias("max_n"),
+                F.sum("n").alias("total"),
+                F.count(F.lit(1)).alias("keys"),
             )
-            n_events = int(counts["total"] or 0)
-            hot = (counts["max_n"] or 0) > self.config.hot_key_threshold
-            # Hot epochs are DETECTED and recorded in lineage (monitoring /
-            # alerting), but the dedupe stays on plain lww_dedupe: its
-            # map-side partial max already collapses a hot key to one row
-            # per map partition before the shuffle, so the reducer sees at
-            # most num_map_tasks rows per key. Measured on a 10M-event
-            # stream with 50% of events on ONE key at local[32]: plain
-            # 1.2s, salted 3.6s — the salt's second shuffle strictly loses
-            # when the agg is combinable. lww_dedupe_salted remains the
-            # tool for NON-combinable formulations (see operators/skew.py).
-            if hot and self.config.salt_non_combinable:
-                deduped = lww_dedupe_salted(data, salt_buckets=self.config.salt_buckets)
-            else:
-                deduped = lww_dedupe(data)
+            .collect()[0]
+        )
+        n_events = int(counts["total"] or 0)
+        hot = (counts["max_n"] or 0) > self.config.hot_key_threshold
+        # Hot epochs are DETECTED and recorded in lineage (monitoring /
+        # alerting), but the dedupe stays on plain lww_dedupe: its
+        # map-side partial max already collapses a hot key to one row
+        # per map partition before the shuffle, so the reducer sees at
+        # most num_map_tasks rows per key. Measured on a 10M-event
+        # stream with 50% of events on ONE key at local[32]: plain
+        # 1.2s, salted 3.6s — the salt's second shuffle strictly loses
+        # when the agg is combinable. lww_dedupe_salted remains the
+        # tool for NON-combinable formulations (see operators/skew.py).
+        if hot and self.config.salt_non_combinable:
+            deduped = lww_dedupe_salted(data, salt_buckets=self.config.salt_buckets)
+        else:
+            deduped = lww_dedupe(data)
 
-            res = merge_into(
-                self.table,
-                deduped,
-                tag={"source_id": self.source_id, "batch_id": batch_id},
-                broadcast_threshold_rows=self.config.broadcast_threshold_rows,
-            )
-        finally:
-            data.unpersist()
+        res = merge_into(
+            self.table,
+            deduped,
+            tag={"source_id": self.source_id, "batch_id": batch_id},
+            broadcast_threshold_rows=self.config.broadcast_threshold_rows,
+        )
 
         # retention hygiene: bound metadata growth (full file manifest per
         # snapshot) + reclaim data files of expired snapshots. Runs AFTER
@@ -144,6 +217,9 @@ class CdcEngine:
                 "hot_epoch": bool(hot),
                 "schema_applied": schema_res.applied,
                 "schema_rejected": schema_res.rejected,
+                "dead_letters": n_dead,
+                "partitions": partitions,
+                "partitions_truncated": truncated,
                 "duration_sec": round(duration, 3),
                 "events_per_sec": round(n_events / duration, 1) if duration > 0 else None,
                 "next_rate_cap": self.rate.cap,
@@ -175,7 +251,9 @@ class CdcEngine:
         applied = {"n": 0}
 
         def epoch_fn(batch_df: DataFrame, batch_id: int):
-            events = parse_changes(with_lineage(batch_df))
+            # keep_dead: dead letters ride the same single scan and are
+            # split off + sunk inside apply_epoch
+            events = parse_changes(with_lineage(batch_df), keep_dead=True)
             self.apply_epoch(events, batch_id)
             applied["n"] += 1
 

@@ -1,0 +1,124 @@
+"""Dead-letter sink + per-partition lineage (SURVEY G8 / VERDICT r01 #8-9).
+
+The reference never silently loses a sample — an unparseable input latches
+an UNSUPPORTED status in the per-sample results vector
+(/root/reference/include/nvimgcodec.h:735-768,
+/root/reference/src/processing_results.h:51-89). The Spark-scale analog:
+unclaimed lines land in the dead-letter sink with their lineage, and the
+epoch's lineage record carries per-source-file (rows, dead, offset/LSN
+range, status) entries.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from nvimagecodec_spark.config import EngineConfig
+from nvimagecodec_spark.lakehouse.table import LakeTable
+from nvimagecodec_spark.streaming.engine import CdcEngine
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _line(op, conv, turn, lsn, text):
+    return json.dumps(
+        {
+            "op": op,
+            "lsn": lsn,
+            "commit_ts": "2025-01-01 00:00:00",
+            "conv_id": conv,
+            "turn_idx": turn,
+            "after": {"text": text, "ts": "2025-01-01 00:00:00"},
+        }
+    )
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = tmp_path / "stream"
+    d.mkdir()
+    (d / "000-valid.jsonl").write_text(
+        "\n".join(_line("I", f"c{i}", 0, i + 1, f"t{i}") for i in range(5)) + "\n"
+    )
+    (d / "001-garbage.jsonl").write_text(
+        "this is not an event\n<<binary junk>>\n\nnot json either\n"
+    )
+    (d / "002-mixed.jsonl").write_text(
+        _line("U", "c0", 0, 100, "t0v2") + "\nBROKEN LINE\n" + _line("I", "c9", 1, 101, "t9") + "\n"
+    )
+    return str(d)
+
+
+def test_dead_letters_sunk_and_accounted(spark, tmp_path, stream_dir):
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], bucket_count=4
+    )
+    dl_dir = str(tmp_path / "dead")
+    engine = CdcEngine(
+        spark,
+        table,
+        source_id="dl-test",
+        config=EngineConfig(dead_letter_dir=dl_dir, expire_every_epochs=0),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    engine.run_stream(stream_dir, max_files_per_trigger=10)
+
+    # apply unaffected: all valid events landed, LWW picked the update
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read_logical().collect()}
+    assert rows[("c0", 0)] == "t0v2"
+    assert rows[("c9", 1)] == "t9"
+    assert len(rows) == 6
+
+    # every garbage line is in the sink with its lineage (3 + 1; blank
+    # lines are dropped, not dead-lettered)
+    dl = spark.read.parquet(dl_dir).collect()
+    assert len(dl) == 4
+    assert all(r["raw_value"] for r in dl)
+    assert {os.path.basename(r["src_file"]) for r in dl} == {
+        "001-garbage.jsonl",
+        "002-mixed.jsonl",
+    }
+    assert all(r["source_id"] == "dl-test" for r in dl)
+
+    # lineage: totals + per-partition rows with the all-dead file visible
+    recs = [r for r in engine.lineage() if r.get("events")]
+    total_dead = sum(r.get("dead_letters", 0) for r in engine.lineage())
+    assert total_dead == 4
+    parts = [p for r in engine.lineage() for p in r.get("partitions", [])]
+    by_file = {os.path.basename(p["src_file"]): p for p in parts}
+    assert by_file["001-garbage.jsonl"]["status"] == "dead-only"
+    assert by_file["001-garbage.jsonl"]["rows"] == 0
+    assert by_file["001-garbage.jsonl"]["dead_letters"] == 3
+    assert by_file["000-valid.jsonl"]["status"] == "ok"
+    assert by_file["000-valid.jsonl"]["rows"] == 5
+    assert by_file["002-mixed.jsonl"]["rows"] == 2
+    assert by_file["002-mixed.jsonl"]["dead_letters"] == 1
+    # lsn range of the applied rows is latched per partition
+    assert by_file["000-valid.jsonl"]["lsn_range"] == [1, 5]
+    # and the epochs all committed (partition failure != epoch failure)
+    assert all(r.get("snapshot_id") for r in recs)
+
+
+def test_no_sink_configured_still_counts(spark, tmp_path, stream_dir):
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], bucket_count=4
+    )
+    engine = CdcEngine(
+        spark,
+        table,
+        source_id="dl-test2",
+        config=EngineConfig(dead_letter_dir=None, expire_every_epochs=0),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    engine.run_stream(stream_dir, max_files_per_trigger=10)
+    assert table.read_logical().count() == 6
+    assert sum(r.get("dead_letters", 0) for r in engine.lineage()) == 4
