@@ -217,6 +217,88 @@ def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_mixed_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-tier probe chain over all three registered wire formats: derive a
+    change stream from `events`, ENCODE each event as jsonlines / Debezium
+    / binary-v1 by event_id % 3, then parse the mixed text stream back
+    through the format registry (magic-byte probes -> one guarded parse
+    per row). The oracle computes the expected result directly from
+    `events` — any encode/probe/decode defect breaks the match.
+    Reference analog: parser-per-format tier probed by priority,
+    /root/reference/src/codec_registry.cpp:47-59."""
+    from nvimagecodec_spark.sources.changelog import parse_changes
+
+    ch = _changes(spark, sf_dir)
+    after = F.to_json(F.struct("event_type", "value"))
+    enc = (F.col("lsn") % 3).cast("int")
+    hex16 = lambda c: F.lpad(F.lower(F.hex(c)), 16, "0")  # noqa: E731
+    jsonl = F.to_json(
+        F.struct(
+            F.col("op"),
+            F.col("lsn"),
+            F.date_format("commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("commit_ts"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            F.when(F.col("op") != "D", F.struct(F.col("event_type"), F.col("value")))
+            .alias("after"),
+        )
+    )
+    dbz = F.to_json(
+        F.struct(
+            F.struct(
+                F.when(F.col("op") == "I", "c")
+                .when(F.col("op") == "U", "u")
+                .otherwise("d")
+                .alias("op"),
+                F.when(
+                    F.col("op") == "D", F.struct(F.col("conv_id"), F.col("turn_idx"))
+                ).alias("before"),
+                F.when(
+                    F.col("op") != "D",
+                    F.struct(
+                        F.col("conv_id"),
+                        F.col("turn_idx"),
+                        F.col("event_type"),
+                        F.col("value"),
+                    ),
+                ).alias("after"),
+                F.struct(
+                    F.col("lsn"),
+                    F.expr("unix_micros(cast(commit_ts as timestamp)) div 1000").alias("ts_ms"),
+                ).alias("source"),
+            ).alias("payload")
+        )
+    )
+    binary = F.concat(
+        F.lit("CDCB1"),
+        F.col("op"),
+        hex16(F.col("lsn")),
+        hex16(ts_micros(F.col("commit_ts"))),
+        F.lpad(F.lower(F.hex(F.col("turn_idx"))), 8, "0"),
+        F.col("conv_id"),
+        F.lit("|"),
+        F.when(F.col("op") != "D", after).otherwise(F.lit("")),
+    )
+    lines = ch.select(
+        F.when(enc == 0, jsonl).when(enc == 1, dbz).otherwise(binary).alias("value"),
+        F.lit("mixed").alias("src_file"),
+        F.col("lsn").alias("src_offset"),
+    )
+    parsed = parse_changes(lines)
+    return parsed.select(
+        "conv_id",
+        "turn_idx",
+        "lsn",
+        "op",
+        "src_format",
+        ts_micros(F.col("commit_ts")).alias("ts_us"),
+        F.get_json_object("after", "$.event_type").alias("event_type_out"),
+        F.round(F.get_json_object("after", "$.value").cast("double") * 100)
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+
 # ------------------------------------------------------------------- TPC-H
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_op_stats": q_cdc_op_stats,
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_epoch_stats": q_cdc_epoch_stats,
+        "cdc_mixed_encodings": q_cdc_mixed_encodings,
         "events_asof_order": q_events_asof_order,
         "events_sessionization": q_events_sessionization,
         "events_props_extract": q_events_props_extract,
@@ -531,6 +614,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS n_keys,
                    CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
             FROM changes GROUP BY 1
+        """,
+        "cdc_mixed_encodings": f"""
+            WITH changes AS ({_CHANGES_SQL})
+            SELECT conv_id, turn_idx, lsn, op,
+                   CASE CAST(lsn % 3 AS INTEGER)
+                        WHEN 0 THEN 'jsonlines'
+                        WHEN 1 THEN 'debezium'
+                        ELSE 'binary-v1' END AS src_format,
+                   CASE WHEN lsn % 3 = 1
+                        THEN (epoch_us(commit_ts) // 1000) * 1000
+                        ELSE epoch_us(commit_ts) END AS ts_us,
+                   CASE WHEN op <> 'D' THEN event_type END AS event_type_out,
+                   CASE WHEN op <> 'D'
+                        THEN CAST(ROUND(value * 100) AS BIGINT) END AS value_cents
+            FROM changes
         """,
         "events_asof_order": """
             WITH o1 AS (

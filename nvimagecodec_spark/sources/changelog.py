@@ -188,6 +188,79 @@ def _debezium_normalize(j: Column, raw: Column) -> dict[str, Column]:
     }
 
 
+# ---------------------------------------------------- binary envelope (v1)
+#
+# A fixed-offset binary-style change-event encoding — the third registered
+# format, proving the registry on a non-JSON wire shape (the reference
+# ships 7 parsers probed by magic bytes; tiff/jpeg2k/webp are all
+# fixed-header binary, /root/reference/src/parsers/). Needs no external
+# jar: fields sit at fixed offsets and decode with substring + base-16
+# conv, entirely JVM-side (same technique as operators/multimodal.py's
+# FIMG header parse).
+#
+# Line layout (1-based positions; hex is lowercase):
+#   1-5   magic  "CDCB1"
+#   6     op     I | U | D | S
+#   7-22  lsn          16-hex big-endian
+#   23-38 commit_ts    16-hex unix MICROS
+#   39-46 turn_idx     8-hex ("ffffffff" = null, e.g. schema events)
+#   47-   conv_id (no '|' allowed) + '|' + after-image JSON
+#         (for op=S the JSON after the '|' is the schema_change payload;
+#          empty payload = null)
+
+_BIN_MAGIC = "CDCB1"
+_BIN_NULL_TURN = "ffffffff"
+
+
+def encode_binary_line(
+    op: str,
+    lsn: int,
+    ts_micros: int,
+    conv_id: str | None,
+    turn_idx: int | None,
+    payload_json: str | None,
+) -> str:
+    """Python-side encoder (generators/tests); the decoder is pure Spark."""
+    turn = _BIN_NULL_TURN if turn_idx is None else f"{turn_idx:08x}"
+    conv = conv_id or ""
+    if "|" in conv:
+        raise ValueError("conv_id may not contain '|'")
+    return f"{_BIN_MAGIC}{op}{lsn:016x}{ts_micros:016x}{turn}{conv}|{payload_json or ''}"
+
+
+def _binary_probe(raw: Column) -> Column:
+    return raw.startswith(_BIN_MAGIC)
+
+
+def _binary_struct(raw: Column) -> Column:
+    sep = F.locate("|", raw, 47)  # absolute 1-based position of the separator
+    return F.struct(
+        F.substring(raw, 6, 1).alias("op"),
+        F.conv(F.substring(raw, 7, 16), 16, 10).cast("long").alias("lsn"),
+        F.conv(F.substring(raw, 23, 16), 16, 10).cast("long").alias("ts_us"),
+        F.substring(raw, 39, 8).alias("turn_hex"),
+        F.when(sep >= 47, F.substring(raw, F.lit(47), sep - 47)).alias("conv_id"),
+        F.when(sep >= 47, F.substring(raw, sep + 1, F.length(raw))).alias("after_raw"),
+    )
+
+
+def _binary_normalize(j: Column, raw: Column) -> dict[str, Column]:
+    return {
+        "op": j["op"],
+        "lsn": j["lsn"],
+        "commit_ts": F.timestamp_micros(j["ts_us"]),
+        "conv_id": F.when(F.length(j["conv_id"]) > 0, j["conv_id"]),
+        "turn_idx": F.when(
+            j["turn_hex"] != _BIN_NULL_TURN, F.conv(j["turn_hex"], 16, 10).cast("int")
+        ),
+        "after": F.when((j["op"] != "S") & (F.length(j["after_raw"]) > 0), j["after_raw"]),
+        "schema_change": F.when(
+            (j["op"] == "S") & (F.length(j["after_raw"]) > 0),
+            F.from_json(j["after_raw"], SCHEMA_CHANGE_SCHEMA),
+        ),
+    }
+
+
 FORMAT_REGISTRY: list[SourceFormat] = []
 
 
@@ -200,6 +273,8 @@ def register_format(fmt: SourceFormat) -> None:
 
 register_format(SourceFormat("jsonlines", 1.0, _plain_probe, _plain_struct, _plain_normalize))
 register_format(SourceFormat("debezium", 2.0, _debezium_probe, _debezium_struct, _debezium_normalize))
+# magic-byte probe is the cheapest + most specific — probed first
+register_format(SourceFormat("binary-v1", 0.5, _binary_probe, _binary_struct, _binary_normalize))
 
 
 def detect_format_expr(raw: Column) -> Column:

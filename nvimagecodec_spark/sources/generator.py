@@ -167,29 +167,44 @@ def payload_dict(row) -> dict | None:
 
 
 def events_to_files(df: pd.DataFrame, out_dir: str, files: int = 8, encoding_mix: bool = True) -> list[str]:
-    """Serialize delivery-ordered events into `files` files, alternating
-    JSON-lines and Debezium-envelope encodings (parser-probe fixture)."""
+    """Serialize delivery-ordered events into `files` files, cycling
+    JSON-lines / Debezium-envelope / binary-v1 encodings (parser-probe
+    fixture — every consumer exercises all three registered formats)."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     chunks = np.array_split(np.arange(len(df)), files)
+    exts = ["jsonl", "dbz", "cdcb"]
     for i, idx in enumerate(chunks):
-        use_dbz = encoding_mix and (i % 2 == 1)
-        name = f"part-{i:05d}.{'dbz' if use_dbz else 'jsonl'}"
+        enc = exts[i % 3] if encoding_mix else "jsonl"
+        name = f"part-{i:05d}.{enc}"
         path = os.path.join(out_dir, name)
         with open(path, "w") as f:
             for _, row in df.iloc[idx].iterrows():
-                f.write(encode_row(row, use_dbz) + "\n")
+                f.write(encode_row(row, enc) + "\n")
         paths.append(path)
     return paths
 
 
-def encode_row(row, debezium: bool) -> str:
+def encode_row(row, encoding) -> str:
+    # bool kept for backward compat: True = debezium, False = jsonlines
+    if isinstance(encoding, bool):
+        encoding = "dbz" if encoding else "jsonl"
     after = payload_dict(row)
     ts = pd.Timestamp(row["commit_ts"])
     sc = row.get("schema_change")
     sc = sc if isinstance(sc, dict) else None
     turn = None if pd.isna(row["turn_idx"]) else int(row["turn_idx"])
-    if not debezium:
+    if encoding == "cdcb":
+        from nvimagecodec_spark.sources.changelog import encode_binary_line
+
+        payload = json.dumps(sc) if row["op"] == "S" and sc else (
+            json.dumps(after) if after else None
+        )
+        conv = row["conv_id"] if isinstance(row["conv_id"], str) else None
+        return encode_binary_line(
+            row["op"], int(row["lsn"]), int(ts.value // 1000), conv, turn, payload
+        )
+    if encoding == "jsonl":
         rec = {
             "op": row["op"],
             "lsn": int(row["lsn"]),
