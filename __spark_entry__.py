@@ -37,6 +37,19 @@ from nvimagecodec_spark.lakehouse.table import LakeTable
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+# temp dirs backing lazily-returned DataFrames; reaped at interpreter exit
+_TEMP_DIRS: list[str] = []
+
+
+def _reap_temp_dirs() -> None:
+    for d in _TEMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_reap_temp_dirs)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -113,23 +126,24 @@ def q_cdc_engine_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("ts", T.TimestampType()),
         ]
     )
+    # The table dir must outlive the returned (lazy) DataFrame — the
+    # caller collects it. Dirs are reaped at interpreter exit instead of
+    # on return: collecting the whole final table to the driver here (the
+    # round-1 workaround) is exactly the anti-pattern this engine exists
+    # to avoid — at a real SF the flagship query would OOM the driver.
     tmp = tempfile.mkdtemp(prefix="nvics-apply-")
-    try:
-        table = LakeTable.create(
-            spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
-        )
-        merge_into(table, lww_dedupe(ch))
-        out = table.read_logical().select(
-            "conv_id",
-            "turn_idx",
-            "event_type",
-            F.round("value", 2).alias("value"),
-            ts_micros(F.col("ts")).alias("ts_us"),
-        )
-        out = spark.createDataFrame(out.collect(), out.schema)  # materialize before cleanup
-        return out
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    _TEMP_DIRS.append(tmp)
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
+    )
+    merge_into(table, lww_dedupe(ch))
+    return table.read_logical().select(
+        "conv_id",
+        "turn_idx",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        ts_micros(F.col("ts")).alias("ts_us"),
+    )
 
 
 def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,6 +460,21 @@ aug AS (
 """
 
 
+def q_emb_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index: build once (seeded k-means -> cell-partitioned
+    parquet), query via driver-side centroid probe + partition-pruned
+    candidate scan. No oracle_sql: k-means is iterative (rows-only check;
+    recall vs brute force is asserted in tests/test_ivf_index.py)."""
+    from nvimagecodec_spark.operators.ivf_index import IvfIndex
+
+    tmp = tempfile.mkdtemp(prefix="nvics-ivf-")
+    _TEMP_DIRS.append(tmp)
+    idx = IvfIndex.build(
+        _t(spark, sf_dir, "embeddings"), os.path.join(tmp, "idx"), n_cells=8, seed=7
+    )
+    return idx.topk(anchor=0, k=25, n_probe=2)
+
+
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.near_dup_pairs(_emb_augmented(spark, sf_dir), threshold=0.90)
 
@@ -494,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_frame_sample": q_mm_video_frame_sample,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_ivf_persisted": q_emb_ivf_persisted,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_lsh_near_dup": q_emb_lsh_near_dup,
     }

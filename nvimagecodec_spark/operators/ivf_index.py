@@ -1,0 +1,148 @@
+"""Persisted IVF (inverted-file) ANN index — build once, query many.
+
+Round 1's ``ivf_topk_kmeans`` retrained k-means on every query; the
+reference instantiates processors once and reuses them (``pre_init``,
+/root/reference/src/image_generic_codec.h:463-469). Here the index is a
+real on-disk artifact:
+
+- ``assignments/``: every vector written ONCE, parquet **partitioned by
+  cell** — a probe reads only the probed cells' directories (partition
+  pruning in the scan, asserted in tests), so a 2-of-256-cell probe scans
+  ~1/128th of a 10^10-vector corpus.
+- ``centroids/``: n_cells rows (tiny). Loaded to the driver once per
+  handle and reused across queries — choosing probe cells is an O(cells)
+  dot-product loop, not a Spark job.
+- ``meta.json``: build parameters, for reproducibility checks.
+
+All heavy math stays JVM-side (pyspark.ml k-means, column-expression
+cosine); the only driver-side work is the centroid probe.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nvimagecodec_spark.functions.vectors import cosine
+
+
+class IvfIndex:
+    """Handle to a persisted IVF index (see module docstring)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        with open(os.path.join(self.path, "meta.json")) as f:
+            self.meta = json.load(f)
+        self._centroids: list[tuple[int, list[float]]] | None = None
+
+    # ------------------------------------------------------------------ build
+    @classmethod
+    def build(
+        cls,
+        embeddings: DataFrame,
+        path: str,
+        n_cells: int = 16,
+        seed: int = 7,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        path = os.path.abspath(path)
+        feats = embeddings.withColumn("_features", array_to_vector(F.col(vec_col)))
+        model = KMeans(
+            k=n_cells, seed=seed, featuresCol="_features", predictionCol="cell"
+        ).fit(feats)
+        assigned = model.transform(feats).drop("_features")
+        # one shuffle clusters rows by cell so each partition directory is
+        # a few well-formed files, and the layout IS the pruning index
+        (
+            assigned.repartition(n_cells, F.col("cell"))
+            .write.partitionBy("cell")
+            .mode("overwrite")
+            .parquet(os.path.join(path, "assignments"))
+        )
+        spark = embeddings.sparkSession
+        cent_rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        meta = {
+            "n_cells": n_cells,
+            "seed": seed,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "dim": len(cent_rows[0][1]) if cent_rows else 0,
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        return cls(spark, path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IvfIndex":
+        return cls(spark, path)
+
+    # ------------------------------------------------------------------ query
+    def centroids(self) -> list[tuple[int, list[float]]]:
+        if self._centroids is None:
+            rows = self.spark.read.parquet(os.path.join(self.path, "centroids")).collect()
+            self._centroids = sorted((r["cell"], list(r["centroid"])) for r in rows)
+        return self._centroids
+
+    def probe_cells(self, anchor: list[float], n_probe: int) -> list[int]:
+        """Nearest-centroid cells by cosine — driver-side O(cells * dim)."""
+        anorm = math.sqrt(sum(x * x for x in anchor)) or 1.0
+        scored = []
+        for cell, c in self.centroids():
+            cnorm = math.sqrt(sum(x * x for x in c)) or 1.0
+            dot = sum(a * b for a, b in zip(anchor, c))
+            scored.append((-dot / (anorm * cnorm), cell))
+        return [cell for _, cell in sorted(scored)[:n_probe]]
+
+    def candidates(self, cells: list[int]) -> DataFrame:
+        """Cell-pruned scan: only the probed cells' partition directories
+        are read (PartitionFilters on `cell` — asserted in tests)."""
+        df = self.spark.read.parquet(os.path.join(self.path, "assignments"))
+        return df.where(F.col("cell").isin([int(c) for c in cells]))
+
+    def anchor_vector(self, anchor_id: int) -> list[float]:
+        vec_col, id_col = self.meta["vec_col"], self.meta["id_col"]
+        row = (
+            self.spark.read.parquet(os.path.join(self.path, "assignments"))
+            .where(F.col(id_col) == anchor_id)
+            .select(vec_col)
+            .first()
+        )
+        if row is None:
+            raise KeyError(f"no vector with {id_col}={anchor_id}")
+        return [float(x) for x in row[0]]
+
+    def topk(
+        self, anchor: list[float] | int, k: int = 10, n_probe: int = 2
+    ) -> DataFrame:
+        """ANN top-k by cosine: probe -> cell-pruned exact search."""
+        if isinstance(anchor, int):
+            anchor_vec = self.anchor_vector(anchor)
+            exclude_id: int | None = anchor
+        else:
+            anchor_vec, exclude_id = list(anchor), None
+        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        cells = self.probe_cells(anchor_vec, n_probe)
+        cand = self.candidates(cells)
+        if exclude_id is not None:
+            cand = cand.where(F.col(id_col) != exclude_id)
+        anchor_col = F.array(*[F.lit(float(x)) for x in anchor_vec])
+        scored = cand.select(
+            F.col(id_col),
+            F.col("cell"),
+            F.round(cosine(F.col(vec_col), anchor_col), 4).alias("cos_sim"),
+        )
+        return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

@@ -382,6 +382,7 @@ class ChangeStream:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        self._max_lsn_cache: tuple[tuple, int | None] | None = None
 
     def raw(self) -> DataFrame:
         return with_lineage(self.spark.read.text(self.path))
@@ -406,7 +407,15 @@ class ChangeStream:
         return df
 
     def max_lsn(self) -> int | None:
+        """High-water LSN. Cached per (file set + sizes) fingerprint: a
+        text source has no footer stats, so computing this is a full
+        parse — callers polling an unchanged directory (the incremental
+        loop) must not pay that per epoch."""
+        key = tuple((f, os.path.getsize(f)) for f in self.files())
+        if self._max_lsn_cache is not None and self._max_lsn_cache[0] == key:
+            return self._max_lsn_cache[1]
         row = self.events().agg(F.max("lsn").alias("m")).collect()[0]
+        self._max_lsn_cache = (key, row["m"])
         return row["m"]
 
     def files(self) -> list[str]:
