@@ -1,0 +1,106 @@
+"""Multi-PROCESS commit races (VERDICT r01 #10): the O_EXCL optimistic
+protocol must survive separate JVMs, not just threads. Three writer
+processes race appends (no lost rows) and bucket-colliding merges
+(ConcurrentModification surfaces and the retry converges losslessly).
+
+Reference analog: true concurrent decoders in
+/root/reference/test/api/concurrent_decode_test.cpp and
+/root/reference/test/python/test_decode_free_threaded.py.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import types as T
+
+from nvimagecodec_spark.lakehouse.table import LakeTable
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "scripts", "race_writer.py")
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _race(table_path, mode, writers=3, commits=4, rows=15):
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                SCRIPT,
+                "--table",
+                table_path,
+                "--writer-id",
+                str(w),
+                "--commits",
+                str(commits),
+                "--rows",
+                str(rows),
+                "--mode",
+                mode,
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=REPO,
+        )
+        for w in range(writers)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"writer failed: {err[-2000:]}"
+        results.append(json.loads(out.strip().splitlines()[-1]))
+    return results
+
+
+@pytest.mark.slow
+def test_process_race_appends_lose_nothing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    LakeTable.create(spark, path, SCHEMA, ["conv_id", "turn_idx"], bucket_count=8)
+    results = _race(path, "append", writers=3, commits=4, rows=15)
+    assert sum(r["commits"] for r in results) == 12
+
+    t = LakeTable.load(spark, path)
+    rows = t.read_logical().collect()
+    # every writer's every row survived every race
+    assert len(rows) == 3 * 4 * 15
+    got = {(r["conv_id"], r["turn_idx"]) for r in rows}
+    for w in range(3):
+        for c in range(4):
+            for j in range(15):
+                assert (f"w{w}-c{c}-{j}", j) in got
+    # snapshot chain is a single linear history
+    snaps = t.history()
+    ids = [s.snapshot_id for s in snaps]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+
+
+@pytest.mark.slow
+def test_process_race_merges_collide_and_converge(spark, tmp_path):
+    path = str(tmp_path / "t")
+    LakeTable.create(spark, path, SCHEMA, ["conv_id", "turn_idx"], bucket_count=4)
+    results = _race(path, "merge", writers=3, commits=3, rows=10)
+    assert sum(r["commits"] for r in results) == 9
+
+    t = LakeTable.load(spark, path)
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read_logical().collect()}
+    # writer-disjoint (conv, turn_idx=writer) keys: all present, each with
+    # its writer's HIGHEST-lsn version (last commit i=2)
+    assert len(rows) == 3 * 10
+    for w in range(3):
+        for j in range(10):
+            assert rows[(f"conv-{j}", w)] == f"v2-by-w{w}"
+    # the race genuinely happened: at least one writer hit a conflict
+    # (4 buckets, 3 writers, colliding keys — statistically certain)
+    assert sum(r["cm_conflicts"] for r in results) > 0, (
+        "no ConcurrentModification observed — harness did not race"
+    )

@@ -6,22 +6,15 @@ filter pushdown + column pruning into parquet scans, and the SURVEY §7.3
 ban on per-row Python UDFs anywhere in the package.
 """
 
-import io
 import os
-from contextlib import redirect_stdout
 
 import pyspark.sql.functions as F
 import pytest
 
+from nvimagecodec_spark.plans import plan_of
+
 PKG = os.path.join(os.path.dirname(__file__), "..", "nvimagecodec_spark")
 SF_DIR = "/root/testdata/sf0.001"
-
-
-def plan_of(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
 
 
 def test_lww_dedupe_partial_aggregates_before_shuffle(spark):
