@@ -383,6 +383,16 @@ def q_docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def q_docs_jaccard_lsh_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE form of n-gram Jaccard: exact similarity computed ONLY for
+    MinHash-LSH candidate pairs (shared-shingle counting gated by the
+    candidate set BEFORE the join, never all-pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, n_hashes=8)
+    cand = D.minhash_lsh_pairs(sigs, bands=4, rows_per_band=2)
+    return D.ngram_jaccard_pairs(docs, threshold=0.2, candidates=cand)
+
+
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"), bits=32)
 
@@ -476,7 +486,7 @@ def q_emb_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.near_dup_pairs(_emb_augmented(spark, sf_dir), threshold=0.90)
+    return S.near_dup_pairs(_emb_augmented(spark, sf_dir), threshold=0.90, dim=64)
 
 
 def q_emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_signatures": q_docs_minhash_signatures,
         "docs_minhash_lsh_pairs": q_docs_minhash_lsh_pairs,
         "docs_ngram_jaccard_pairs": q_docs_ngram_jaccard_pairs,
+        "docs_jaccard_lsh_gated": q_docs_jaccard_lsh_gated,
         "docs_simhash": q_docs_simhash,
         "mm_image_metadata": q_mm_image_metadata,
         "mm_image_decode": q_mm_image_decode,
@@ -583,6 +594,33 @@ _LSH_PAIRS_SQL = (
     + ") SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_bands"
     " FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc"
     " GROUP BY a.doc, b.doc"
+)
+
+_JX = sql_roundn("n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared)", 4)
+
+_JACCARD_LSH_GATED_SQL = (
+    "WITH "
+    + _SHINGLES_SQL
+    + ", sigs AS (SELECT doc_id, "
+    + ", ".join(f"min({_h32(s, 'shingle')}) AS mh{s}" for s in range(8))
+    + " FROM sh GROUP BY doc_id), banded AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id AS doc, {b} AS band, "
+        f"CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR) AS bkey FROM sigs"
+        for b in range(4)
+    )
+    + "), cand AS (SELECT a.doc AS doc_a, b.doc AS doc_b FROM banded a"
+    "  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc"
+    "  GROUP BY 1, 2),"
+    " sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),"
+    " shared AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared FROM cand c"
+    "  JOIN sh a ON a.doc_id = c.doc_a"
+    "  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle"
+    "  GROUP BY 1, 2)"
+    f" SELECT doc_a, doc_b, n_shared, {_JX} AS jaccard"
+    " FROM shared JOIN sizes sa ON sa.doc_id = doc_a"
+    " JOIN sizes sb ON sb.doc_id = doc_b"
+    f" WHERE {_JX} >= 0.2"
 )
 
 _SIMHASH_SQL = (
@@ -813,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE {jx} >= 0.2
         """.format(jx=sql_roundn("n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared)", 4)),
+        "docs_jaccard_lsh_gated": _JACCARD_LSH_GATED_SQL,
         "docs_simhash": _SIMHASH_SQL,
         "mm_image_metadata": """
             SELECT doc_id, 'fimg' AS codec,

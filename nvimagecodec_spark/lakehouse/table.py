@@ -437,12 +437,13 @@ class LakeTable:
         # yields one well-formed file per bucket, which is also the layout
         # manifest-level pruning wants. maxRecordsPerFile caps file size at
         # production scale (Iceberg's write.target-file-size analog).
+        codec = self.meta.get("properties", {}).get("write.compression", "snappy")
         (
             phys.withColumn(_PART_DIR_COL, F.col(BUCKET_COL))
             .repartition(self.bucket_count, F.col(_PART_DIR_COL))
             .write.partitionBy(_PART_DIR_COL)
             .option("maxRecordsPerFile", 5_000_000)
-            .parquet(out_dir, compression="snappy")
+            .parquet(out_dir, compression=codec)
         )
         files: list[dict] = []
         for entry in sorted(os.listdir(out_dir)):
@@ -623,19 +624,29 @@ class LakeTable:
         sort_order: list[str] | None = None,
         target_file_size_rows: int = 5_000_000,
         format: str = "parquet",
+        compression: str | None = None,
     ) -> None:
         """Export the logical table (tombstones dropped, system columns
         hidden) for downstream consumers — the encoder-tier analog
         (/root/reference/extensions/nvjpeg2k/cuda_encoder.cpp: progression
-        order / tile knobs ↔ sort order / file size / format knobs here).
-        ``sort_order`` uses a range repartition so files are globally
-        clustered on the sort key (layout for downstream range pruning)."""
+        order / tile / quality knobs ↔ sort order / file size / format /
+        compression knobs here). ``sort_order`` uses a range repartition
+        so files are globally clustered on the sort key (layout for
+        downstream range pruning). ``compression`` falls back to the
+        table's ``write.compression`` property, then snappy."""
         df = self.read_logical()
         if sort_order:
             df = df.repartitionByRange(*[F.col(c) for c in sort_order]).sortWithinPartitions(
                 *sort_order
             )
-        writer = df.write.mode("overwrite").option("maxRecordsPerFile", target_file_size_rows)
+        codec = compression or self.meta.get("properties", {}).get(
+            "write.compression", "snappy"
+        )
+        writer = (
+            df.write.mode("overwrite")
+            .option("maxRecordsPerFile", target_file_size_rows)
+            .option("compression", codec)
+        )
         writer.format(format).save(path)
 
     def schema_log(self) -> list[dict]:

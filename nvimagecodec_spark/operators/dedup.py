@@ -111,24 +111,41 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
-    ``candidates`` (doc_a, doc_b) restricts the join to an LSH candidate
+    ``candidates`` (doc_a, doc_b) restricts the work to an LSH candidate
     set — the scale path; without it this is all-pairs-sharing-a-shingle
     (fine for oracle-sized corpora; still never a cartesian product).
     """
     sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
     if candidates is not None:
-        shared = shared.join(F.broadcast(candidates.select("doc_a", "doc_b")), ["doc_a", "doc_b"])
+        # Gate BEFORE the shingle join: shared-shingle counts are computed
+        # ONLY for candidate pairs (round 1 computed the full all-pairs
+        # join and filtered afterwards — no scale win at all). Two equi-
+        # joins: shingles -> candidate pair -> other side's shingles; at
+        # 10^10 docs the candidate set shuffles on doc id, never on pairs.
+        cand = candidates.select("doc_a", "doc_b")
+        shared = (
+            sh.alias("a")
+            .join(cand, F.col(f"a.{id_col}") == F.col("doc_a"))
+            .join(
+                sh.alias("b"),
+                (F.col(f"b.{id_col}") == F.col("doc_b"))
+                & (F.col("a.shingle") == F.col("b.shingle")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        shared = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (

@@ -235,6 +235,13 @@ def _merge_broadcast(
     1. current LEFT OUTER broadcast(batch) → keep the order-winning row.
     2. matched keys (≤ |batch|) = current SEMI broadcast(batch keys).
     3. new rows = batch ANTI broadcast(matched keys).
+
+    Why not ONE full-outer broadcast join: Spark (through 4.1) does not
+    support a broadcast build side for FULL OUTER — the hint is ignored
+    and the plan silently degrades to a SortMergeJoin that SHUFFLES the
+    table side (verified: HintErrorLogger "build right for full outer
+    join"). Three broadcast joins that never move the table beat one
+    join that does; `test_merge_broadcast_strategy_plan` pins this.
     """
     b = batch.alias("b")
     c = current.alias("c")

@@ -41,29 +41,41 @@ def log(msg: str) -> None:
     print(f"[scale] {msg}", file=sys.stderr, flush=True)
 
 
-def build_spark(cpus: int, mode: str = "threads"):
+def build_spark(cpus: int, mode: str = "threads", exec_cores: int = 8):
     """Two evidence modes for "N vs 4N executors":
 
     - threads: local[cpus] — one JVM, cpus task threads.
-    - processes: local-cluster[n_exec, 8, 12288] — REAL separate executor
-      JVMs (cpus/8 of them, 8 cores + 12 GB each) talking to the driver
-      over RPC with netty shuffle, the closest this sandbox gets to a
+    - processes: local-cluster[n_exec, exec_cores, mem] — REAL separate
+      executor JVMs (cpus/exec_cores of them) talking to the driver over
+      RPC with netty shuffle, the closest this sandbox gets to a
       multi-executor cluster.
     """
     from pyspark.sql import SparkSession
 
     if mode == "processes":
-        n_exec = max(cpus // 8, 1)
+        n_exec = max(cpus // exec_cores, 1)
+        mem_mb = 12288 if exec_cores >= 8 else 6144
         builder = (
-            SparkSession.builder.master(f"local-cluster[{n_exec},8,12288]")
+            SparkSession.builder.master(f"local-cluster[{n_exec},{exec_cores},{mem_mb}]")
             .config("spark.driver.memory", "8g")
-            .config("spark.executor.memory", "10g")
+            .config("spark.executor.memory", f"{mem_mb - 2048}m")
+            # fairness on a shared box: each executor JVM must size its GC /
+            # JIT / common-pool threads for ITS cores, not the host's 32 —
+            # otherwise the 1-executor level silently enjoys 32 service
+            # threads while the 4-executor level's 4x32 threads thrash
+            .config(
+                "spark.executor.extraJavaOptions",
+                f"-XX:ActiveProcessorCount={exec_cores}",
+            )
         )
     else:
         builder = (
             SparkSession.builder.master(f"local[{cpus}]")
             .config("spark.driver.memory", "48g")
-            .config("spark.driver.extraJavaOptions", "-Xms24g")
+            .config(
+                "spark.driver.extraJavaOptions",
+                f"-Xms24g -XX:ActiveProcessorCount={cpus}",
+            )
         )
     return (
         builder.appName(f"nvics-scale-{cpus}-{mode}")
@@ -119,7 +131,7 @@ def stage_stream(sf_dir: str, out_dir: str, multiplier: int, files: int) -> int:
     return n
 
 
-def run_level(cpus: int, stream_dir: str, n_events: int, mode: str = "threads") -> dict:
+def run_level(cpus: int, stream_dir: str, n_events: int, mode: str = "threads", exec_cores: int = 8) -> dict:
     """One timed parse->LWW->merge apply at local[cpus]; prints JSON."""
     from pyspark.sql import types as T
 
@@ -128,7 +140,7 @@ def run_level(cpus: int, stream_dir: str, n_events: int, mode: str = "threads") 
     from nvimagecodec_spark.operators.merge import merge_into
     from nvimagecodec_spark.sources.changelog import ChangeStream
 
-    spark = build_spark(cpus, mode)
+    spark = build_spark(cpus, mode, exec_cores)
     spark.sparkContext.setLogLevel("ERROR")
     schema = T.StructType(
         [
@@ -217,12 +229,14 @@ def main() -> None:
     ap.add_argument("--stream-dir", default=None)
     ap.add_argument("--run-level", type=int, default=None, help="internal: run one level")
     ap.add_argument("--mode", default="threads", choices=["threads", "processes"])
+    ap.add_argument("--exec-cores", type=int, default=8,
+                    help="cores per executor JVM in processes mode (use --n for small-N levels)")
     ap.add_argument("--n-events", type=int, default=0, help="internal")
     ap.add_argument("--skip-stage", action="store_true", help="reuse an already-staged stream")
     args = ap.parse_args()
 
     if args.run_level is not None:
-        print(json.dumps(run_level(args.run_level, args.stream_dir, args.n_events, args.mode)), flush=True)
+        print(json.dumps(run_level(args.run_level, args.stream_dir, args.n_events, args.mode, args.exec_cores)), flush=True)
         return
 
     stream_dir = args.stream_dir or os.path.join(tempfile.gettempdir(), "nvics-scale-stream")
@@ -241,9 +255,17 @@ def main() -> None:
             sys.executable, os.path.abspath(__file__),
             "--run-level", str(cpus),
             "--mode", args.mode,
+            "--exec-cores", str(args.exec_cores),
             "--stream-dir", stream_dir,
             "--n-events", str(n_events),
         ]
+        # pin the WHOLE level (driver + executors, which inherit the
+        # affinity mask) to `cpus` host CPUs: an "8-core cluster" level on
+        # a 32-core box must not borrow the idle 24 cores' memory
+        # bandwidth and scheduler slack — that unfairness is exactly what
+        # made the N level look too fast and the efficiency look low
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
         if proc.returncode != 0:
             log(proc.stderr[-2000:])

@@ -82,3 +82,41 @@ def test_expiry_preserves_commit_tags(spark, tmp_path):
     assert t.has_commit_tag("s", 0)  # tag outlived its snapshot
     assert t.has_commit_tag("s", 5)
     assert not t.has_commit_tag("s", 99)
+
+
+def test_compression_codec_knobs(spark, tmp_path):
+    """E7: the write codec is a table property (data files) and an export
+    knob — parquet embeds the codec in the file name, so layout proves it."""
+    import os as _os
+
+    from pyspark.sql import types as _T
+    import pyspark.sql.functions as _F
+
+    schema = _T.StructType(
+        [
+            _T.StructField("conv_id", _T.StringType()),
+            _T.StructField("turn_idx", _T.IntegerType()),
+            _T.StructField("text", _T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        schema,
+        ["conv_id", "turn_idx"],
+        bucket_count=2,
+        properties={"write.compression": "zstd"},
+    )
+    t.append(spark.createDataFrame([("c1", 0, "x")], schema))
+    data_files = [f["path"] for f in t.current_snapshot().files]
+    assert data_files and all(".zstd.parquet" in p for p in data_files), data_files
+
+    out = str(tmp_path / "export-gz")
+    t.export(out, compression="gzip")
+    exported = [f for f in _os.listdir(out) if f.endswith(".parquet")]
+    assert exported and all(".gz.parquet" in f for f in exported), exported
+    # default falls back to the table property
+    out2 = str(tmp_path / "export-default")
+    t.export(out2)
+    exported2 = [f for f in _os.listdir(out2) if f.endswith(".parquet")]
+    assert exported2 and all(".zstd.parquet" in f for f in exported2), exported2
