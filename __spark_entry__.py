@@ -486,7 +486,7 @@ def q_emb_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.near_dup_pairs(_emb_augmented(spark, sf_dir), threshold=0.90, dim=64)
+    return S.near_dup_pairs(_emb_augmented(spark, sf_dir), threshold=0.90)
 
 
 def q_emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

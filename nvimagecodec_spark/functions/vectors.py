@@ -32,19 +32,3 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
-
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """Dot product as a statically unrolled expression tree.
-
-    Spark's higher-order functions (aggregate/zip_with) are interpreted
-    per element — they never enter whole-stage codegen. For a KNOWN dim,
-    sum(a[i]*b[i]) over literal indices compiles into straight-line Java
-    (one GetArrayItem+multiply+add chain), which is what you want inside
-    a pair join evaluating millions of candidates. Left-to-right
-    accumulation matches :func:`dot`'s sequential order bit-for-bit, so
-    oracle parity is unaffected.
-    """
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
-    return acc

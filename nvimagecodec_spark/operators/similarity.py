@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nvimagecodec_spark.functions.vectors import cosine, dot, dot_unrolled, norm
+from nvimagecodec_spark.functions.vectors import cosine, dot, norm
 
 
 def cosine_topk(
@@ -245,8 +245,7 @@ def lsh_near_dup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a._lsh").alias("lsh_bucket"),
-            # unrolled: the per-pair dot runs in whole-stage codegen
-            F.round(dot_unrolled(F.col("a._nvec"), F.col("b._nvec"), dim), 4).alias("cos_sim"),
+            F.round(dot(F.col("a._nvec"), F.col("b._nvec")), 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -258,7 +257,6 @@ def near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
-    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ≥ threshold.
 
@@ -283,17 +281,12 @@ def near_dup_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    pair_dot = (
-        dot_unrolled(F.col("a._nvec"), F.col("b._nvec"), dim)
-        if dim is not None
-        else dot(F.col("a._nvec"), F.col("b._nvec"))
-    )
     return (
         a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(pair_dot, 4).alias("cos_sim"),
+            F.round(dot(F.col("a._nvec"), F.col("b._nvec")), 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
