@@ -244,7 +244,7 @@ def q_cdc_mixed_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ch = _changes(spark, sf_dir)
     after = F.to_json(F.struct("event_type", "value"))
-    enc = (F.col("lsn") % 3).cast("int")
+    enc = (F.col("lsn") % 4).cast("int")
     hex16 = lambda c: F.lpad(F.lower(F.hex(c)), 16, "0")  # noqa: E731
     jsonl = F.to_json(
         F.struct(
@@ -293,8 +293,21 @@ def q_cdc_mixed_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("|"),
         F.when(F.col("op") != "D", after).otherwise(F.lit("")),
     )
+    tsv = F.concat_ws(
+        "\t",
+        F.col("op"),
+        F.col("lsn").cast("string"),
+        F.date_format("commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.col("conv_id"),
+        F.col("turn_idx").cast("string"),
+        F.when(F.col("op") != "D", after).otherwise(F.lit("")),
+    )
     lines = ch.select(
-        F.when(enc == 0, jsonl).when(enc == 1, dbz).otherwise(binary).alias("value"),
+        F.when(enc == 0, jsonl)
+        .when(enc == 1, dbz)
+        .when(enc == 2, binary)
+        .otherwise(tsv)
+        .alias("value"),
         F.lit("mixed").alias("src_file"),
         F.col("lsn").alias("src_offset"),
     )
@@ -686,11 +699,12 @@ def oracle_sql() -> dict[str, str]:
         "cdc_mixed_encodings": f"""
             WITH changes AS ({_CHANGES_SQL})
             SELECT conv_id, turn_idx, lsn, op,
-                   CASE CAST(lsn % 3 AS INTEGER)
+                   CASE CAST(lsn % 4 AS INTEGER)
                         WHEN 0 THEN 'jsonlines'
                         WHEN 1 THEN 'debezium'
-                        ELSE 'binary-v1' END AS src_format,
-                   CASE WHEN lsn % 3 = 1
+                        WHEN 2 THEN 'binary-v1'
+                        ELSE 'tsv' END AS src_format,
+                   CASE WHEN lsn % 4 = 1
                         THEN (epoch_us(commit_ts) // 1000) * 1000
                         ELSE epoch_us(commit_ts) END AS ts_us,
                    CASE WHEN op <> 'D' THEN event_type END AS event_type_out,

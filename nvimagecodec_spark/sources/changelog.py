@@ -261,6 +261,68 @@ def _binary_normalize(j: Column, raw: Column) -> dict[str, Column]:
     }
 
 
+# ------------------------------------------------------------ TSV envelope
+#
+# Delimited text encoding (the CSV/TSV tier every CDC tool also speaks):
+#   op \t lsn \t commit_ts \t conv_id \t turn_idx \t after-json
+# Empty fields = null; after-json is the raw row image (may itself
+# contain anything but tab/newline — JSON escapes both). For op=S the
+# last field is the schema_change JSON. Parsing is a single split() +
+# element_at projections — JVM-side, no regex per field.
+
+
+def encode_tsv_line(
+    op: str,
+    lsn: int,
+    commit_ts: str,
+    conv_id: str | None,
+    turn_idx: int | None,
+    payload_json: str | None,
+) -> str:
+    turn = "" if turn_idx is None else str(turn_idx)
+    return "\t".join([op, str(lsn), commit_ts, conv_id or "", turn, payload_json or ""])
+
+
+def _tsv_probe(raw: Column) -> Column:
+    # first two chars are an op letter + tab — cheap and specific
+    return F.substring(raw, 1, 1).isin("I", "U", "D", "S") & (
+        F.substring(raw, 2, 1) == "\t"
+    )
+
+
+def _tsv_struct(raw: Column) -> Column:
+    # try_to_number-style guards: empty fields are nulls, and under ANSI
+    # mode (Spark 4 default) a bare cast('' as int) would kill the scan
+    parts = F.split(raw, "\t", 6)
+
+    def num(i: int, t: str) -> Column:
+        return F.element_at(parts, i).try_cast(t)
+
+    return F.struct(
+        F.element_at(parts, 1).alias("op"),
+        num(2, "long").alias("lsn"),
+        F.element_at(parts, 3).alias("cts"),
+        F.element_at(parts, 4).alias("conv_id"),
+        num(5, "int").alias("turn_idx"),
+        F.element_at(parts, 6).alias("payload"),
+    )
+
+
+def _tsv_normalize(j: Column, raw: Column) -> dict[str, Column]:
+    nonempty = F.length(j["payload"]) > 0
+    return {
+        "op": j["op"],
+        "lsn": j["lsn"],
+        "commit_ts": F.to_timestamp(j["cts"]),
+        "conv_id": F.when(F.length(j["conv_id"]) > 0, j["conv_id"]),
+        "turn_idx": j["turn_idx"],
+        "after": F.when((j["op"] != "S") & nonempty, j["payload"]),
+        "schema_change": F.when(
+            (j["op"] == "S") & nonempty, F.from_json(j["payload"], SCHEMA_CHANGE_SCHEMA)
+        ),
+    }
+
+
 FORMAT_REGISTRY: list[SourceFormat] = []
 
 
@@ -275,6 +337,7 @@ register_format(SourceFormat("jsonlines", 1.0, _plain_probe, _plain_struct, _pla
 register_format(SourceFormat("debezium", 2.0, _debezium_probe, _debezium_struct, _debezium_normalize))
 # magic-byte probe is the cheapest + most specific — probed first
 register_format(SourceFormat("binary-v1", 0.5, _binary_probe, _binary_struct, _binary_normalize))
+register_format(SourceFormat("tsv", 3.0, _tsv_probe, _tsv_struct, _tsv_normalize))
 
 
 def detect_format_expr(raw: Column) -> Column:

@@ -173,9 +173,9 @@ def events_to_files(df: pd.DataFrame, out_dir: str, files: int = 8, encoding_mix
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     chunks = np.array_split(np.arange(len(df)), files)
-    exts = ["jsonl", "dbz", "cdcb"]
+    exts = ["jsonl", "dbz", "cdcb", "tsv"]
     for i, idx in enumerate(chunks):
-        enc = exts[i % 3] if encoding_mix else "jsonl"
+        enc = exts[i % len(exts)] if encoding_mix else "jsonl"
         name = f"part-{i:05d}.{enc}"
         path = os.path.join(out_dir, name)
         with open(path, "w") as f:
@@ -194,13 +194,20 @@ def encode_row(row, encoding) -> str:
     sc = row.get("schema_change")
     sc = sc if isinstance(sc, dict) else None
     turn = None if pd.isna(row["turn_idx"]) else int(row["turn_idx"])
-    if encoding == "cdcb":
-        from nvimagecodec_spark.sources.changelog import encode_binary_line
+    if encoding in ("cdcb", "tsv"):
+        from nvimagecodec_spark.sources.changelog import (
+            encode_binary_line,
+            encode_tsv_line,
+        )
 
         payload = json.dumps(sc) if row["op"] == "S" and sc else (
             json.dumps(after) if after else None
         )
         conv = row["conv_id"] if isinstance(row["conv_id"], str) else None
+        if encoding == "tsv":
+            return encode_tsv_line(
+                row["op"], int(row["lsn"]), ts.isoformat(sep=" "), conv, turn, payload
+            )
         return encode_binary_line(
             row["op"], int(row["lsn"]), int(ts.value // 1000), conv, turn, payload
         )
