@@ -125,6 +125,59 @@ class IvfIndex:
             raise KeyError(f"no vector with {id_col}={anchor_id}")
         return [float(x) for x in row[0]]
 
+    # ------------------------------------------------------------- maintain
+    def upsert(self, embeddings: DataFrame) -> int:
+        """Incrementally add vectors to the index WITHOUT retraining:
+        each new vector is assigned to its nearest existing centroid
+        (one narrow crossJoin against the broadcast centroid table +
+        max_by — no Python rows, no k-means) and appended to that cell's
+        partition directory. Returns the number of vectors added.
+
+        Centroids drift as data drifts; `assignment_quality()` exposes
+        the mean vector→centroid similarity so callers can schedule a
+        rebuild when it degrades (the reference's processor-reuse model:
+        cheap incremental use of a once-built artifact,
+        /root/reference/src/image_generic_codec.h:463-469).
+        """
+        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        cent_rows = self.centroids()
+        cent_df = self.spark.createDataFrame(
+            cent_rows, "cell int, centroid array<double>"
+        )
+        assigned = (
+            embeddings.crossJoin(F.broadcast(cent_df))
+            .select(
+                "*",
+                cosine(F.col(vec_col), F.col("centroid")).alias("_sim"),
+            )
+            .groupBy(*embeddings.columns)
+            .agg(F.max_by("cell", "_sim").alias("cell"))
+        )
+        n = assigned.count()
+        (
+            assigned.repartition(self.meta["n_cells"], F.col("cell"))
+            .write.partitionBy("cell")
+            .mode("append")
+            .parquet(os.path.join(self.path, "assignments"))
+        )
+        return n
+
+    def assignment_quality(self) -> float:
+        """Mean cosine(vector, its cell centroid) over the whole index —
+        the rebuild-scheduling signal (drops as upserted data drifts)."""
+        vec_col = self.meta["vec_col"]
+        cent_df = self.spark.createDataFrame(
+            self.centroids(), "cell int, centroid array<double>"
+        )
+        df = self.spark.read.parquet(os.path.join(self.path, "assignments"))
+        row = (
+            df.join(F.broadcast(cent_df), "cell")
+            .select(cosine(F.col(vec_col), F.col("centroid")).alias("_sim"))
+            .agg(F.avg("_sim"))
+            .first()
+        )
+        return float(row[0])
+
     def topk(
         self, anchor: list[float] | int, k: int = 10, n_probe: int = 2
     ) -> DataFrame:

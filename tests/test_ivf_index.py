@@ -58,3 +58,35 @@ def test_recall_vs_brute_force(spark, index):
     approx = [r["vec_id"] for r in index.topk(anchor=0, k=10, n_probe=3).collect()]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.5, f"recall {recall}: exact={exact} approx={approx}"
+
+
+def test_upsert_without_retrain(spark, tmp_path):
+    """Incremental adds: new vectors land in their nearest cell's
+    partition, become queryable, and never disturb existing rows."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = IvfIndex.build(emb, str(tmp_path / "idx"), n_cells=8, seed=7)
+    before = idx.candidates(list(range(8))).count()
+    q_before = idx.assignment_quality()
+
+    # planted copies of vec 0..9 shifted +0.05, new ids
+    new = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"),
+        "label",
+        # keep array<float> so the appended files match the index schema
+        F.transform("embedding", lambda x: (x.cast("double") + F.lit(0.05)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    added = idx.upsert(new)
+    assert added == 10
+    after = idx.candidates(list(range(8))).count()
+    assert after == before + 10
+
+    # a near-identical planted copy must now appear in anchor-0's top-k
+    top = [r["vec_id"] for r in idx.topk(anchor=0, k=3, n_probe=3).collect()]
+    assert 5_000_000 in top, top
+    # quality signal stays finite and sane
+    q_after = idx.assignment_quality()
+    assert -1.0 <= q_after <= 1.0 and abs(q_after - q_before) < 0.2
