@@ -42,6 +42,23 @@ def changed_buckets(table: LakeTable, from_id: int, to_id: int) -> list[int]:
     return sorted(out)
 
 
+def read_changes_for_tags(
+    table: LakeTable,
+    source_id: str,
+    from_batch_id: int,
+    to_batch_id: int,
+) -> DataFrame:
+    """Changelog between two exactly-once commit tags of one source —
+    'what did batches (from, to] of source X change' without the caller
+    resolving snapshot ids by hand."""
+    lo = table.snapshot_for_tag(source_id, from_batch_id)
+    hi = table.snapshot_for_tag(source_id, to_batch_id)
+    if lo is None or hi is None:
+        missing = from_batch_id if lo is None else to_batch_id
+        raise KeyError(f"no committed snapshot tagged ({source_id}, {missing})")
+    return read_changes(table, lo.snapshot_id, hi.snapshot_id)
+
+
 def read_changes(table: LakeTable, from_id: int, to_id: int) -> DataFrame:
     """Row-level diff between two snapshots, as change events.
 

@@ -264,6 +264,25 @@ class LakeTable:
                 return self._entry_to_snapshot(s)
         raise KeyError(f"no snapshot {snapshot_id}")
 
+    def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
+        """Latest snapshot committed at or before ``timestamp_ms`` —
+        Iceberg's TIMESTAMP AS OF time travel (U7 parity)."""
+        best = None
+        for s in self.meta["snapshots"]:
+            if s["timestamp_ms"] <= timestamp_ms and (
+                best is None or s["timestamp_ms"] >= best["timestamp_ms"]
+            ):
+                best = s
+        if best is None:
+            raise KeyError(f"no snapshot at or before {timestamp_ms}")
+        return self._entry_to_snapshot(best)
+
+    def create_view(self, name: str) -> None:
+        """Register the CURRENT logical state as a temp view so plain
+        ``spark.sql`` works against the table (snapshot-consistent: the
+        view pins the file list resolved now; re-call after new commits)."""
+        self.read_logical().createOrReplaceTempView(name)
+
     def history(self) -> list[Snapshot]:
         return [self._entry_to_snapshot(s) for s in self.meta["snapshots"]]
 
@@ -355,7 +374,7 @@ class LakeTable:
         for s in self.meta["snapshots"]:
             tag = s.get("tag")
             if tag and tag.get("source_id") == source_id and tag.get("batch_id") == batch_id:
-                return Snapshot(**s)
+                return self._entry_to_snapshot(s)
         return None
 
     # --------------------------------------------------------------- buckets

@@ -235,13 +235,18 @@ class CdcEngine:
         max_files_per_trigger: int = 16,
         max_epochs: int | None = None,
         await_seconds: float | None = None,
+        trigger_interval: str | None = None,
     ):
         """Structured Streaming file tail → foreachBatch epochs.
 
         Epochs are serialized (T1); Spark's checkpoint + our commit tags
-        give exactly-once. ``max_epochs`` stops the query after N non-empty
-        epochs (for tests); production callers pass None and manage the
-        query handle themselves.
+        give exactly-once. Default trigger is ``availableNow`` (drain the
+        backlog, then stop — batch-of-stream semantics); pass
+        ``trigger_interval`` (e.g. "5 seconds") for an ALWAYS-ON tail that
+        keeps polling the directory — the production mode. With an
+        interval trigger the query handle is RETURNED still running and
+        the caller owns its lifecycle (``handle.stop()``); without one
+        this blocks until the backlog drains and returns the epoch count.
         """
         raw = (
             self.spark.readStream.format("text")
@@ -257,12 +262,12 @@ class CdcEngine:
             self.apply_epoch(events, batch_id)
             applied["n"] += 1
 
-        q = (
-            raw.writeStream.foreachBatch(epoch_fn)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
+        writer = raw.writeStream.foreachBatch(epoch_fn).option(
+            "checkpointLocation", self.checkpoint_dir
         )
+        if trigger_interval:
+            return writer.trigger(processingTime=trigger_interval).start()
+        q = writer.trigger(availableNow=True).start()
         try:
             q.awaitTermination(await_seconds)
         finally:
