@@ -135,17 +135,24 @@ class CdcEngine:
         if n_dead and self.config.dead_letter_dir:
             # sink keeps the raw line + lineage so operators can replay it
             # after registering the missing format (the reference never
-            # loses a sample — it latches UNSUPPORTED)
+            # loses a sample — it latches UNSUPPORTED). Partitioned by
+            # (source_id, batch_id) and written with dynamic-partition
+            # OVERWRITE: a crash-replayed epoch rewrites ITS partition
+            # instead of appending duplicates — the sink is exactly-once
+            # like the table commit it rides along with.
             (
                 events.where(F.col("src_format").isNull())
                 .select(
                     "src_file",
                     "src_offset",
                     "raw_value",
-                    F.lit(batch_id).alias("batch_id"),
                     F.lit(self.source_id).alias("source_id"),
+                    F.lit(batch_id).alias("batch_id"),
                 )
-                .write.mode("append")
+                .coalesce(1)
+                .write.partitionBy("source_id", "batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
                 .parquet(self.config.dead_letter_dir)
             )
 

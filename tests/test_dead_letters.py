@@ -122,3 +122,49 @@ def test_no_sink_configured_still_counts(spark, tmp_path, stream_dir):
     engine.run_stream(stream_dir, max_files_per_trigger=10)
     assert table.read_logical().count() == 6
     assert sum(r.get("dead_letters", 0) for r in engine.lineage()) == 4
+
+
+def test_dead_letter_sink_idempotent_under_crash_replay(spark, tmp_path, stream_dir, monkeypatch):
+    """Crash AFTER the dead-letter write but BEFORE the merge commit, then
+    replay the epoch: the sink partition is overwritten, not appended —
+    no duplicate dead letters (exactly-once extends to the sink)."""
+    from nvimagecodec_spark.sources.changelog import ChangeStream, parse_changes
+    from nvimagecodec_spark.streaming import engine as engine_mod
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], bucket_count=4
+    )
+    dl_dir = str(tmp_path / "dead")
+    engine = CdcEngine(
+        spark,
+        table,
+        source_id="dl-replay",
+        config=EngineConfig(dead_letter_dir=dl_dir, expire_every_epochs=0),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    events = parse_changes(
+        ChangeStream(spark, stream_dir).raw(), keep_dead=True
+    )
+
+    crash = {"armed": True}
+    orig = engine_mod.merge_into
+
+    def crashing_merge(*a, **k):
+        if crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("simulated crash between DL write and commit")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(engine_mod, "merge_into", crashing_merge)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        engine.apply_epoch(events, batch_id=0)
+    n_after_crash = spark.read.parquet(dl_dir).count()
+    assert n_after_crash == 4
+
+    # replay the same epoch to completion
+    engine.apply_epoch(events, batch_id=0)
+    dl = spark.read.parquet(dl_dir)
+    assert dl.count() == 4, "replay duplicated dead letters"
+    assert table.read_logical().count() == 6
