@@ -53,6 +53,13 @@ class EngineConfig:
     # when plugging a non-combinable dedupe formulation into the epoch.
     salt_non_combinable: bool = False
     broadcast_threshold_rows: int = 100_000
+    # Cross-strategy split for bimodal epochs (G4 analog): light buckets
+    # (batch slice <= light_bucket_max_rows) apply via broadcast — their
+    # table data never shuffles — while heavy buckets take sort-merge;
+    # one atomic commit. Measured ~5% at 3M rows, grows with SF; off by
+    # default (unimodal epochs want one strategy).
+    split_light_buckets: bool = False
+    light_bucket_max_rows: int = 1_000
     # Snapshot retention: every snapshot entry carries the table's full
     # live-file manifest, so an unbounded epoch stream grows the metadata
     # json without bound. The engine expires old snapshots every

@@ -196,6 +196,8 @@ class CdcEngine:
             deduped,
             tag={"source_id": self.source_id, "batch_id": batch_id},
             broadcast_threshold_rows=self.config.broadcast_threshold_rows,
+            split_light_buckets=self.config.split_light_buckets,
+            light_bucket_max_rows=self.config.light_bucket_max_rows,
         )
 
         # retention hygiene: bound metadata growth (full file manifest per
