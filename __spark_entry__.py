@@ -326,6 +326,67 @@ def q_cdc_mixed_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro single-object wire round-trip (5th registered format): derive
+    a change stream from `events`, encode every event as a base64 Avro
+    single-object line (real C3 01 magic + CRC-64-AVRO schema-fingerprint
+    framing, sources/avro_sobj.py), then parse it back through the format
+    registry's probe chain. The oracle computes the expected rows directly
+    from `events` — a defect anywhere in the encoder, the fingerprint
+    probe, or the Arrow-batched varint decoder breaks the match.
+    Reference analog: per-format parser plugins probed by magic bytes,
+    /root/reference/src/codec_registry.cpp:47-59."""
+    import pandas as pd
+
+    from nvimagecodec_spark.sources.avro_sobj import encode_avro_line
+    from nvimagecodec_spark.sources.changelog import parse_changes
+
+    ch = _changes(spark, sf_dir)
+    after = F.to_json(F.struct("event_type", "value"))
+    src = ch.select(
+        "op",
+        "lsn",
+        ts_micros(F.col("commit_ts")).alias("ts_us"),
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("op") != "D", after).alias("payload"),
+    )
+
+    # no type hints: postponed annotations ('pd.Series' strings) don't
+    # resolve for function-local imports; default SCALAR is what we want
+    @F.pandas_udf("string")
+    def enc(op, lsn, ts, conv, turn, pay):
+        return pd.Series(
+            [
+                encode_avro_line(
+                    o, int(l), int(t), c,
+                    None if pd.isna(ti) else int(ti),
+                    None if p is None else p,
+                )
+                for o, l, t, c, ti, p in zip(op, lsn, ts, conv, turn, pay)
+            ]
+        )
+
+    lines = src.select(
+        enc("op", "lsn", "ts_us", "conv_id", "turn_idx", "payload").alias("value"),
+        F.lit("avro-stream").alias("src_file"),
+        F.col("lsn").alias("src_offset"),
+    )
+    parsed = parse_changes(lines)
+    return parsed.select(
+        "conv_id",
+        "turn_idx",
+        "lsn",
+        "op",
+        "src_format",
+        ts_micros(F.col("commit_ts")).alias("ts_us"),
+        F.get_json_object("after", "$.event_type").alias("event_type_out"),
+        F.round(F.get_json_object("after", "$.value").cast("double") * 100)
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+
 # ------------------------------------------------------------------- TPC-H
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_epoch_stats": q_cdc_epoch_stats,
         "cdc_mixed_encodings": q_cdc_mixed_encodings,
+        "cdc_avro_roundtrip": q_cdc_avro_roundtrip,
         "events_asof_order": q_events_asof_order,
         "events_sessionization": q_events_sessionization,
         "events_props_extract": q_events_props_extract,
@@ -707,6 +769,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN lsn % 4 = 1
                         THEN (epoch_us(commit_ts) // 1000) * 1000
                         ELSE epoch_us(commit_ts) END AS ts_us,
+                   CASE WHEN op <> 'D' THEN event_type END AS event_type_out,
+                   CASE WHEN op <> 'D'
+                        THEN CAST(ROUND(value * 100) AS BIGINT) END AS value_cents
+            FROM changes
+        """,
+        "cdc_avro_roundtrip": f"""
+            WITH changes AS ({_CHANGES_SQL})
+            SELECT conv_id, turn_idx, lsn, op,
+                   'avro-sobj' AS src_format,
+                   epoch_us(commit_ts) AS ts_us,
                    CASE WHEN op <> 'D' THEN event_type END AS event_type_out,
                    CASE WHEN op <> 'D'
                         THEN CAST(ROUND(value * 100) AS BIGINT) END AS value_cents

@@ -178,6 +178,45 @@ class IvfIndex:
         )
         return float(row[0])
 
+    def maybe_rebuild(self, min_quality: float, seed: int | None = None) -> bool:
+        """Drift-triggered retrain (the scheduled-rebuild half of index
+        maintenance; ``upsert`` is the cheap incremental half): when
+        ``assignment_quality()`` has degraded below ``min_quality``,
+        retrain k-means over the full current vector set into a sibling
+        directory, then swap it in with a rename dance — ``self.path``
+        always holds a complete index, never a half-written one. Returns
+        True iff a rebuild ran; this handle refreshes itself, other
+        handles should re-``load``.
+
+        The quality check is one broadcast-join aggregate; callers can
+        run this after every N upserts as a cheap scheduling policy.
+        """
+        if self.assignment_quality() >= min_quality:
+            return False
+        import shutil
+
+        vectors = self.spark.read.parquet(
+            os.path.join(self.path, "assignments")
+        ).drop("cell")
+        new_path, old_path = self.path + ".rebuild", self.path + ".retired"
+        shutil.rmtree(new_path, ignore_errors=True)
+        shutil.rmtree(old_path, ignore_errors=True)
+        IvfIndex.build(
+            vectors,
+            new_path,
+            n_cells=self.meta["n_cells"],
+            seed=self.meta["seed"] if seed is None else seed,
+            id_col=self.meta["id_col"],
+            vec_col=self.meta["vec_col"],
+        )
+        os.rename(self.path, old_path)
+        os.rename(new_path, self.path)
+        shutil.rmtree(old_path, ignore_errors=True)
+        with open(os.path.join(self.path, "meta.json")) as f:
+            self.meta = json.load(f)
+        self._centroids = None
+        return True
+
     def topk(
         self, anchor: list[float] | int, k: int = 10, n_probe: int = 2
     ) -> DataFrame:

@@ -323,6 +323,30 @@ def _tsv_normalize(j: Column, raw: Column) -> dict[str, Column]:
     }
 
 
+# --------------------------------------------------- Avro single-object
+#
+# Real Avro wire format (C3 01 magic + CRC-64-AVRO schema fingerprint +
+# Avro-binary body), base64-framed per line; decode is pure column
+# expressions — see sources/avro_sobj.py for the format and limits.
+
+from .avro_sobj import avro_parse_struct, avro_probe, encode_avro_line  # noqa: E402,F401
+
+
+def _avro_normalize(j: Column, raw: Column) -> dict[str, Column]:
+    return {
+        "op": j["op"],
+        "lsn": j["lsn"],
+        "commit_ts": F.timestamp_micros(j["ts_us"]),
+        "conv_id": j["conv_id"],
+        "turn_idx": j["turn_idx"],
+        "after": F.when((j["op"] != "S") & j["payload"].isNotNull(), j["payload"]),
+        "schema_change": F.when(
+            (j["op"] == "S") & j["payload"].isNotNull(),
+            F.from_json(j["payload"], SCHEMA_CHANGE_SCHEMA),
+        ),
+    }
+
+
 FORMAT_REGISTRY: list[SourceFormat] = []
 
 
@@ -338,6 +362,8 @@ register_format(SourceFormat("debezium", 2.0, _debezium_probe, _debezium_struct,
 # magic-byte probe is the cheapest + most specific — probed first
 register_format(SourceFormat("binary-v1", 0.5, _binary_probe, _binary_struct, _binary_normalize))
 register_format(SourceFormat("tsv", 3.0, _tsv_probe, _tsv_struct, _tsv_normalize))
+# 12-char constant-prefix probe — as cheap and specific as binary-v1's
+register_format(SourceFormat("avro-sobj", 0.3, avro_probe, avro_parse_struct, _avro_normalize))
 
 
 def detect_format_expr(raw: Column) -> Column:

@@ -168,12 +168,13 @@ def payload_dict(row) -> dict | None:
 
 def events_to_files(df: pd.DataFrame, out_dir: str, files: int = 8, encoding_mix: bool = True) -> list[str]:
     """Serialize delivery-ordered events into `files` files, cycling
-    JSON-lines / Debezium-envelope / binary-v1 encodings (parser-probe
-    fixture — every consumer exercises all three registered formats)."""
+    JSON-lines / Debezium / binary-v1 / TSV / Avro-single-object encodings
+    (parser-probe fixture — every consumer exercises all five registered
+    formats)."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     chunks = np.array_split(np.arange(len(df)), files)
-    exts = ["jsonl", "dbz", "cdcb", "tsv"]
+    exts = ["jsonl", "dbz", "cdcb", "tsv", "avro"]
     for i, idx in enumerate(chunks):
         enc = exts[i % len(exts)] if encoding_mix else "jsonl"
         name = f"part-{i:05d}.{enc}"
@@ -194,8 +195,9 @@ def encode_row(row, encoding) -> str:
     sc = row.get("schema_change")
     sc = sc if isinstance(sc, dict) else None
     turn = None if pd.isna(row["turn_idx"]) else int(row["turn_idx"])
-    if encoding in ("cdcb", "tsv"):
+    if encoding in ("cdcb", "tsv", "avro"):
         from nvimagecodec_spark.sources.changelog import (
+            encode_avro_line,
             encode_binary_line,
             encode_tsv_line,
         )
@@ -207,6 +209,10 @@ def encode_row(row, encoding) -> str:
         if encoding == "tsv":
             return encode_tsv_line(
                 row["op"], int(row["lsn"]), ts.isoformat(sep=" "), conv, turn, payload
+            )
+        if encoding == "avro":
+            return encode_avro_line(
+                row["op"], int(row["lsn"]), int(ts.value // 1000), conv, turn, payload
             )
         return encode_binary_line(
             row["op"], int(row["lsn"]), int(ts.value // 1000), conv, turn, payload

@@ -1,0 +1,126 @@
+"""Avro single-object encoding (5th registered format, sources/avro_sobj.py).
+
+- Wire-format stability: the schema PCF fingerprint (and hence the
+  single-object header and base64 probe prefix) is pinned — an accidental
+  schema or canonicalization change breaks cross-version streams.
+- Pure-Python decoder properties: round-trip over the full value domain
+  (negative ints, unicode, size limits) and no-crash on every truncation
+  of a valid message.
+- Spark path: registry probe claims avro lines, decode matches the
+  encoder, corrupt-but-prefixed lines become null rows (UNSUPPORTED
+  analog), other formats are untouched.
+"""
+
+import base64
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nvimagecodec_spark.sources.avro_sobj import (
+    AVRO_B64_PREFIX,
+    AVRO_HEADER,
+    SCHEMA_PCF,
+    crc64_avro,
+    decode_avro_message,
+    encode_avro_line,
+    encode_avro_record,
+)
+from nvimagecodec_spark.sources.changelog import parse_changes
+
+
+def test_wire_format_pinned():
+    # CRC-64-AVRO of the empty input is the spec's EMPTY constant
+    assert crc64_avro(b"") == 0xC15D213AA4D7A795
+    # pinned fingerprint of the writer schema's PCF: changing the schema,
+    # the PCF serialization, or the CRC silently forks the wire format
+    assert crc64_avro(SCHEMA_PCF.encode()) == 0xCE4646AC36E923D9
+    assert AVRO_HEADER[:2] == b"\xc3\x01"
+    assert len(AVRO_HEADER) == 10
+    assert AVRO_B64_PREFIX == base64.b64encode(AVRO_HEADER).decode()[:12]
+    assert len(AVRO_B64_PREFIX) == 12
+
+
+events = st.tuples(
+    st.sampled_from(["I", "U", "D", "S"]),
+    st.integers(min_value=-(2**62) + 1, max_value=2**62 - 1),  # lsn
+    st.integers(min_value=0, max_value=2**62 - 1),  # ts_us
+    st.one_of(st.none(), st.text(max_size=50)),  # conv_id (any unicode)
+    st.one_of(st.none(), st.integers(min_value=-(2**31), max_value=2**31 - 1)),
+    st.one_of(st.none(), st.text(max_size=120)),  # payload
+)
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events)
+def test_python_round_trip(e):
+    op, lsn, ts, conv, turn, payload = e
+    line = encode_avro_line(op, lsn, ts, conv, turn, payload)
+    assert line.startswith(AVRO_B64_PREFIX)
+    got = decode_avro_message(base64.b64decode(line))
+    exp_payload = payload if payload else None  # "" encodes as null union
+    assert got == (op, lsn, ts, conv, turn, exp_payload)
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events, st.integers(min_value=0, max_value=200))
+def test_truncation_never_raises(e, cut):
+    msg = AVRO_HEADER + encode_avro_record(*e)
+    out = decode_avro_message(msg[: min(cut, len(msg))])
+    assert isinstance(out, tuple) and len(out) == 6
+    if cut < len(AVRO_HEADER):
+        assert out == (None,) * 6
+
+
+def test_encoder_enforces_decoder_limits():
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_avro_line("I", 2**62, 0, "c", 0, None)  # long out of range
+    with pytest.raises(ValueError):
+        encode_avro_line("I" * 64, 0, 0, "c", 0, None)  # op too long
+    with pytest.raises(ValueError):
+        encode_avro_line("I", 0, 0, "c" * 8192, 0, None)  # conv_id too long
+
+
+def test_spark_parse_and_registry_claims(spark):
+    lines = [
+        encode_avro_line("I", 7, 1_700_000_000_000_000, "c-1", 2, '{"text":"hé"}'),
+        encode_avro_line("D", 8, 1_700_000_000_000_001, "c-1", 2, None),
+        encode_avro_line(
+            "S", 9, 1_700_000_000_000_002, None, None,
+            '{"kind":"add","column":"rating","new_type":"int"}',
+        ),
+        AVRO_B64_PREFIX + "@@not-base64@@",  # claimed, corrupt -> null row
+        '{"op":"I","lsn":10,"commit_ts":"2025-01-01 00:00:00","conv_id":"j","turn_idx":1,"after":{"x":1}}',
+    ]
+    df = spark.createDataFrame(
+        [(ln, "f", i) for i, ln in enumerate(lines)],
+        "value string, src_file string, src_offset long",
+    )
+    rows = parse_changes(df).orderBy("src_offset").collect()
+    assert [r.src_format for r in rows] == ["avro-sobj"] * 4 + ["jsonlines"]
+    assert (rows[0].op, rows[0].lsn, rows[0].conv_id, rows[0].turn_idx) == ("I", 7, "c-1", 2)
+    assert json.loads(rows[0].after) == {"text": "hé"}
+    assert rows[0].commit_ts.isoformat() == "2023-11-14T22:13:20"
+    assert rows[1].op == "D" and rows[1].after is None
+    assert rows[2].schema_change.kind == "add" and rows[2].schema_change.column == "rating"
+    assert rows[2].after is None  # op=S payload routes to schema_change only
+    corrupt = rows[3]
+    assert corrupt.op is None and corrupt.lsn is None and corrupt.after is None
+    assert rows[4].src_format == "jsonlines" and rows[4].lsn == 10
+
+
+def test_arrow_boundary_is_probe_gated(spark):
+    # Non-avro rows must reach Python as nulls: a plan-level proxy is that
+    # parsing a pure-jsonl frame still works and yields zero avro claims
+    # (the decode UDF sees only nulls and returns all-None structs).
+    df = spark.createDataFrame(
+        [('{"op":"I","lsn":%d,"commit_ts":"2025-01-01 00:00:00","conv_id":"c","turn_idx":0,"after":{}}' % i,
+          "f", i) for i in range(100)],
+        "value string, src_file string, src_offset long",
+    )
+    out = parse_changes(df)
+    assert out.where(F.col("src_format") == "avro-sobj").count() == 0
+    assert out.count() == 100

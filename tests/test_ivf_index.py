@@ -90,3 +90,42 @@ def test_upsert_without_retrain(spark, tmp_path):
     # quality signal stays finite and sane
     q_after = idx.assignment_quality()
     assert -1.0 <= q_after <= 1.0 and abs(q_after - q_before) < 0.2
+
+
+def test_maybe_rebuild_on_drift(spark, tmp_path):
+    """Scheduled-retrain policy: upserts that drift the corpus trigger a
+    rebuild once quality crosses the threshold; the swap leaves a fully
+    queryable index and quality recovers."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = IvfIndex.build(emb, str(tmp_path / "idx"), n_cells=8, seed=7)
+    q0 = idx.assignment_quality()
+
+    # below current quality -> no-op
+    assert idx.maybe_rebuild(min_quality=q0 - 0.05) is False
+
+    # drift: a far-away synthetic cluster the trained centroids never saw
+    drifted = emb.where(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 9_000_000).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * -3.0 + F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    idx.upsert(drifted)
+    q_drifted = idx.assignment_quality()
+    assert q_drifted < q0
+
+    total_before = idx.candidates(list(range(8))).count()
+    # threshold above the drifted quality -> rebuild runs
+    assert idx.maybe_rebuild(min_quality=q_drifted + 1e-6) is True
+    # no rows lost, layout intact, handle refreshed, quality recovered
+    assert idx.candidates(list(range(8))).count() == total_before
+    assert len(idx.centroids()) == 8
+    assert idx.assignment_quality() > q_drifted
+    top = [r["vec_id"] for r in idx.topk(anchor=0, k=5, n_probe=3).collect()]
+    assert len(top) == 5
+    # no leftover swap directories
+    assert not os.path.exists(idx.path + ".rebuild")
+    assert not os.path.exists(idx.path + ".retired")

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from nvimagecodec_spark.sources.changelog import (
     dead_letters,
+    encode_avro_line,
     encode_binary_line,
     encode_tsv_line,
     parse_changes,
@@ -64,7 +65,7 @@ def _expected(e):
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(events(), min_size=1, max_size=12))
-def test_binary_and_tsv_round_trip(spark, evts):
+def test_binary_tsv_avro_round_trip(spark, evts):
     lines = []
     import pandas as pd
 
@@ -73,16 +74,22 @@ def test_binary_and_tsv_round_trip(spark, evts):
         ts_str = (
             pd.Timestamp(e["ts_us"], unit="us").isoformat(sep=" ")
         )
-        if i % 2 == 0:
+        if i % 3 == 0:
             lines.append(
                 encode_binary_line(
                     e["op"], e["lsn"], e["ts_us"], e["conv_id"], e["turn_idx"], payload
                 )
             )
-        else:
+        elif i % 3 == 1:
             lines.append(
                 encode_tsv_line(
                     e["op"], e["lsn"], ts_str, e["conv_id"], e["turn_idx"], payload
+                )
+            )
+        else:
+            lines.append(
+                encode_avro_line(
+                    e["op"], e["lsn"], e["ts_us"], e["conv_id"], e["turn_idx"], payload
                 )
             )
     df = spark.createDataFrame([(ln, "f", i) for i, ln in enumerate(lines)],
