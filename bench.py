@@ -241,6 +241,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        # round-over-round comparable total: per-query steady-state (best of
+        # reps) summed; `value` is wall clock and GROWS with --reps, so
+        # compare THIS field (and the per-sec headlines) across rounds
+        "queries_total_best": round(sum(v for v in queries.values() if v), 3),
         "sf": sf,
         "cpus": args.cpus,
         **extras,
