@@ -31,7 +31,7 @@ from nvimagecodec_spark.operators import similarity as S
 from nvimagecodec_spark.operators import multimodal as M
 from nvimagecodec_spark.operators import text as X
 from nvimagecodec_spark.operators.lww import lww_dedupe
-from nvimagecodec_spark.operators.merge import merge_into
+from nvimagecodec_spark.operators.merge import merge_into, merge_into_delta
 from nvimagecodec_spark.operators.sessionize import session_stats
 from nvimagecodec_spark.lakehouse.table import LakeTable
 
@@ -137,6 +137,49 @@ def q_cdc_engine_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
     )
     merge_into(table, lww_dedupe(ch))
+    return table.read_logical().select(
+        "conv_id",
+        "turn_idx",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        ts_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
+def q_cdc_mor_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read apply: the same change stream lands as one CoW base
+    epoch + three DELTA-LAYERED epochs (scattered keys — the regime where
+    CoW rewrites every bucket; delta writes are O(batch) and never read
+    the base), then the read reconciles the layers with the shared LWW
+    order comparator. Oracle = the same windowed SQL as cdc_engine_apply:
+    the final state must be indistinguishable from copy-on-write."""
+    ch = _changes(spark, sf_dir).withColumn(
+        "after",
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.col("value"),
+                F.date_format("commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            )
+        ),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nvics-mor-")
+    _TEMP_DIRS.append(tmp)
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
+    )
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 4 == 0)))
+    for i in (1, 2, 3):
+        merge_into_delta(table, lww_dedupe(ch.where(F.col("lsn") % 4 == i)))
     return table.read_logical().select(
         "conv_id",
         "turn_idx",
@@ -583,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": q_cdc_lww_final_state,
         "cdc_engine_apply": q_cdc_engine_apply,
+        "cdc_mor_apply": q_cdc_mor_apply,
         "cdc_op_stats": q_cdc_op_stats,
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_epoch_stats": q_cdc_epoch_stats,
@@ -728,6 +772,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_final_state": _LWW_FINAL_SQL,
         "cdc_engine_apply": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes)
+            SELECT conv_id, turn_idx, event_type, round(value, 2) AS value,
+                   epoch_us(commit_ts) AS ts_us
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_mor_apply": f"""
             WITH changes AS ({_CHANGES_SQL}),
             w AS (SELECT *, ROW_NUMBER() OVER (
                     PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn

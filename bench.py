@@ -177,6 +177,35 @@ def bench_cdc_apply(spark, sf_dir: str) -> dict:
         out["cdc_incr_strategy"] = res2.strategy
         log(f"cdc_incr_apply: {n_upd} events in {incr:.2f}s "
             f"({n_upd / incr:,.0f} ev/s, {res2.strategy}, reps={incr_times})")
+
+        # merge-on-read incremental: same scattered-update batch, applied
+        # as a delta layer (O(batch) write, base never read) — the CoW vs
+        # MoR write-amplification comparison is the point; the reconciled
+        # read is timed too so the read-side cost is never hidden.
+        from nvimagecodec_spark.operators.merge import merge_into_delta
+
+        mor_times, mor_read_times = [], []
+        for r in range(2):
+            table = LakeTable.create(
+                spark, os.path.join(tmp, f"m{r}"), schema, ["conv_id", "turn_idx"], bucket_count=32
+            )
+            merge_into(table, lww_dedupe(ch))  # base (untimed)
+            t0 = time.time()
+            res3 = merge_into_delta(table, lww_dedupe(upd))
+            mor_times.append(round(time.time() - t0, 3))
+            t0 = time.time()
+            table.read_logical().selectExpr("count(*)").collect()
+            mor_read_times.append(round(time.time() - t0, 3))
+            shutil.rmtree(os.path.join(tmp, f"m{r}"), ignore_errors=True)
+        mor = min(mor_times)
+        out["cdc_mor_apply"] = mor
+        out["cdc_mor_apply_reps"] = mor_times
+        out["cdc_mor_events_per_sec"] = round(n_upd / mor, 1)
+        out["cdc_mor_read"] = min(mor_read_times)
+        out["cdc_mor_strategy"] = res3.strategy
+        log(f"cdc_mor_apply: {n_upd} events in {mor:.2f}s "
+            f"({n_upd / mor:,.0f} ev/s, {res3.strategy}, reps={mor_times}; "
+            f"reconciled read {min(mor_read_times):.2f}s)")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -73,4 +73,13 @@ class EngineConfig:
     max_batch_events: int = 50_000_000
     shuffle_partitions: int = 32
     dead_letter_dir: str | None = None
+    # Merge-on-read mode: epochs layer delta files over the base instead
+    # of copy-on-write rewriting every touched bucket — the write-
+    # amplification answer for the steady-state regime of small batches
+    # scattered across keys (O(batch) writes; reads reconcile dirty
+    # buckets lazily). Buckets accumulating more than
+    # `delta_compact_max_files` delta layers are folded back into base
+    # files after the epoch commit, bounding read amplification.
+    mor_deltas: bool = False
+    delta_compact_max_files: int = 8
     extra: dict = field(default_factory=dict)

@@ -67,13 +67,30 @@ SYSTEM_COLS: dict[str, T.DataType] = {
 }
 
 
+_ORDER_COLS = ["_sys_lsn", "_sys_cts", "_sys_sf", "_sys_so"]
+
+
+def order_struct(prefix: str = "") -> F.Column:
+    """Comparable LWW order struct from the system columns (null-floored).
+    THE tie-break everywhere: merge strategies, delta reconciliation."""
+    floors = {
+        "_sys_lsn": F.lit(-(2**62)).cast("long"),
+        "_sys_cts": F.to_timestamp(F.lit("1900-01-01 00:00:00")),
+        "_sys_sf": F.lit(""),
+        "_sys_so": F.lit(-(2**62)).cast("long"),
+    }
+    return F.struct(
+        *[F.coalesce(F.col(prefix + c), floors[c]).alias(c) for c in _ORDER_COLS]
+    )
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
     parent_id: int | None
     timestamp_ms: int
-    operation: str  # "append" | "merge" | "overwrite" | "create" | "schema"
-    files: list[dict]  # [{"path": str, "bucket": int, "rows": int}]
+    operation: str  # "append" | "merge" | "overwrite" | "create" | "schema" | "delta"
+    files: list[dict]  # [{"path": str, "bucket": int, "rows": int[, "kind": "delta"]}]
     summary: dict = field(default_factory=dict)
     tag: dict | None = None  # {"source_id": str, "batch_id": int}
     schema_version: int = 0
@@ -421,17 +438,40 @@ class LakeTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
-        phys_schema = tschema.to_spark_physical().add(BUCKET_COL, T.IntegerType())
-        extra = [BUCKET_COL]
-        if with_system:
-            for name, dtype in SYSTEM_COLS.items():
-                phys_schema = phys_schema.add(name, dtype)
-            extra += list(SYSTEM_COLS)
-        if not files:
-            out = self.spark.createDataFrame([], phys_schema)
-        else:
-            out = self.spark.read.schema(phys_schema).parquet(*[f["path"] for f in files])
-        return tschema.project_physical_to_logical(out, extra_cols=extra)
+
+        def scan(fl: list[dict], with_sys: bool) -> DataFrame:
+            phys = tschema.to_spark_physical().add(BUCKET_COL, T.IntegerType())
+            extra = [BUCKET_COL]
+            if with_sys:
+                for name, dtype in SYSTEM_COLS.items():
+                    phys = phys.add(name, dtype)
+                extra += list(SYSTEM_COLS)
+            if not fl:
+                out = self.spark.createDataFrame([], phys)
+            else:
+                out = self.spark.read.schema(phys).parquet(*[f["path"] for f in fl])
+            return tschema.project_physical_to_logical(out, extra_cols=extra)
+
+        # Merge-on-read reconciliation: buckets carrying delta files get
+        # base ∪ deltas resolved to one winner per key by the SAME order
+        # comparator the merge strategies use (system cols are per-row
+        # sequence numbers, so no layer bookkeeping is needed — a stale
+        # base row simply loses). Clean buckets scan straight through
+        # with NO shuffle; only dirty buckets pay the reconcile exchange.
+        dirty = {f["bucket"] for f in files if f.get("kind") == "delta"}
+        if not dirty:
+            return scan(files, with_system)
+        clean_df = scan([f for f in files if f["bucket"] not in dirty], with_system)
+        dirty_df = scan([f for f in files if f["bucket"] in dirty], True)
+        cols = dirty_df.columns
+        recon = (
+            dirty_df.groupBy(*self.key_cols)
+            .agg(F.max_by(F.struct(*[F.col(c) for c in cols]), order_struct()).alias("_w"))
+            .select(*[F.col(f"_w.{c}").alias(c) for c in cols])
+        )
+        if not with_system:
+            recon = recon.drop(*SYSTEM_COLS)
+        return clean_df.unionByName(recon)
 
     def read_logical(self, **kw) -> DataFrame:
         """User-facing read: tombstones filtered, system/bucket cols hidden."""
@@ -588,6 +628,62 @@ class LakeTable:
             return [f for f in snap.files if f["bucket"] not in bset] + new_files
 
         return self._commit("merge", files_fn, s, tag=tag)
+
+    def append_deltas(
+        self, df: DataFrame, tag: dict | None = None, summary: dict | None = None
+    ) -> Snapshot:
+        """Merge-on-read commit: layer pre-resolved winner rows (target
+        schema + system order cols + tombstones, one row per key) OVER the
+        base WITHOUT reading or rewriting it. Write cost is O(batch) —
+        the streaming-ingest hot path where copy-on-write would rewrite
+        every touched bucket for a trickle of scattered updates (classic
+        CoW write amplification; Hudi/Iceberg solve it the same way).
+
+        Reads reconcile lazily (see ``read``): the per-row order keys make
+        reconciliation commutative, so delta commits are append-only and
+        conflict-free among themselves — a lost optimistic race just
+        replays on top of the winner. A racing compaction that consumed
+        existing deltas still validates against ITS assumed file set, so
+        nothing is ever double-dropped. Fold deltas back into the base
+        with ``compact_deltas`` once read amplification matters.
+        """
+        self.refresh()
+        next_id = self.current_snapshot().snapshot_id + 1
+        new_files = [
+            {**f, "kind": "delta"} for f in self._write_data_files(df, next_id)
+        ]
+        s = {"delta_files": len(new_files)}
+        s.update(summary or {})
+        return self._commit("delta", lambda snap: snap.files + new_files, s, tag=tag)
+
+    def delta_stats(self) -> dict[int, int]:
+        """Per-bucket live delta-file counts — the compaction-scheduling
+        signal (read amplification grows with layered deltas)."""
+        out: dict[int, int] = {}
+        for f in self.current_snapshot().files:
+            if f.get("kind") == "delta":
+                out[f["bucket"]] = out.get(f["bucket"], 0) + 1
+        return out
+
+    def compact_deltas(
+        self, max_delta_files: int = 0, tag: dict | None = None
+    ) -> Snapshot | None:
+        """Fold delta layers back into base files for every bucket holding
+        more than ``max_delta_files`` deltas (bucket-granular — untouched
+        buckets carry over by reference). The reconciled read IS the new
+        base content; `replace_buckets` swaps out base and consumed delta
+        files atomically, with serializable validation against racing
+        writers. Returns None if nothing to fold."""
+        self.refresh()
+        dirty = sorted(
+            b for b, n in self.delta_stats().items() if n > max_delta_files
+        )
+        if not dirty:
+            return None
+        df = self.read(buckets=dirty, with_system=True)
+        return self.replace_buckets(
+            dirty, df, tag=tag, summary={"compacted_delta_buckets": len(dirty)}
+        )
 
     # -------------------------------------------------------- schema updates
     def update_schema(self, updater) -> Snapshot:

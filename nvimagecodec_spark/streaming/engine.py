@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from nvimagecodec_spark.config import EngineConfig
 from nvimagecodec_spark.lakehouse.table import LakeTable
 from nvimagecodec_spark.operators.lww import lww_dedupe
-from nvimagecodec_spark.operators.merge import MergeResult, merge_into
+from nvimagecodec_spark.operators.merge import MergeResult, merge_into, merge_into_delta
 from nvimagecodec_spark.operators.schema_events import (
     apply_schema_events,
     reextract_payloads,
@@ -194,14 +194,24 @@ class CdcEngine:
         else:
             deduped = lww_dedupe(data)
 
-        res = merge_into(
-            self.table,
-            deduped,
-            tag={"source_id": self.source_id, "batch_id": batch_id},
-            broadcast_threshold_rows=self.config.broadcast_threshold_rows,
-            split_light_buckets=self.config.split_light_buckets,
-            light_bucket_max_rows=self.config.light_bucket_max_rows,
-        )
+        if self.config.mor_deltas:
+            # merge-on-read: O(batch) delta layering, bounded by a
+            # bucket-granular fold-back once layers pile up (config)
+            res = merge_into_delta(
+                self.table,
+                deduped,
+                tag={"source_id": self.source_id, "batch_id": batch_id},
+                compact_max_delta_files=self.config.delta_compact_max_files,
+            )
+        else:
+            res = merge_into(
+                self.table,
+                deduped,
+                tag={"source_id": self.source_id, "batch_id": batch_id},
+                broadcast_threshold_rows=self.config.broadcast_threshold_rows,
+                split_light_buckets=self.config.split_light_buckets,
+                light_bucket_max_rows=self.config.light_bucket_max_rows,
+            )
 
         # retention hygiene: bound metadata growth (full file manifest per
         # snapshot) + reclaim data files of expired snapshots. Runs AFTER

@@ -40,6 +40,13 @@ def main() -> int:
     ap.add_argument("--max-files-per-trigger", type=int, default=16)
     ap.add_argument("--max-epochs", type=int, default=10_000)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--mor",
+        action="store_true",
+        help="merge-on-read epochs: delta-layer writes (O(batch), no base "
+        "rewrite) with bounded fold-back — the scattered-small-update regime",
+    )
+    ap.add_argument("--mor-compact-max-files", type=int, default=8)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -79,8 +86,14 @@ def main() -> int:
         print(f"table {args.table} does not exist (pass --create-table)", file=sys.stderr)
         return 2
 
+    from nvimagecodec_spark.config import EngineConfig
+
+    config = EngineConfig(
+        mor_deltas=args.mor, delta_compact_max_files=args.mor_compact_max_files
+    )
     engine = CdcEngine(
-        spark, table, source_id=args.source_id, checkpoint_dir=args.checkpoint
+        spark, table, source_id=args.source_id, checkpoint_dir=args.checkpoint,
+        config=config,
     )
     if args.incremental:
         epochs = engine.run_incremental(ChangeStream(spark, args.source), max_epochs=args.max_epochs)
