@@ -479,6 +479,41 @@ class LakeTable:
         df = df.where(~F.coalesce(F.col("_sys_deleted"), F.lit(False)))
         return df.drop(BUCKET_COL, *SYSTEM_COLS)
 
+    def lookup(self, **key) -> DataFrame:
+        """Point lookup by full primary key — the metadata-query fast path
+        (reference analog: per-sample status/metadata query,
+        /root/reference/include/nvimgcodec.h:1793-1811).
+
+        Two pruning tiers: the key's bucket is computed ONCE (manifest-
+        level pruning hands the scan only that bucket's files — 1/B of
+        the table at B buckets), then the key equality predicates push
+        down into the parquet scan so row-group stats prune inside the
+        bucket. The bucket transform (xxhash64) is evaluated by a one-row
+        Spark job rather than reimplemented in Python — a forked hash
+        would silently read the wrong bucket.
+
+        Delta-carrying buckets reconcile as usual; tombstoned keys return
+        an empty frame.
+        """
+        missing = [k for k in self.key_cols if k not in key]
+        unknown = [k for k in key if k not in self.key_cols]
+        if missing or unknown:
+            raise KeyError(
+                f"lookup takes exactly the key columns {self.key_cols}; "
+                f"missing={missing} unknown={unknown}"
+            )
+        key_schema = T.StructType(
+            [f for f in self.schema().fields if f.name in self.key_cols]
+        )
+        row = self.spark.createDataFrame(
+            [tuple(key[f.name] for f in key_schema.fields)], key_schema
+        )
+        b = row.select(self.bucket_expr(row).alias("b")).first()["b"]
+        df = self.read_logical(buckets=[b])
+        for k in self.key_cols:
+            df = df.where(F.col(k).eqNullSafe(F.lit(key[k])))
+        return df
+
     # ----------------------------------------------------------------- write
     def _write_data_files(self, df: DataFrame, snapshot_id: int) -> list[dict]:
         """Write df (must carry BUCKET_COL) partitioned by bucket; return manifest entries.

@@ -83,3 +83,50 @@ def test_replace_buckets_detects_stale_merge(spark, tmp_path, monkeypatch):
     t2 = LakeTable.load(spark, path)
     texts = sorted(r["text"] for r in t2.read_logical().collect())
     assert texts == ["base", "racer"]
+
+
+def test_racing_delta_appends_all_land(spark, tmp_path):
+    """Merge-on-read writers are append-only and conflict-free among
+    themselves: N racing delta commits all land (optimistic retries only,
+    never ConcurrentModification) and the reconciled read sees every
+    writer's winner."""
+    from datetime import datetime
+
+    from nvimagecodec_spark.operators.lww import lww_dedupe
+    from nvimagecodec_spark.operators.merge import merge_into, merge_into_delta
+
+    path = str(tmp_path / "t")
+    t0 = LakeTable.create(spark, path, SCHEMA, ["conv_id", "turn_idx"], 4)
+    ev_schema = (
+        "op string, lsn long, commit_ts timestamp, conv_id string, "
+        "turn_idx int, after string, src_file string, src_offset long"
+    )
+    ts = datetime(2025, 1, 1)
+    base = spark.createDataFrame(
+        [("I", 0, ts, f"k{i}", 0, '{"text":"base"}', "f", i) for i in range(8)],
+        ev_schema,
+    )
+    merge_into(t0, lww_dedupe(base))
+    n_writers = 4
+
+    def writer(wid: int) -> str:
+        t = LakeTable.load(spark, path)
+        df = spark.createDataFrame(
+            [("U", 100 + wid, ts, f"k{wid}", 0, f'{{"text":"w{wid}"}}', "f", wid)],
+            ev_schema,
+        )
+        return merge_into_delta(
+            t, lww_dedupe(df), tag={"source_id": f"w{wid}", "batch_id": 0}
+        ).strategy
+
+    with ThreadPoolExecutor(max_workers=n_writers) as ex:
+        strategies = list(ex.map(writer, range(n_writers)))
+    assert strategies == ["delta-append"] * n_writers
+
+    t = LakeTable.load(spark, path)
+    got = {r["conv_id"]: r["text"] for r in t.read_logical().collect()}
+    assert len(got) == 8
+    for w in range(n_writers):
+        assert got[f"k{w}"] == f"w{w}"
+    # one delta commit per writer in the history, none lost
+    assert sum(1 for s in t.history() if s.operation == "delta") == n_writers
