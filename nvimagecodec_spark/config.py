@@ -77,9 +77,14 @@ class EngineConfig:
     # of copy-on-write rewriting every touched bucket — the write-
     # amplification answer for the steady-state regime of small batches
     # scattered across keys (O(batch) writes; reads reconcile dirty
-    # buckets lazily). Buckets accumulating more than
-    # `delta_compact_max_files` delta layers are folded back into base
-    # files after the epoch commit, bounding read amplification.
-    mor_deltas: bool = False
+    # buckets lazily). True = every epoch; "auto" = per-epoch adaptive
+    # choice — an epoch goes delta when the touched buckets hold more
+    # than `mor_auto_ratio` x batch_rows table rows (manifest row stats),
+    # i.e. exactly when CoW write amplification exceeds that ratio;
+    # backfills and the initial load stay CoW. Buckets accumulating more
+    # than `delta_compact_max_files` delta layers are folded back into
+    # base files after the epoch commit, bounding read amplification.
+    mor_deltas: bool | str = False
+    mor_auto_ratio: float = 20.0
     delta_compact_max_files: int = 8
     extra: dict = field(default_factory=dict)

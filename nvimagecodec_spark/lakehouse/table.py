@@ -532,13 +532,26 @@ class LakeTable:
         # manifest-level pruning wants. maxRecordsPerFile caps file size at
         # production scale (Iceberg's write.target-file-size analog).
         codec = self.meta.get("properties", {}).get("write.compression", "snappy")
+        # Key-clustered layout: dynamic-partition writes need a sort on the
+        # partition column anyway (FileFormatWriter inserts one if absent) —
+        # extending that sort with the key columns is free shuffle-wise and
+        # makes parquet row-group min/max stats tight on the keys, so point
+        # lookups and merge scans skip row groups inside a bucket's files.
+        key_phys = [
+            c.physical_name
+            for c in self.table_schema.columns
+            if c.name in self.key_cols
+        ]
         (
             phys.withColumn(_PART_DIR_COL, F.col(BUCKET_COL))
             .repartition(self.bucket_count, F.col(_PART_DIR_COL))
+            .sortWithinPartitions(_PART_DIR_COL, *key_phys)
             .write.partitionBy(_PART_DIR_COL)
             .option("maxRecordsPerFile", 5_000_000)
             .parquet(out_dir, compression=codec)
         )
+        import pyarrow.parquet as pq
+
         files: list[dict] = []
         for entry in sorted(os.listdir(out_dir)):
             if not entry.startswith(f"{_PART_DIR_COL}="):
@@ -547,7 +560,13 @@ class LakeTable:
             bdir = os.path.join(out_dir, entry)
             for fn in sorted(os.listdir(bdir)):
                 if fn.endswith(".parquet"):
-                    files.append({"path": os.path.join(bdir, fn), "bucket": bucket, "rows": -1})
+                    p = os.path.join(bdir, fn)
+                    # real row counts from the footer (one metadata read per
+                    # file at commit time): manifests carry per-bucket row
+                    # stats, which the adaptive CoW-vs-MoR choice and the
+                    # commit summaries need. Iceberg records the same.
+                    rows = pq.ParquetFile(p).metadata.num_rows
+                    files.append({"path": p, "bucket": bucket, "rows": rows})
         return files
 
     def _commit(

@@ -135,8 +135,18 @@ def merge_into(
     batch_counts: tuple[int, int] | None = None,
     split_light_buckets: bool = False,
     light_bucket_max_rows: int = 1_000,
+    delta_auto_ratio: float | None = None,
 ) -> MergeResult:
     """Apply a deduped change batch (one row/key, op ∈ I,U,D) to the table.
+
+    ``delta_auto_ratio`` enables the ADAPTIVE CoW-vs-merge-on-read choice:
+    when the touched buckets hold more than ``ratio × batch_rows`` table
+    rows (per-file row stats from the manifests), copy-on-write would
+    rewrite that many rows to apply this batch — the epoch is layered as
+    delta files instead (O(batch) write; reads reconcile). Backfills and
+    dense updates stay CoW; the first epoch on an empty table is always
+    CoW (no base to layer over). Legacy files without row stats disable
+    the heuristic rather than guessing.
 
     Exactly-once: if ``tag`` = {source_id, batch_id} already committed, the
     merge is a no-op (replay safety; T3 in SURVEY §2.8).
@@ -193,6 +203,25 @@ def merge_into(
         touched = [r[BUCKET_COL] for r in stats]
         if not touched:
             return MergeResult(None, [], 0, 0, time.time() - t0, "noop")
+
+        if delta_auto_ratio:
+            tset = set(touched)
+            tbl_files = [
+                f for f in table.current_snapshot().files if f["bucket"] in tset
+            ]
+            rows_known = bool(tbl_files) and all(
+                f.get("rows", -1) >= 0 for f in tbl_files
+            )
+            if rows_known and sum(f["rows"] for f in tbl_files) > delta_auto_ratio * n_batch:
+                snap = table.append_deltas(
+                    batch.select(*all_cols),
+                    tag=tag,
+                    summary={"upserts": n_upserts, "deletes": n_deletes},
+                )
+                return MergeResult(
+                    snap, sorted(touched), n_upserts, n_deletes,
+                    time.time() - t0, "delta-append",
+                )
 
         current = table.read(buckets=touched, with_system=True)
 

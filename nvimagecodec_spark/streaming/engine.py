@@ -194,16 +194,18 @@ class CdcEngine:
         else:
             deduped = lww_dedupe(data)
 
-        if self.config.mor_deltas:
-            # merge-on-read: O(batch) delta layering, bounded by a
-            # bucket-granular fold-back once layers pile up (config)
+        if self.config.mor_deltas is True:
+            # merge-on-read, unconditionally: O(batch) delta layering
             res = merge_into_delta(
                 self.table,
                 deduped,
                 tag={"source_id": self.source_id, "batch_id": batch_id},
-                compact_max_delta_files=self.config.delta_compact_max_files,
             )
         else:
+            # "auto" hands merge_into the write-amplification ratio: epochs
+            # whose CoW rewrite would exceed ratio x batch rows go delta,
+            # backfills/initial loads stay CoW (G4 adaptive-split analog)
+            auto = self.config.mor_deltas == "auto"
             res = merge_into(
                 self.table,
                 deduped,
@@ -211,6 +213,12 @@ class CdcEngine:
                 broadcast_threshold_rows=self.config.broadcast_threshold_rows,
                 split_light_buckets=self.config.split_light_buckets,
                 light_bucket_max_rows=self.config.light_bucket_max_rows,
+                delta_auto_ratio=self.config.mor_auto_ratio if auto else None,
+            )
+        if res.strategy == "delta-append":
+            # bucket-granular fold-back bounds read amplification
+            self.table.compact_deltas(
+                max_delta_files=self.config.delta_compact_max_files
             )
 
         # retention hygiene: bound metadata growth (full file manifest per

@@ -39,6 +39,14 @@ def main() -> None:
     ap.add_argument("--commits", type=int, default=5)
     ap.add_argument("--rows", type=int, default=20)
     ap.add_argument("--mode", choices=["append", "merge"], default="append")
+    ap.add_argument(
+        "--barrier",
+        default=None,
+        help="DIR:N start barrier — touch a ready-file, spin until N exist, "
+        "then begin. Makes writer overlap deterministic: without it, JVM "
+        "startup staggering under machine load can serialize the writers "
+        "and the race never actually happens (flaky conflict assertions).",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,6 +66,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     table = LakeTable.load(spark, args.table)
+
+    if args.barrier:
+        bdir, n = args.barrier.rsplit(":", 1)
+        os.makedirs(bdir, exist_ok=True)
+        open(os.path.join(bdir, f"ready-{args.writer_id}"), "w").close()
+        deadline = time.time() + 120
+        while len([f for f in os.listdir(bdir) if f.startswith("ready-")]) < int(n):
+            if time.time() > deadline:
+                raise TimeoutError("barrier wait exceeded 120s")
+            time.sleep(0.05)
 
     commits = 0
     cm_conflicts = 0

@@ -264,3 +264,70 @@ def test_cow_merge_over_dirty_bucket_consumes_deltas(spark, tmp_dir):
     assert dirty_bucket not in t.delta_stats()
     got = _logical(t)
     assert list(got.text) == ["x3"]
+
+
+def test_auto_ratio_picks_delta_for_scattered_small_batches(spark, tmp_dir):
+    """Adaptive CoW-vs-MoR: the manifest row stats drive the choice — a
+    scattered trickle over a big table goes delta-append; a backfill-sized
+    batch (and the initial load on an empty table) stays CoW."""
+    t = _mk_table(spark, tmp_dir, buckets=4)
+    base = [("I", i, f"c{i}", 1, '{"text":"base"}') for i in range(2000)]
+    r0 = merge_into(t, lww_dedupe(_ev(spark, base)), delta_auto_ratio=20.0)
+    assert r0.strategy != "delta-append"  # empty table: no base to layer over
+
+    # 10 scattered updates over 2000 rows: amplification 200x > 20 -> delta
+    small = [("U", 10_000 + i, f"c{i * 37}", 1, '{"text":"upd"}') for i in range(10)]
+    r1 = merge_into(t, lww_dedupe(_ev(spark, small)), delta_auto_ratio=20.0)
+    assert r1.strategy == "delta-append"
+    assert t.delta_stats()
+
+    # 1000-row batch over ~2000 table rows: amplification 2x < 20 -> CoW
+    big = [("U", 20_000 + i, f"c{i}", 1, '{"text":"bulk"}') for i in range(1000)]
+    r2 = merge_into(t, lww_dedupe(_ev(spark, big)), delta_auto_ratio=20.0)
+    assert r2.strategy in ("broadcast", "sort-merge")
+
+    # final state: the bulk CoW (higher lsn, keys c0..c999) overwrote all
+    # 10 delta-layer keys (c0,c37..c333); the other 1000 keys stay base
+    got = _logical(t)
+    assert len(got) == 2000
+    assert (got.text == "bulk").sum() == 1000
+    assert (got.text == "base").sum() == 1000
+    assert (got.text == "upd").sum() == 0
+
+
+def test_engine_auto_mode_end_to_end(spark, tmp_dir):
+    from nvimagecodec_spark.config import EngineConfig
+    from nvimagecodec_spark.streaming.engine import CdcEngine
+
+    import shutil as sh
+
+    # the realistic shape: one backfill-sized initial load, then a trickle
+    # of small scattered epochs — exactly the regime split the adaptive
+    # ratio exists to detect
+    events = generate_change_events(n_events=2500, seed=17)
+    stream_dir = os.path.join(tmp_dir, "stream")
+    os.makedirs(stream_dir)
+    big = events_to_files(events.iloc[:2000], os.path.join(tmp_dir, "big"), files=1)
+    small = events_to_files(events.iloc[2000:], os.path.join(tmp_dir, "small"), files=10)
+    for i, p in enumerate(big + small):
+        sh.copy(p, os.path.join(stream_dir, f"part-{i:05d}.{p.rsplit('.', 1)[1]}"))
+    t = _mk_table(spark, tmp_dir, buckets=8)
+    eng = CdcEngine(
+        spark, t, source_id="auto",
+        checkpoint_dir=os.path.join(tmp_dir, "ckpt"),
+        config=EngineConfig(mor_deltas="auto", mor_auto_ratio=3.0,
+                            delta_compact_max_files=64, expire_every_epochs=0),
+    )
+    eng.run_stream(stream_dir, max_files_per_trigger=1)
+    strategies = [r["strategy"] for r in eng.lineage()]
+    # the initial load is CoW; later similar-size epochs over the grown
+    # table cross the 3x amplification ratio and go delta
+    assert strategies[0] != "delta-append"
+    assert "delta-append" in strategies, strategies
+    got = t.read_logical().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = apply_events_pandas(events).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in ["conv_id", "turn_idx", "role", "text"]:
+        ga = got[c].astype("object").where(got[c].notna(), None)
+        ea = exp[c].astype("object").where(exp[c].notna(), None)
+        assert list(ga) == list(ea), c

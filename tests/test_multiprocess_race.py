@@ -31,6 +31,11 @@ SCHEMA = T.StructType(
 
 
 def _race(table_path, mode, writers=3, commits=4, rows=15):
+    # start barrier: every writer finishes JVM/session startup, THEN all
+    # begin committing together — without it, startup staggering under
+    # machine load serializes the writers and no conflict ever happens
+    # (observed flaky in full-suite runs)
+    barrier = f"{table_path}.barrier:{writers}"
     procs = [
         subprocess.Popen(
             [
@@ -46,6 +51,8 @@ def _race(table_path, mode, writers=3, commits=4, rows=15):
                 str(rows),
                 "--mode",
                 mode,
+                "--barrier",
+                barrier,
             ],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
