@@ -79,3 +79,22 @@ def test_lookup_validates_key(spark, table):
         table.lookup(conv_id="c3")
     with pytest.raises(KeyError):
         table.lookup(conv_id="c3", turn_idx=3, extra=1)
+
+
+def test_sort_keys_property_clusters_rows(spark, tmp_path):
+    """Key-sorted layout (default on): each data file's rows are ordered
+    by key, so parquet row-group min/max stats are tight for lookups.
+    Measured free in an interleaved A/B — the dynamic-partition write
+    sorts by partition column anyway. write.sort-keys=False opts out."""
+    import pyarrow.parquet as pq
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "s"), SCHEMA, ["conv_id", "turn_idx"], 2,
+        properties={"write.sort-keys": True},
+    )
+    rows = [("I", i, f"c{i:03d}", 0, f'{{"text":"v{i}"}}') for i in range(200)]
+    merge_into(t, lww_dedupe(_events(spark, rows)))
+    for f in t.current_snapshot().files:
+        col = pq.read_table(f["path"], columns=["conv_id"])["conv_id"].to_pylist()
+        assert col == sorted(col), f["path"]
+    assert t.lookup(conv_id="c042", turn_idx=0).count() == 1
