@@ -465,6 +465,57 @@ def q_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: revenue of unshipped-as-of-date orders for one
+    market segment. Plan shape: the filtered customer keys BROADCAST into
+    the orders join (small side), lineitem large side filtered before the
+    join; per-row cents rounding keeps the revenue sum integer-exact
+    across engines."""
+    cut = "1995-03-15"
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit(cut).cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(cut).cast("timestamp")
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c.select("c_custkey")), o["o_custkey"] == F.col("c_custkey"))
+    )
+    return j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(cents).alias("revenue_cents")
+    ).select(
+        F.col("l_orderkey").alias("orderkey"),
+        ts_micros(F.col("o_orderdate")).alias("orderdate_us"),
+        F.col("o_orderpriority").alias("orderpriority"),
+        "revenue_cents",
+    )
+
+
+def q_events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention cohorts: per activity day, how many distinct
+    users were active AND came back the next day. Integer day buckets
+    (epoch-micros div) keep the bucketing engine-agnostic; one distinct
+    (day, user) projection feeds both sides of a self-join."""
+    e = _t(spark, sf_dir, "events")
+    day_us = F.lit(86_400_000_000).cast("long")
+    du = e.select(
+        F.floor(ts_micros(F.col("ts")) / day_us).cast("long").alias("day"),
+        "user_id",
+    ).distinct()
+    a, b = du.alias("a"), du.alias("b")
+    ret = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("b.day") == F.col("a.day") + 1))
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+    active = du.groupBy("day").agg(F.count(F.lit(1)).alias("active_users"))
+    return active.join(ret, "day", "left").select(
+        "day", "active_users", F.coalesce("retained", F.lit(0)).alias("retained")
+    )
+
+
 # --------------------------------------------------------------- documents
 
 def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,6 +688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_extract": q_events_props_extract,
         "pricing_summary": q_pricing_summary,
         "top_customer_revenue": q_top_customer_revenue,
+        "orders_shipping_priority": q_orders_shipping_priority,
+        "events_daily_retention": q_events_daily_retention,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
@@ -910,6 +963,35 @@ def oracle_sql() -> dict[str, str]:
                    revenue_cents, n_orders
             FROM rev JOIN customer ON o_custkey = c_custkey
             WHERE n_orders > 2
+        """,
+        "orders_shipping_priority": """
+            SELECT l_orderkey AS orderkey,
+                   epoch_us(o_orderdate) AS orderdate_us,
+                   o_orderpriority AS orderpriority,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        """,
+        "events_daily_retention": """
+            WITH du AS (
+              SELECT DISTINCT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day, user_id
+              FROM events
+            ),
+            ret AS (
+              SELECT a.day AS day, CAST(COUNT(*) AS BIGINT) AS retained
+              FROM du a JOIN du b ON a.user_id = b.user_id AND b.day = a.day + 1
+              GROUP BY a.day
+            )
+            SELECT du.day AS day,
+                   CAST(COUNT(*) AS BIGINT) AS active_users,
+                   COALESCE(MAX(ret.retained), 0) AS retained
+            FROM du LEFT JOIN ret ON du.day = ret.day
+            GROUP BY du.day
         """,
         "docs_exact_dedup": f"""
             SELECT md5({norm}) AS content_hash, MIN(doc_id) AS keeper_id,

@@ -19,7 +19,9 @@ Usage:
   python scripts/scaling_bench.py                     # orchestrate both levels
   python scripts/scaling_bench.py --run-level 8 ...   # (internal) one level
 
-Writes BENCH/BASELINE.md + BENCH/scaling.json.
+Writes BENCH/SCALING_RUN.md + BENCH/scaling.json. (BASELINE.md is
+hand-maintained — an earlier version of this script overwrote it and
+destroyed the curated methodology/MoR/e2e sections; never write there.)
 """
 
 from __future__ import annotations
@@ -77,7 +79,7 @@ def build_spark(cpus: int, mode: str = "threads", exec_cores: int = 8):
                 f"-Xms24g -XX:ActiveProcessorCount={cpus}",
             )
         )
-    return (
+    spark = (
         builder.appName(f"nvics-scale-{cpus}-{mode}")
         .config("spark.sql.shuffle.partitions", str(2 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
@@ -86,6 +88,25 @@ def build_spark(cpus: int, mode: str = "threads", exec_cores: int = 8):
         .config("spark.io.compression.codec", os.environ.get("SPARK_GRAFT_CODEC", "lz4"))
         .getOrCreate()
     )
+    # Ship the package to the executors' Python workers: the parse path
+    # carries an Arrow-batched UDF since the Avro format landed, so
+    # local-cluster executors (separate JVMs → fresh python workers
+    # without the repo on sys.path) need it distributed like any real
+    # cluster deployment would (--py-files analog).
+    if mode == "processes":
+        import zipfile
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        zpath = os.path.join(tempfile.gettempdir(), "nvics-engine-pyfiles.zip")
+        with zipfile.ZipFile(zpath, "w") as z:
+            pkg = os.path.join(repo, "nvimagecodec_spark")
+            for root, _dirs, fns in os.walk(pkg):
+                for fn in fns:
+                    if fn.endswith(".py"):
+                        p = os.path.join(root, fn)
+                        z.write(p, os.path.relpath(p, repo))
+        spark.sparkContext.addPyFile(zpath)
+    return spark
 
 
 def stage_stream(sf_dir: str, out_dir: str, multiplier: int, files: int) -> int:
@@ -323,9 +344,9 @@ Final table rows at both levels: {lo['final_rows']:,} / {hi['final_rows']:,}
 
 Run with: `python scripts/scaling_bench.py`
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "SCALING_RUN.md"), "w") as f:
         f.write(md)
-    log("wrote BENCH/BASELINE.md + BENCH/scaling.json")
+    log("wrote BENCH/SCALING_RUN.md + BENCH/scaling.json")
 
 
 if __name__ == "__main__":
