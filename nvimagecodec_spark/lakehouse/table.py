@@ -747,6 +747,69 @@ class LakeTable:
             dirty, df, tag=tag, summary={"compacted_delta_buckets": len(dirty)}
         )
 
+    def remove_orphans(self, older_than_seconds: int = 3600) -> int:
+        """Delete data + manifest files NO snapshot references — the
+        leftovers of failed attempts. By design the metadata commit is the
+        LAST step of every write, so a merge strategy that falls back
+        after `_write_data_files`, or a crash before `_write_version`,
+        leaves fully-written `snap-*` files behind that nothing will ever
+        read or reclaim (expire_snapshots only deletes files of DROPPED
+        snapshots). Age gate: files younger than ``older_than_seconds``
+        may belong to an in-flight commit whose metadata hasn't landed
+        yet — never touched (Iceberg ``remove_orphan_files`` contract).
+        Returns the number of files deleted.
+        """
+        self.refresh()
+        cutoff = time.time() - older_than_seconds
+        live: set[str] = set()
+        for entry in self.meta["snapshots"]:
+            for f in self._entry_to_snapshot(entry).files:
+                live.add(os.path.abspath(f["path"]))
+        removed = 0
+        for root, _dirs, fns in os.walk(self._data_dir):
+            for fn in fns:
+                p = os.path.abspath(os.path.join(root, fn))
+                if p in live:
+                    continue
+                try:
+                    if os.path.getmtime(p) >= cutoff:
+                        continue
+                    os.remove(p)
+                    removed += 1
+                except FileNotFoundError:  # racing cleaner — fine
+                    continue
+        # sweep now-empty snap directories (bucket dirs then snap dirs)
+        for root, dirs, fns in list(os.walk(self._data_dir, topdown=False)):
+            if root != self._data_dir and not dirs and not fns:
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+        # manifests: reachable = every kept entry's manifest-list + every
+        # per-bucket manifest those lists reference
+        mdir = self._manifest_dir
+        if os.path.isdir(mdir):
+            live_ml = {
+                e["manifest_list"]
+                for e in self.meta["snapshots"]
+                if e.get("manifest_list")
+            }
+            live_m: set[str] = set()
+            for ml in live_ml:
+                for ent in self._load_manifest(os.path.join(mdir, ml)):
+                    live_m.add(ent["manifest"])
+            for fn in os.listdir(mdir):
+                if fn in live_ml or fn in live_m:
+                    continue
+                p = os.path.join(mdir, fn)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        os.remove(p)
+                        removed += 1
+                except FileNotFoundError:
+                    continue
+        return removed
+
     # -------------------------------------------------------- schema updates
     def update_schema(self, updater) -> Snapshot:
         """Apply a function TableSchema -> TableSchema as a metadata-only
