@@ -747,6 +747,34 @@ class LakeTable:
             dirty, df, tag=tag, summary={"compacted_delta_buckets": len(dirty)}
         )
 
+    def optimize(
+        self,
+        max_delta_files: int = 0,
+        max_files_per_bucket: int = 1,
+        keep_snapshots: int = 10,
+        orphan_grace_seconds: int = 3600,
+    ) -> dict:
+        """One-call maintenance sweep, in dependency order: fold delta
+        layers into base (read amplification), bin-pack fragmented
+        buckets (small files), expire old snapshots (metadata growth +
+        dead data files), reclaim orphans (failed-attempt leftovers).
+        Each step is individually atomic and optional-by-threshold;
+        returns a summary of what ran."""
+        out: dict = {}
+        snap = self.compact_deltas(max_delta_files=max_delta_files)
+        out["delta_buckets_folded"] = (
+            snap.summary.get("compacted_delta_buckets", 0) if snap else 0
+        )
+        snap = self.compact(max_files_per_bucket=max_files_per_bucket)
+        out["buckets_compacted"] = (
+            snap.summary.get("compacted_buckets", 0) if snap else 0
+        )
+        out["snapshots_expired"] = self.expire_snapshots(keep_last=keep_snapshots)
+        out["orphans_removed"] = self.remove_orphans(
+            older_than_seconds=orphan_grace_seconds
+        )
+        return out
+
     def remove_orphans(self, older_than_seconds: int = 3600) -> int:
         """Delete data + manifest files NO snapshot references — the
         leftovers of failed attempts. By design the metadata commit is the

@@ -91,3 +91,24 @@ def test_orphan_manifests_swept_reachable_kept(spark, tmp_path):
     # every reachable manifest/list survived
     assert before - after == {"ml-99999999-deadbeef.json"}
     assert t.read_logical().count() == 20
+
+
+def test_optimize_umbrella(spark, tmp_path):
+    from nvimagecodec_spark.operators.merge import merge_into_delta
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], 2)
+    merge_into(t, lww_dedupe(_batch(spark, 30)))
+    merge_into_delta(t, lww_dedupe(_batch(spark, 5, lsn0=1000)))
+    merge_into_delta(t, lww_dedupe(_batch(spark, 5, lsn0=2000)))
+    orphans = t._write_data_files(t.with_bucket(t.read(with_system=True)), 999)
+    for f in orphans:
+        _age(f["path"])
+    before = t.read_logical().toPandas().sort_values(["conv_id", "turn_idx"])
+
+    out = t.optimize(keep_snapshots=2)
+    assert out["delta_buckets_folded"] > 0
+    assert out["orphans_removed"] >= len(orphans)
+    assert t.delta_stats() == {}
+    after = t.read_logical().toPandas().sort_values(["conv_id", "turn_idx"])
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+    assert len(t.history()) <= 2
