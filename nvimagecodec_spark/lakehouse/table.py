@@ -515,7 +515,9 @@ class LakeTable:
         return df
 
     # ----------------------------------------------------------------- write
-    def _write_data_files(self, df: DataFrame, snapshot_id: int) -> list[dict]:
+    def _write_data_files(
+        self, df: DataFrame, snapshot_id: int, bucket_count: int | None = None
+    ) -> list[dict]:
         """Write df (must carry BUCKET_COL) partitioned by bucket; return manifest entries.
 
         One output dir per commit keeps snapshots immutable: old files are
@@ -533,7 +535,7 @@ class LakeTable:
         # production scale (Iceberg's write.target-file-size analog).
         codec = self.meta.get("properties", {}).get("write.compression", "snappy")
         staged = phys.withColumn(_PART_DIR_COL, F.col(BUCKET_COL)).repartition(
-            self.bucket_count, F.col(_PART_DIR_COL)
+            bucket_count or self.bucket_count, F.col(_PART_DIR_COL)
         )
         # Key-clustered layout (default ON; table property
         # "write.sort-keys": False opts out): sorting by (partition col,
@@ -586,6 +588,7 @@ class LakeTable:
         schemas: list[dict] | None = None,
         current_schema_version: int | None = None,
         retries: int = 15,
+        meta_updates: dict | None = None,
     ) -> Snapshot:
         """Optimistic commit with retry. ``files`` may be a CALLABLE that
         recomputes the manifest against the refreshed current snapshot —
@@ -625,6 +628,8 @@ class LakeTable:
                 meta["schemas"] = schemas
             if current_schema_version is not None:
                 meta["current_schema_version"] = current_schema_version
+            if meta_updates:
+                meta.update(meta_updates)
             try:
                 self._write_version(v, meta)
                 return snap
@@ -745,6 +750,55 @@ class LakeTable:
         df = self.read(buckets=dirty, with_system=True)
         return self.replace_buckets(
             dirty, df, tag=tag, summary={"compacted_delta_buckets": len(dirty)}
+        )
+
+    def rebucket(self, new_bucket_count: int, tag: dict | None = None) -> Snapshot:
+        """Online re-bucketing — the operational answer when a table has
+        outgrown its bucket count (the CoW/merge unit and the pruning
+        granule: 32 buckets on a table that grew 100x makes every merge
+        rewrite ~3% of a now-huge table, and compaction units balloon).
+
+        One full rewrite under the new bucket transform, committed
+        atomically WITH the new ``bucket_count`` — readers before the
+        commit see the old layout, after it the new; time travel keeps
+        working because every file carries its bucket in data + manifest.
+        Delta layers are consumed (the rewrite reads reconciled state).
+        Serializable: if any writer commits between our scan and the
+        metadata write, the commit aborts with ConcurrentModification
+        (its rows would otherwise be silently dropped) — re-run on the
+        fresh snapshot. Writers that raced and lost recompute buckets
+        under the new count on their retry via ``with_bucket``.
+        """
+        self.refresh()
+        old = self.bucket_count
+        if new_bucket_count == old:
+            return self.current_snapshot()
+        df = self.read(with_system=True).drop(BUCKET_COL)
+        df = df.withColumn(
+            BUCKET_COL,
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in self.key_cols]),
+                F.lit(new_bucket_count),
+            ).cast("int"),
+        )
+        next_id = self.current_snapshot().snapshot_id + 1
+        new_files = self._write_data_files(df, next_id, bucket_count=new_bucket_count)
+        assumed = {f["path"] for f in self.current_snapshot().files}
+
+        def files_fn(snap: Snapshot) -> list[dict]:
+            cur = {f["path"] for f in snap.files}
+            if cur != assumed:
+                raise ConcurrentModification(
+                    "table changed during rebucket; re-run against the new snapshot"
+                )
+            return new_files
+
+        return self._commit(
+            "rebucket",
+            files_fn,
+            {"rebucket_from": old, "rebucket_to": new_bucket_count},
+            tag=tag,
+            meta_updates={"bucket_count": new_bucket_count},
         )
 
     def optimize(
