@@ -395,9 +395,16 @@ class LakeTable:
         return None
 
     # --------------------------------------------------------------- buckets
-    def bucket_expr(self, df: DataFrame) -> F.Column:
-        """bucket = pmod(xxhash64(key...), B) — Iceberg-style bucket transform."""
-        return F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.bucket_count)).cast("int")
+    def bucket_expr(self, df: DataFrame, count: int | None = None) -> F.Column:
+        """bucket = pmod(xxhash64(key...), B) — Iceberg-style bucket
+        transform. THE single definition: every producer (with_bucket,
+        lookup's one-row probe, rebucket's rewrite) must come through
+        here — a forked copy that drifts would silently read/write the
+        wrong bucket."""
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.key_cols]),
+            F.lit(count or self.bucket_count),
+        ).cast("int")
 
     def with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(BUCKET_COL, self.bucket_expr(df))
@@ -666,10 +673,19 @@ class LakeTable:
         df: DataFrame,
         tag: dict | None = None,
         summary: dict | None = None,
+        assumed_files: set[str] | None = None,
     ) -> Snapshot:
         """Copy-on-write commit: swap out all files of `touched_buckets` for
         the new data files. The merge operator builds `df` = new content of
-        exactly those buckets. Untouched buckets carry over by reference."""
+        exactly those buckets. Untouched buckets carry over by reference.
+
+        ``assumed_files`` is the file set the caller's READ actually
+        pinned for the touched buckets — pass it whenever `df` was built
+        from a scan taken before calling here. Without it, the validation
+        base is captured at entry, which leaves a window: a commit landing
+        between the caller's scan and this call would be included in the
+        baseline and silently swapped out (review-caught lost update).
+        """
         self.refresh()
         next_id = self.current_snapshot().snapshot_id + 1
         new_files = self._write_data_files(df, next_id)
@@ -680,7 +696,12 @@ class LakeTable:
         s = {"touched_buckets": sorted(bset), "new_files": len(new_files)}
         s.update(summary or {})
         # what the merge read for the touched buckets — the validation base
-        assumed = {f["path"] for f in self.current_snapshot().files if f["bucket"] in bset}
+        if assumed_files is not None:
+            assumed = set(assumed_files)
+        else:
+            assumed = {
+                f["path"] for f in self.current_snapshot().files if f["bucket"] in bset
+            }
 
         def files_fn(snap: Snapshot) -> list[dict]:
             # re-base on the refreshed snapshot: untouched buckets committed
@@ -697,7 +718,11 @@ class LakeTable:
         return self._commit("merge", files_fn, s, tag=tag)
 
     def append_deltas(
-        self, df: DataFrame, tag: dict | None = None, summary: dict | None = None
+        self,
+        df: DataFrame,
+        tag: dict | None = None,
+        summary: dict | None = None,
+        bucketed_under: int | None = None,
     ) -> Snapshot:
         """Merge-on-read commit: layer pre-resolved winner rows (target
         schema + system order cols + tombstones, one row per key) OVER the
@@ -715,13 +740,33 @@ class LakeTable:
         with ``compact_deltas`` once read amplification matters.
         """
         self.refresh()
+        # the layout the caller's BUCKET_COL was actually computed under —
+        # callers pass it (merge_into_delta does); entry-time fallback
+        # still catches a rebucket landing after this refresh
+        expected_bc = bucketed_under if bucketed_under is not None else self.bucket_count
         next_id = self.current_snapshot().snapshot_id + 1
         new_files = [
             {**f, "kind": "delta"} for f in self._write_data_files(df, next_id)
         ]
         s = {"delta_files": len(new_files)}
         s.update(summary or {})
-        return self._commit("delta", lambda snap: snap.files + new_files, s, tag=tag)
+
+        def files_fn(snap: Snapshot) -> list[dict]:
+            # delta appends are file-level conflict-free, but the bucket
+            # IDS in `df` were computed under the layout at entry — if a
+            # rebucket() landed since, layering them would put rows in
+            # buckets the new transform never probes (duplicate keys,
+            # unsuppressed tombstones). _commit refreshes before each
+            # attempt, so this check sees the winning layout.
+            if self.bucket_count != expected_bc:
+                raise ConcurrentModification(
+                    f"bucket layout changed ({expected_bc} -> "
+                    f"{self.bucket_count}) since this batch computed its "
+                    "buckets; re-run the merge"
+                )
+            return snap.files + new_files
+
+        return self._commit("delta", files_fn, s, tag=tag)
 
     def delta_stats(self) -> dict[int, int]:
         """Per-bucket live delta-file counts — the compaction-scheduling
@@ -742,14 +787,26 @@ class LakeTable:
         files atomically, with serializable validation against racing
         writers. Returns None if nothing to fold."""
         self.refresh()
-        dirty = sorted(
-            b for b, n in self.delta_stats().items() if n > max_delta_files
-        )
+        snap0 = self.current_snapshot()
+        per_bucket: dict[int, int] = {}
+        for f in snap0.files:
+            if f.get("kind") == "delta":
+                per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+        dirty = sorted(b for b, n in per_bucket.items() if n > max_delta_files)
         if not dirty:
             return None
-        df = self.read(buckets=dirty, with_system=True)
+        # pin the read AND the validation base to the same snapshot: a
+        # delta landing between this read and the commit must surface as
+        # ConcurrentModification, not be silently folded away
+        df = self.read(snapshot_id=snap0.snapshot_id, buckets=dirty, with_system=True)
+        dset = set(dirty)
+        assumed = {f["path"] for f in snap0.files if f["bucket"] in dset}
         return self.replace_buckets(
-            dirty, df, tag=tag, summary={"compacted_delta_buckets": len(dirty)}
+            dirty,
+            df,
+            tag=tag,
+            summary={"compacted_delta_buckets": len(dirty)},
+            assumed_files=assumed,
         )
 
     def rebucket(self, new_bucket_count: int, tag: dict | None = None) -> Snapshot:
@@ -774,13 +831,7 @@ class LakeTable:
         if new_bucket_count == old:
             return self.current_snapshot()
         df = self.read(with_system=True).drop(BUCKET_COL)
-        df = df.withColumn(
-            BUCKET_COL,
-            F.pmod(
-                F.xxhash64(*[F.col(c) for c in self.key_cols]),
-                F.lit(new_bucket_count),
-            ).cast("int"),
-        )
+        df = df.withColumn(BUCKET_COL, self.bucket_expr(df, count=new_bucket_count))
         next_id = self.current_snapshot().snapshot_id + 1
         new_files = self._write_data_files(df, next_id, bucket_count=new_bucket_count)
         assumed = {f["path"] for f in self.current_snapshot().files}
@@ -929,15 +980,24 @@ class LakeTable:
         already replace whole buckets). Metadata + data of untouched
         buckets carry over by reference; returns None if nothing to do."""
         self.refresh()
+        snap0 = self.current_snapshot()
         per_bucket: dict[int, int] = {}
-        for f in self.current_snapshot().files:
+        for f in snap0.files:
             per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
         fragmented = sorted(b for b, n in per_bucket.items() if n > max_files_per_bucket)
         if not fragmented:
             return None
-        df = self.read(buckets=fragmented, with_system=True)
+        df = self.read(
+            snapshot_id=snap0.snapshot_id, buckets=fragmented, with_system=True
+        )
+        fset = set(fragmented)
+        assumed = {f["path"] for f in snap0.files if f["bucket"] in fset}
         return self.replace_buckets(
-            fragmented, df, tag=tag, summary={"compacted_buckets": len(fragmented)}
+            fragmented,
+            df,
+            tag=tag,
+            summary={"compacted_buckets": len(fragmented)},
+            assumed_files=assumed,
         )
 
     def export(

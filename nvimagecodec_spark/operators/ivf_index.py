@@ -36,6 +36,15 @@ class IvfIndex:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
+        # crash recovery for maybe_rebuild's two-rename swap: a crash
+        # between the renames leaves the complete OLD index at .retired
+        # (or the complete NEW one at .rebuild) and nothing at self.path —
+        # restore rather than fail the load
+        if not os.path.exists(os.path.join(self.path, "meta.json")):
+            for cand in (self.path + ".rebuild", self.path + ".retired"):
+                if os.path.exists(os.path.join(cand, "meta.json")):
+                    os.rename(cand, self.path)
+                    break
         with open(os.path.join(self.path, "meta.json")) as f:
             self.meta = json.load(f)
         self._centroids: list[tuple[int, list[float]]] | None = None
@@ -183,10 +192,15 @@ class IvfIndex:
         maintenance; ``upsert`` is the cheap incremental half): when
         ``assignment_quality()`` has degraded below ``min_quality``,
         retrain k-means over the full current vector set into a sibling
-        directory, then swap it in with a rename dance — ``self.path``
-        always holds a complete index, never a half-written one. Returns
-        True iff a rebuild ran; this handle refreshes itself, other
-        handles should re-``load``.
+        directory, then swap it in with a rename dance. ``self.path``
+        never holds a HALF-written index; there is, however, a brief
+        window between the two renames where it holds nothing — a
+        concurrent reader mid-swap can see path-not-found and should
+        retry, and a crash inside the window is healed on the next
+        ``load``/``__init__`` (the complete old or new index is restored
+        from the ``.retired``/``.rebuild`` sibling). Returns True iff a
+        rebuild ran; this handle refreshes itself, other handles should
+        re-``load``.
 
         The quality check is one broadcast-join aggregate; callers can
         run this after every N upserts as a cheap scheduling policy.

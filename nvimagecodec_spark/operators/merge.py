@@ -174,6 +174,7 @@ def merge_into(
     payload_cols = [c for c in data_cols if c not in key_cols]
     all_cols = data_cols + _SYS_ORDER + ["_sys_deleted", "_sys_raw", BUCKET_COL]
 
+    bucketed_under = table.bucket_count  # layout with_bucket uses just below
     batch = table.with_bucket(_batch_to_rows(table, deduped))
     # The batch drives bucket discovery AND the join/union side — persist so
     # the raw stream isn't re-read per use. DISK_ONLY, deliberately: the
@@ -217,13 +218,24 @@ def merge_into(
                     batch.select(*all_cols),
                     tag=tag,
                     summary={"upserts": n_upserts, "deletes": n_deletes},
+                    bucketed_under=bucketed_under,
                 )
                 return MergeResult(
                     snap, sorted(touched), n_upserts, n_deletes,
                     time.time() - t0, "delta-append",
                 )
 
-        current = table.read(buckets=touched, with_system=True)
+        # Pin the scan AND the commit-validation base to ONE snapshot:
+        # table.read() resolves its file list at call time, so a racer
+        # committing between an unpinned read and replace_buckets' own
+        # baseline capture would be INCLUDED in the baseline and silently
+        # swapped out (review-caught lost-update window).
+        snap0 = table.current_snapshot()
+        tset0 = set(touched)
+        assumed = {f["path"] for f in snap0.files if f["bucket"] in tset0}
+        current = table.read(
+            snapshot_id=snap0.snapshot_id, buckets=touched, with_system=True
+        )
 
         # Prioritized strategy chain with RUNTIME fallback (reference G5:
         # a failed sample re-probes the next processor in the chain,
@@ -252,8 +264,9 @@ def merge_into(
                 if light and heavy and light_rows <= broadcast_threshold_rows:
 
                     def _merge_split(cur_ignored, batch_df, kc, ac, _l=light, _h=heavy):
-                        cur_h = table.read(buckets=_h, with_system=True)
-                        cur_l = table.read(buckets=_l, with_system=True)
+                        sid = snap0.snapshot_id  # same pinned snapshot
+                        cur_h = table.read(snapshot_id=sid, buckets=_h, with_system=True)
+                        cur_l = table.read(snapshot_id=sid, buckets=_l, with_system=True)
                         b_h = batch_df.where(F.col(BUCKET_COL).isin(_h))
                         b_l = batch_df.where(F.col(BUCKET_COL).isin(_l))
                         return _merge_sortmerge(cur_h, b_h, kc, ac).unionByName(
@@ -270,7 +283,10 @@ def merge_into(
         for strategy, impl in chain:
             try:
                 merged = impl(current, batch, key_cols, all_cols)
-                snap = table.replace_buckets(sorted(touched), merged, tag=tag, summary=summary)
+                snap = table.replace_buckets(
+                    sorted(touched), merged, tag=tag, summary=summary,
+                    assumed_files=assumed,
+                )
                 return MergeResult(
                     snap, sorted(touched), n_upserts, n_deletes, time.time() - t0, strategy
                 )
@@ -366,25 +382,47 @@ def merge_into_delta(
     if tag is not None and table.has_commit_tag(tag["source_id"], tag["batch_id"]):
         return MergeResult(None, [], 0, 0, time.time() - t0, "skipped-duplicate")
 
-    batch = table.with_bucket(_batch_to_rows(table, deduped))
-    stats = (
-        batch.groupBy(BUCKET_COL)
-        .agg(
-            F.sum(F.when(~F.col("_sys_deleted"), 1).otherwise(0)).alias("u"),
-            F.sum(F.when(F.col("_sys_deleted"), 1).otherwise(0)).alias("d"),
+    from pyspark import StorageLevel
+
+    # persist for the same reason merge_into does: the batch is consumed
+    # twice (the stats collect AND the delta-file write) — without it the
+    # whole upstream scan+parse+dedupe recomputes per use, in exactly the
+    # steady-state path MoR exists to make O(batch). DISK_ONLY: see
+    # merge_into's GC rationale.
+    bucketed_under = table.bucket_count  # the layout with_bucket uses below
+    batch = table.with_bucket(_batch_to_rows(table, deduped)).persist(
+        StorageLevel.DISK_ONLY
+    )
+    try:
+        stats = (
+            batch.groupBy(BUCKET_COL)
+            .agg(
+                F.sum(F.when(~F.col("_sys_deleted"), 1).otherwise(0)).alias("u"),
+                F.sum(F.when(F.col("_sys_deleted"), 1).otherwise(0)).alias("d"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    n_upserts = sum(int(r["u"] or 0) for r in stats)
-    n_deletes = sum(int(r["d"] or 0) for r in stats)
-    touched = sorted(r[BUCKET_COL] for r in stats)
-    if not touched:
-        return MergeResult(None, [], 0, 0, time.time() - t0, "noop")
-    snap = table.append_deltas(
-        batch, tag=tag, summary={"upserts": n_upserts, "deletes": n_deletes}
-    )
+        n_upserts = sum(int(r["u"] or 0) for r in stats)
+        n_deletes = sum(int(r["d"] or 0) for r in stats)
+        touched = sorted(r[BUCKET_COL] for r in stats)
+        if not touched:
+            return MergeResult(None, [], 0, 0, time.time() - t0, "noop")
+        snap = table.append_deltas(
+            batch,
+            tag=tag,
+            summary={"upserts": n_upserts, "deletes": n_deletes},
+            bucketed_under=bucketed_under,
+        )
+    finally:
+        batch.unpersist()
     if compact_max_delta_files is not None:
-        table.compact_deltas(max_delta_files=compact_max_delta_files)
+        try:
+            table.compact_deltas(max_delta_files=compact_max_delta_files)
+        except (ConcurrentModification, CommitConflict):
+            # fold-back is maintenance, not the epoch: the delta commit
+            # above already landed, so a racing writer here must not fail
+            # the apply — layers fold on the next quiet pass
+            pass
     return MergeResult(
         snap, touched, n_upserts, n_deletes, time.time() - t0, "delta-append"
     )

@@ -155,6 +155,8 @@ def encode_avro_record(
     if turn_idx is None:
         body += b"\x00"
     else:
+        if not -(1 << 31) <= turn_idx < (1 << 31):
+            raise ValueError(f"turn_idx out of int32 range: {turn_idx}")
         body += b"\x02" + _varint(_zigzag(turn_idx))
     if payload_json is None or payload_json == "":
         body += b"\x00"
@@ -216,7 +218,14 @@ def decode_avro_message(buf: bytes) -> tuple:
                 pos += 1
                 acc |= (b & 0x7F) << shift
                 if b < 0x80:
-                    return (acc >> 1) ^ -(acc & 1)
+                    v = (acc >> 1) ^ -(acc & 1)
+                    # a 10-byte varint can decode past int64 (acc ~ 2^70);
+                    # letting it escape would overflow the Int64 batch
+                    # column and crash the SCAN — out-of-range is a
+                    # malformed message, i.e. a null row (fuzz-pinned)
+                    if not -(1 << 63) <= v < (1 << 63):
+                        raise ValueError("varint out of int64 range")
+                    return v
                 shift += 7
 
         def vstr() -> str:
@@ -236,11 +245,17 @@ def decode_avro_message(buf: bytes) -> tuple:
                 return reader()
             raise ValueError("bad union tag")
 
+        def vint() -> int:
+            v = vlong()
+            if not -(1 << 31) <= v < (1 << 31):  # schema says int, not long
+                raise ValueError("int out of int32 range")
+            return v
+
         op = vstr()
         lsn = vlong()
         ts_us = vlong()
         conv_id = union(vstr)
-        turn_idx = union(vlong)
+        turn_idx = union(vint)
         payload = union(vstr)
         return (op, lsn, ts_us, conv_id, turn_idx, payload)
     except (ValueError, UnicodeDecodeError):

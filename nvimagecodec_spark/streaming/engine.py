@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nvimagecodec_spark.config import EngineConfig
-from nvimagecodec_spark.lakehouse.table import LakeTable
+from nvimagecodec_spark.lakehouse.table import (
+    CommitConflict,
+    ConcurrentModification,
+    LakeTable,
+)
 from nvimagecodec_spark.operators.lww import lww_dedupe
 from nvimagecodec_spark.operators.merge import MergeResult, merge_into, merge_into_delta
 from nvimagecodec_spark.operators.schema_events import (
@@ -216,10 +220,16 @@ class CdcEngine:
                 delta_auto_ratio=self.config.mor_auto_ratio if auto else None,
             )
         if res.strategy == "delta-append":
-            # bucket-granular fold-back bounds read amplification
-            self.table.compact_deltas(
-                max_delta_files=self.config.delta_compact_max_files
-            )
+            # bucket-granular fold-back bounds read amplification; it is
+            # MAINTENANCE — the epoch's tagged commit already landed, so a
+            # racing writer here must not fail the streaming query (the
+            # layers just fold on a later epoch instead)
+            try:
+                self.table.compact_deltas(
+                    max_delta_files=self.config.delta_compact_max_files
+                )
+            except (ConcurrentModification, CommitConflict):
+                pass
 
         # retention hygiene: bound metadata growth (full file manifest per
         # snapshot) + reclaim data files of expired snapshots. Runs AFTER

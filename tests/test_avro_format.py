@@ -124,3 +124,44 @@ def test_arrow_boundary_is_probe_gated(spark):
     out = parse_changes(df)
     assert out.where(F.col("src_format") == "avro-sobj").count() == 0
     assert out.count() == 100
+
+
+def test_out_of_range_values_become_null_rows_not_scan_errors(spark):
+    """Review-caught: a conforming-looking message whose varint decodes
+    past int64 (10-byte varint) or whose turn_idx exceeds int32 must
+    become a NULL row — never an OverflowError out of the Arrow batch."""
+    from nvimagecodec_spark.sources.avro_sobj import (
+        _enc_long,
+        _enc_str,
+        _varint,
+        decode_avro_message,
+    )
+
+    # lsn varint encoding 2^63 (zigzag raw 2^64): 10 bytes on the wire
+    big_lsn = _varint(1 << 64)
+    body = _enc_str("I", 63, "op") + big_lsn + _enc_long(0) + b"\x00\x00\x00"
+    assert decode_avro_message(AVRO_HEADER + body) == (None,) * 6
+
+    # turn_idx = 2^31: valid varint, out of the schema's int range
+    body2 = (
+        _enc_str("I", 63, "op") + _enc_long(1) + _enc_long(2)
+        + b"\x00" + b"\x02" + _varint((1 << 31) << 1) + b"\x00"
+    )
+    assert decode_avro_message(AVRO_HEADER + body2) == (None,) * 6
+
+    # and through Spark: claimed by the probe, lands as a null row
+    lines = [base64.b64encode(AVRO_HEADER + body).decode(),
+             base64.b64encode(AVRO_HEADER + body2).decode()]
+    df = spark.createDataFrame(
+        [(ln, "f", i) for i, ln in enumerate(lines)],
+        "value string, src_file string, src_offset long",
+    )
+    rows = parse_changes(df).orderBy("src_offset").collect()
+    assert [r.src_format for r in rows] == ["avro-sobj", "avro-sobj"]
+    assert all(r.op is None and r.lsn is None for r in rows)
+
+    # encoder now refuses the out-of-range turn_idx outright
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_avro_line("I", 1, 2, "c", 1 << 31, None)

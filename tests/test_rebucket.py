@@ -62,3 +62,31 @@ def test_rebucket_preserves_state_and_scales_layout(spark, tmp_path):
     assert t2.lookup(conv_id="c7", turn_idx=0).collect()[0]["text"] == "v7b"
     # noop rebucket returns current snapshot
     assert t2.rebucket(16).snapshot_id == t2.current_snapshot().snapshot_id
+
+
+def test_stale_handle_delta_append_aborts_after_rebucket(spark, tmp_path):
+    """Review-caught: a delta batch bucketed under the OLD layout must
+    abort with ConcurrentModification after a rebucket — silently layering
+    it would duplicate keys and un-suppress tombstones."""
+    import pytest
+
+    from nvimagecodec_spark.lakehouse.table import ConcurrentModification
+
+    path = str(tmp_path / "t")
+    t_stale = LakeTable.create(spark, path, SCHEMA, ["conv_id", "turn_idx"], 4)
+    merge_into(t_stale, lww_dedupe(_batch(spark, [("I", i, f"c{i}", 0, '{"text":"v"}') for i in range(50)])))
+
+    t_fresh = LakeTable.load(spark, path)
+    t_fresh.rebucket(16)
+
+    # t_stale still believes bucket_count=4; its delta batch is mis-bucketed
+    assert t_stale.bucket_count == 4
+    with pytest.raises(ConcurrentModification):
+        merge_into_delta(
+            t_stale, lww_dedupe(_batch(spark, [("U", 999, "c1", 0, '{"text":"x"}')]))
+        )
+    # fresh handle proceeds fine
+    merge_into_delta(
+        t_fresh, lww_dedupe(_batch(spark, [("U", 1000, "c1", 0, '{"text":"y"}')]))
+    )
+    assert t_fresh.lookup(conv_id="c1", turn_idx=0).collect()[0]["text"] == "y"
