@@ -116,3 +116,88 @@ def read_changes(table: LakeTable, from_id: int, to_id: int) -> DataFrame:
         .where(F.col("op").isNotNull())
         .select("op", *key_cols, *picked, lsn.alias("lsn"), cts.alias("commit_ts"))
     )
+
+
+def emit_changes(
+    table: LakeTable,
+    from_id: int,
+    to_id: int,
+    out_dir: str,
+    encoding: str = "jsonl",
+    files: int = 4,
+) -> int:
+    """Export a snapshot-range changelog AS change-event LINES in a
+    registered wire encoding — closing the CDC loop over plain text: the
+    emitted stream is a valid SOURCE for another engine's probe chain
+    (chained engines without sharing a lakehouse, the encoder-tier analog
+    of re-emitting results in a consumable format,
+    /root/reference/extensions/nvjpeg2k/cuda_encoder.cpp).
+
+    ``jsonl`` encodes entirely JVM-side (`to_json` over the envelope);
+    ``avro`` batches rows through the Arrow encoder. The emitted `lsn`
+    is the winning write's lsn, so replaying the stream into a table
+    already holding older state is safe (LWW resolves). Returns rows
+    emitted. Requires the engine's transcript key model
+    (conv_id, turn_idx) — the normalized CHANGE_SCHEMA keys.
+    """
+    if table.key_cols != ["conv_id", "turn_idx"]:
+        raise ValueError(
+            f"emit_changes speaks the CHANGE_SCHEMA key model "
+            f"(conv_id, turn_idx); table keys are {table.key_cols}"
+        )
+    ch = read_changes(table, from_id, to_id)
+    payload_cols = [
+        c for c in ch.columns if c not in ("op", "conv_id", "turn_idx", "lsn", "commit_ts")
+    ]
+    after = F.when(
+        F.col("op") != "D", F.struct(*[F.col(c) for c in payload_cols])
+    ).alias("after")
+    if encoding == "jsonl":
+        line = F.to_json(
+            F.struct(
+                F.col("op"),
+                F.col("lsn"),
+                F.date_format("commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                    "commit_ts"
+                ),
+                F.col("conv_id"),
+                F.col("turn_idx"),
+                after,
+            )
+        )
+    elif encoding == "avro":
+        import pandas as pd
+
+        from nvimagecodec_spark.sources.avro_sobj import encode_avro_line
+
+        @F.pandas_udf("string")
+        def enc(op, lsn, ts_us, conv, turn, payload):
+            return pd.Series(
+                [
+                    encode_avro_line(
+                        o,
+                        int(l),
+                        0 if pd.isna(t) else int(t),
+                        c,
+                        None if pd.isna(ti) else int(ti),
+                        None if p is None else p,
+                    )
+                    for o, l, t, c, ti, p in zip(op, lsn, ts_us, conv, turn, payload)
+                ]
+            )
+
+        staged = (
+            F.when(F.col("op") != "D", F.to_json(F.struct(*payload_cols)))
+            .alias("payload")
+        )
+        ts_us = F.unix_micros(F.col("commit_ts")).alias("ts_us")
+        src = read_changes(table, from_id, to_id).select(
+            "op", "lsn", ts_us, "conv_id", "turn_idx", staged
+        )
+        line = enc("op", "lsn", "ts_us", "conv_id", "turn_idx", "payload")
+        ch = src
+    else:
+        raise ValueError(f"unknown emit encoding {encoding!r} (jsonl|avro)")
+    out = ch.select(line.alias("value"))
+    out.repartition(files).write.mode("overwrite").text(out_dir)
+    return table.spark.read.text(out_dir).count()

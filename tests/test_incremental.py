@@ -204,3 +204,55 @@ def test_expire_commits_metadata_before_deleting_files(spark, table, monkeypatch
         for f in s.files:
             assert _os.path.exists(f["path"]), "retained snapshot lost a file"
     assert table.read_logical().count() == 3
+
+
+def test_emit_changes_round_trips_through_the_probe_chain(spark, tmp_dir):
+    """emit_changes closes the wire loop: a snapshot-range changelog
+    emitted as jsonl AND avro lines parses back through the format
+    registry with identical change semantics — one engine's output is a
+    valid source for another without sharing a lakehouse."""
+    import os
+
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from nvimagecodec_spark.lakehouse.incremental import emit_changes
+    from nvimagecodec_spark.lakehouse.table import LakeTable
+    from nvimagecodec_spark.operators.lww import lww_dedupe
+    from nvimagecodec_spark.operators.merge import merge_into
+    from nvimagecodec_spark.sources.changelog import ChangeStream
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(spark, os.path.join(tmp_dir, "t"), schema, ["conv_id", "turn_idx"], 4)
+    ts = datetime(2025, 1, 1)
+    ev = (
+        "op string, lsn long, commit_ts timestamp, conv_id string, "
+        "turn_idx int, after string, src_file string, src_offset long"
+    )
+    merge_into(t, lww_dedupe(spark.createDataFrame(
+        [("I", i, ts, f"c{i}", 0, '{"text":"v"}', "f", i) for i in range(10)], ev)))
+    s0 = t.current_snapshot().snapshot_id
+    merge_into(t, lww_dedupe(spark.createDataFrame(
+        [("U", 100, ts, "c1", 0, '{"text":"v2"}', "f", 0),
+         ("D", 101, ts, "c2", 0, None, "f", 1),
+         ("I", 102, ts, "c99", 0, '{"text":"new"}', "f", 2)], ev)))
+    s1 = t.current_snapshot().snapshot_id
+
+    expected = {("c1", "U"), ("c2", "D"), ("c99", "I")}
+    for enc in ("jsonl", "avro"):
+        out_dir = os.path.join(tmp_dir, f"emit-{enc}")
+        n = emit_changes(t, s0, s1, out_dir, encoding=enc, files=2)
+        assert n == 3
+        parsed = ChangeStream(spark, out_dir).events().collect()
+        assert {(r.conv_id, r.op) for r in parsed} == expected
+        fmt = {r.src_format for r in parsed}
+        assert fmt == ({"jsonlines"} if enc == "jsonl" else {"avro-sobj"})
+        upd = next(r for r in parsed if r.conv_id == "c1")
+        assert '"text":"v2"' in upd.after and upd.lsn == 100
