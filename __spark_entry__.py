@@ -638,19 +638,59 @@ aug AS (
 """
 
 
+# Fixed location so the static oracle SQL can read the SAME persisted
+# artifacts the Spark query just built (the query always runs before its
+# oracle in the driver and in tests/test_entry_oracle.py). NOT registered
+# in _TEMP_DIRS: the artifacts must outlive this interpreter if the
+# oracle runs in a separate process.
+_IVF_ORACLE_PATH = "/tmp/nvics_ivf_persisted_oracle/idx"
+
+
 def q_emb_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted IVF index: build once (seeded k-means -> cell-partitioned
     parquet), query via driver-side centroid probe + partition-pruned
-    candidate scan. No oracle_sql: k-means is iterative (rows-only check;
-    recall vs brute force is asserted in tests/test_ivf_index.py)."""
+    candidate scan. The oracle doesn't re-derive the iterative k-means —
+    it reads the PERSISTED centroids/assignments parquet and replicates
+    only the deterministic query half (probe ranking + pruned cosine
+    top-k) in SQL, the way the reference's golden transcode tests hash
+    the pipeline's output without re-deriving the codec
+    (/root/reference/test/test_transcode.py:26-66)."""
     from nvimagecodec_spark.operators.ivf_index import IvfIndex
 
-    tmp = tempfile.mkdtemp(prefix="nvics-ivf-")
-    _TEMP_DIRS.append(tmp)
     idx = IvfIndex.build(
-        _t(spark, sf_dir, "embeddings"), os.path.join(tmp, "idx"), n_cells=8, seed=7
+        _t(spark, sf_dir, "embeddings"), _IVF_ORACLE_PATH, n_cells=8, seed=7
     )
     return idx.topk(anchor=0, k=25, n_probe=2)
+
+
+def _ivf_persisted_sql() -> str:
+    """DuckDB replica of IvfIndex.topk(anchor=0, k=25, n_probe=2) over the
+    artifacts q_emb_ivf_persisted just persisted. `cell` comes back from
+    hive partitioning as BIGINT — cast to INTEGER to match Spark's
+    partition-column inference."""
+    assign = (
+        f"read_parquet('{_IVF_ORACLE_PATH}/assignments/*/*.parquet', "
+        "hive_partitioning = 1)"
+    )
+    cents = f"read_parquet('{_IVF_ORACLE_PATH}/centroids/*.parquet')"
+    return f"""
+        WITH anchor AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS a FROM {assign} WHERE vec_id = 0
+        ),
+        probed AS (
+          SELECT cell FROM {cents}
+          ORDER BY list_cosine_similarity(
+              CAST(centroid AS DOUBLE[]), (SELECT a FROM anchor)) DESC, cell
+          LIMIT 2
+        )
+        SELECT v.vec_id, CAST(v.cell AS INTEGER) AS cell,
+               ROUND(list_cosine_similarity(
+                   CAST(v.embedding AS DOUBLE[]), (SELECT a FROM anchor)), 4)
+                   AS cos_sim
+        FROM {assign} v JOIN probed p ON v.cell = p.cell
+        WHERE v.vec_id <> 0
+        ORDER BY cos_sim DESC, v.vec_id LIMIT 25
+    """
 
 
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1149,6 +1189,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.90
         """,
         "emb_lsh_near_dup": _lsh_near_dup_sql(),
+        "emb_ivf_persisted": _ivf_persisted_sql(),
     }
 
 

@@ -227,6 +227,11 @@ def main() -> None:
         default=int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")),
         help="runs per entry query; best is reported (first run carries JIT)",
     )
+    ap.add_argument(
+        "--tag",
+        default="last",
+        help="suffix for the BENCH/detail_<tag>.json full-detail file",
+    )
     args = ap.parse_args()
 
     sf = float(os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -278,7 +283,28 @@ def main() -> None:
         "cpus": args.cpus,
         **extras,
     }
-    print(json.dumps(result), flush=True)
+    # Full detail (per-rep times, error texts, everything) goes to a file;
+    # the single stdout line stays COMPACT. Round 2's line outgrew the
+    # driver's tail-capture buffer once 35 queries of rep_times joined it
+    # and BENCH_r02.json came back "parsed": null — the stdout line is a
+    # wire format with a length budget, not a dumping ground.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", f"detail_{args.tag}.json"
+    )
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1)
+    log(f"full detail -> {detail_path}")
+    compact = {
+        k: v
+        for k, v in result.items()
+        if k not in ("rep_times", "errors")
+        and not k.endswith("_reps")
+    }
+    if "errors" in result:  # names only; texts live in the detail file
+        compact["failed"] = sorted(result["errors"])
+    compact["detail"] = os.path.relpath(detail_path, os.getcwd())
+    print(json.dumps(compact), flush=True)
     spark.stop()
 
 

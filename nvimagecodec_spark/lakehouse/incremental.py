@@ -176,7 +176,11 @@ def emit_changes(
                 [
                     encode_avro_line(
                         o,
-                        int(l),
+                        # CHANGE_SCHEMA permits null lsn but the wire
+                        # schema's lsn is a non-nullable long — encode it
+                        # as 0 (same guard as ts_us) instead of letting a
+                        # single null row raise and fail the whole export
+                        0 if pd.isna(l) else int(l),
                         0 if pd.isna(t) else int(t),
                         c,
                         None if pd.isna(ti) else int(ti),

@@ -645,27 +645,51 @@ class LakeTable:
                 time.sleep(min(0.05 * (attempt + 1), 0.5) * (0.5 + 0.5 * os.urandom(1)[0] / 255))
         raise last_err  # type: ignore[misc]
 
+    def _bucket_layout_guard(self, expected_bc: int) -> None:
+        """Raise if the bucket layout changed since ``expected_bc`` was
+        captured. Every write whose BUCKET_COL was computed under an
+        entry-time layout must call this from its commit's files_fn
+        (_commit refreshes before each attempt, so the check sees the
+        winning layout): a rebucket() landing concurrently would otherwise
+        commit files whose bucket ids follow the OLD transform while
+        metadata says the new count — bucket-pruned reads (lookup, merge's
+        touched-bucket scan) would silently miss those keys."""
+        if self.bucket_count != expected_bc:
+            raise ConcurrentModification(
+                f"bucket layout changed ({expected_bc} -> {self.bucket_count}) "
+                "since this batch computed its buckets; re-run the write"
+            )
+
     def append(self, df: DataFrame, tag: dict | None = None) -> Snapshot:
         """Append rows (no key resolution). Fast path for initial loads."""
         self.refresh()
+        expected_bc = self.bucket_count
         df = self.with_bucket(df) if BUCKET_COL not in df.columns else df
         next_id = self.current_snapshot().snapshot_id + 1
         new_files = self._write_data_files(df, next_id)
+
         # callable: on a retry after losing a commit race, re-base on the
         # WINNER's file list so its files are never dropped
+        def files_fn(snap: Snapshot) -> list[dict]:
+            self._bucket_layout_guard(expected_bc)
+            return snap.files + new_files
+
         return self._commit(
-            "append",
-            lambda snap: snap.files + new_files,
-            {"appended_files": len(new_files)},
-            tag=tag,
+            "append", files_fn, {"appended_files": len(new_files)}, tag=tag
         )
 
     def overwrite(self, df: DataFrame, tag: dict | None = None) -> Snapshot:
         self.refresh()
+        expected_bc = self.bucket_count
         df = self.with_bucket(df) if BUCKET_COL not in df.columns else df
         next_id = self.current_snapshot().snapshot_id + 1
         new_files = self._write_data_files(df, next_id)
-        return self._commit("overwrite", new_files, {"files": len(new_files)}, tag=tag)
+
+        def files_fn(snap: Snapshot) -> list[dict]:
+            self._bucket_layout_guard(expected_bc)
+            return new_files
+
+        return self._commit("overwrite", files_fn, {"files": len(new_files)}, tag=tag)
 
     def replace_buckets(
         self,
@@ -756,14 +780,8 @@ class LakeTable:
             # IDS in `df` were computed under the layout at entry — if a
             # rebucket() landed since, layering them would put rows in
             # buckets the new transform never probes (duplicate keys,
-            # unsuppressed tombstones). _commit refreshes before each
-            # attempt, so this check sees the winning layout.
-            if self.bucket_count != expected_bc:
-                raise ConcurrentModification(
-                    f"bucket layout changed ({expected_bc} -> "
-                    f"{self.bucket_count}) since this batch computed its "
-                    "buckets; re-run the merge"
-                )
+            # unsuppressed tombstones).
+            self._bucket_layout_guard(expected_bc)
             return snap.files + new_files
 
         return self._commit("delta", files_fn, s, tag=tag)
@@ -857,7 +875,7 @@ class LakeTable:
         max_delta_files: int = 0,
         max_files_per_bucket: int = 1,
         keep_snapshots: int = 10,
-        orphan_grace_seconds: int = 3600,
+        orphan_grace_seconds: int = 72 * 3600,
     ) -> dict:
         """One-call maintenance sweep, in dependency order: fold delta
         layers into base (read amplification), bin-pack fragmented
@@ -880,7 +898,7 @@ class LakeTable:
         )
         return out
 
-    def remove_orphans(self, older_than_seconds: int = 3600) -> int:
+    def remove_orphans(self, older_than_seconds: int = 72 * 3600) -> int:
         """Delete data + manifest files NO snapshot references — the
         leftovers of failed attempts. By design the metadata commit is the
         LAST step of every write, so a merge strategy that falls back
@@ -890,7 +908,12 @@ class LakeTable:
         snapshots). Age gate: files younger than ``older_than_seconds``
         may belong to an in-flight commit whose metadata hasn't landed
         yet — never touched (Iceberg ``remove_orphan_files`` contract).
-        Returns the number of files deleted.
+        The grace period MUST exceed the longest plausible in-flight
+        write: a rebucket/compaction whose file-writing stage runs for
+        hours has its earliest staged files aged well past a short
+        cutoff while still unreferenced. Default 72h (Iceberg defaults
+        this gate to 3 days for the same reason); tests pass small
+        values explicitly. Returns the number of files deleted.
         """
         self.refresh()
         cutoff = time.time() - older_than_seconds

@@ -45,6 +45,15 @@ class IvfIndex:
                 if os.path.exists(os.path.join(cand, "meta.json")):
                     os.rename(cand, self.path)
                     break
+        else:
+            # the index at self.path is whole — any sibling is a leftover
+            # of a crash AFTER the swap completed (e.g. between the second
+            # rename and the rmtree of the retired copy) and would leak a
+            # full index copy forever; reap it here
+            import shutil
+
+            for cand in (self.path + ".rebuild", self.path + ".retired"):
+                shutil.rmtree(cand, ignore_errors=True)
         with open(os.path.join(self.path, "meta.json")) as f:
             self.meta = json.load(f)
         self._centroids: list[tuple[int, list[float]]] | None = None

@@ -129,3 +129,24 @@ def test_maybe_rebuild_on_drift(spark, tmp_path):
     # no leftover swap directories
     assert not os.path.exists(idx.path + ".rebuild")
     assert not os.path.exists(idx.path + ".retired")
+
+
+def test_init_reaps_leaked_swap_siblings(spark, tmp_path):
+    """Review-caught (round-2 advice): a crash AFTER the swap's second
+    rename but BEFORE the rmtree of the retired copy leaks a full index
+    copy forever — __init__ on a whole index must reap leftover
+    .retired/.rebuild siblings."""
+    import shutil
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+    path = str(tmp_path / "idx")
+    IvfIndex.build(emb, path, n_cells=2, seed=7)
+    # simulate the post-swap crash: a complete retired copy next to a
+    # complete live index
+    shutil.copytree(path, path + ".retired")
+    shutil.copytree(path, path + ".rebuild")
+
+    idx = IvfIndex.load(spark, path)
+    assert not os.path.exists(path + ".retired")
+    assert not os.path.exists(path + ".rebuild")
+    assert len(idx.topk(anchor=0, k=3, n_probe=2).collect()) == 3

@@ -105,7 +105,9 @@ def test_optimize_umbrella(spark, tmp_path):
         _age(f["path"])
     before = t.read_logical().toPandas().sort_values(["conv_id", "turn_idx"])
 
-    out = t.optimize(keep_snapshots=2)
+    # production default grace is 72h (must exceed the longest in-flight
+    # write); the test's aged files are only ~2h old, so pass it explicitly
+    out = t.optimize(keep_snapshots=2, orphan_grace_seconds=3600)
     assert out["delta_buckets_folded"] > 0
     assert out["orphans_removed"] >= len(orphans)
     assert t.delta_stats() == {}

@@ -90,3 +90,41 @@ def test_stale_handle_delta_append_aborts_after_rebucket(spark, tmp_path):
         t_fresh, lww_dedupe(_batch(spark, [("U", 1000, "c1", 0, '{"text":"y"}')]))
     )
     assert t_fresh.lookup(conv_id="c1", turn_idx=0).collect()[0]["text"] == "y"
+
+
+def test_append_and_overwrite_abort_on_concurrent_rebucket(spark, tmp_path):
+    """Review-caught (round-2 advice): append()/overwrite() compute bucket
+    ids under the entry-time layout; a rebucket() landing before their
+    commit must abort them — otherwise metadata says the new count while
+    the committed files follow the old transform, and bucket-pruned reads
+    silently miss those keys."""
+    import pytest
+    from pyspark.sql import Row
+
+    from nvimagecodec_spark.lakehouse.table import ConcurrentModification
+
+    path = str(tmp_path / "t")
+    t1 = LakeTable.create(spark, path, SCHEMA, ["conv_id", "turn_idx"], 4)
+    t1.append(spark.createDataFrame([Row(conv_id="c0", turn_idx=0, text="v")], SCHEMA))
+    t2 = LakeTable.load(spark, path)
+
+    # interleave a rebucket between t1's file write and its commit
+    orig = t1._write_data_files
+
+    def hooked(df, snapshot_id, bucket_count=None):
+        files = orig(df, snapshot_id, bucket_count)
+        t2.rebucket(16)
+        return files
+
+    t1._write_data_files = hooked
+    row = spark.createDataFrame([Row(conv_id="c1", turn_idx=0, text="x")], SCHEMA)
+    with pytest.raises(ConcurrentModification):
+        t1.append(row)
+    t2.rebucket(4)  # reset for the overwrite arm (hook rebuckets to 16 again)
+    with pytest.raises(ConcurrentModification):
+        t1.overwrite(row)
+    t1._write_data_files = orig
+
+    # after refreshing (entry-time refresh picks up the new layout) it works
+    t1.append(row)
+    assert t1.lookup(conv_id="c1", turn_idx=0).collect()[0]["text"] == "x"
