@@ -189,6 +189,53 @@ def q_cdc_mor_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_schema_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-column schema evolution through the REAL apply path: three
+    sequential epochs with DROP COLUMN value between epochs 1/2 and a
+    re-ADD between 2/3 (Iceberg-style tombstone + fresh field id). The
+    re-added column must surface values ONLY for keys whose winning write
+    arrived after the re-add — old physical data aliasing back in, or the
+    drop failing to stop extraction, both break the oracle match.
+    Reference analog: metadata kinds with explicit UNSUPPORTED handling,
+    /root/reference/extensions/nvtiff/metadata_extractor.cpp:317-466."""
+    ch = _changes(spark, sf_dir).withColumn(
+        "after",
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.col("value"),
+                F.date_format("commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            )
+        ),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nvics-drop-")
+    _TEMP_DIRS.append(tmp)
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
+    )
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 3 == 0)))
+    table.drop_column("value")
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 3 == 1)))
+    table.add_column("value", "double")  # fresh field id — no backfill here
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 3 == 2)))
+    return table.read_logical().select(
+        "conv_id",
+        "turn_idx",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        ts_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
 def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4 metrics aggregation: per-op event counts + distinct keys."""
     ch = _changes(spark, sf_dir)
@@ -718,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_final_state": q_cdc_lww_final_state,
         "cdc_engine_apply": q_cdc_engine_apply,
         "cdc_mor_apply": q_cdc_mor_apply,
+        "cdc_schema_drop": q_cdc_schema_drop,
         "cdc_op_stats": q_cdc_op_stats,
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_epoch_stats": q_cdc_epoch_stats,
@@ -879,6 +927,16 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
                   FROM changes)
             SELECT conv_id, turn_idx, event_type, round(value, 2) AS value,
+                   epoch_us(commit_ts) AS ts_us
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_schema_drop": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes)
+            SELECT conv_id, turn_idx, event_type,
+                   CASE WHEN lsn % 3 = 2 THEN round(value, 2) END AS value,
                    epoch_us(commit_ts) AS ts_us
             FROM w WHERE rn = 1 AND op <> 'D'
         """,

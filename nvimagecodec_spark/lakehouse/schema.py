@@ -67,6 +67,13 @@ class ColumnDef:
     type_name: str  # simpleString of the logical type
     physical_type_name: str  # type as written in data files
     prev_names: list = field(default_factory=list)  # rename history (oldest first)
+    # Drop-column is a TOMBSTONE, not a removal (Iceberg-style): the def —
+    # and its field id — stays in the schema forever so old data files and
+    # time-travel reads remain interpretable, but every live projection
+    # (read, write, export) skips it. Re-adding the same name mints a NEW
+    # field id with an id-namespaced physical name, so stale data in old
+    # files can never resurface under the re-added column.
+    dropped: bool = False
 
     def logical_type(self) -> T.DataType:
         return spark_type_from_name(self.type_name)
@@ -89,8 +96,14 @@ class TableSchema:
             cols.append(ColumnDef(i, f.name, f.name, tn, tn))
         return cls(cols, last_field_id=len(cols))
 
+    @property
+    def live_columns(self) -> list:
+        return [c for c in self.columns if not c.dropped]
+
     def to_spark(self) -> T.StructType:
-        return T.StructType([T.StructField(c.name, c.logical_type(), True) for c in self.columns])
+        return T.StructType(
+            [T.StructField(c.name, c.logical_type(), True) for c in self.live_columns]
+        )
 
     def to_spark_physical(self) -> T.StructType:
         """Schema to hand the parquet reader: physical names + LOGICAL types.
@@ -104,12 +117,16 @@ class TableSchema:
         hold the wide type natively — no rewrite either way.
         """
         return T.StructType(
-            [T.StructField(c.physical_name, c.logical_type(), True) for c in self.columns]
+            [
+                T.StructField(c.physical_name, c.logical_type(), True)
+                for c in self.live_columns
+            ]
         )
 
     def project_physical_to_logical(self, df: DataFrame, extra_cols: Iterable[str] = ()) -> DataFrame:
         exprs = [
-            F.col(c.physical_name).cast(c.logical_type()).alias(c.name) for c in self.columns
+            F.col(c.physical_name).cast(c.logical_type()).alias(c.name)
+            for c in self.live_columns
         ]
         exprs += [F.col(x) for x in extra_cols if x in df.columns]
         return df.select(*exprs)
@@ -121,7 +138,7 @@ class TableSchema:
         (newer files may hold wider values); reads cast back up so mixed
         files coexist."""
         exprs = []
-        for c in self.columns:
+        for c in self.live_columns:
             if c.name in df.columns:
                 exprs.append(F.col(c.name).cast(c.logical_type()).alias(c.physical_name))
             else:
@@ -141,13 +158,37 @@ class TableSchema:
 
     # -------------------------------------------------------------- evolution
     def _col(self, name: str) -> ColumnDef:
-        for c in self.columns:
+        for c in self.live_columns:
             if c.name == name:
                 return c
-        raise KeyError(f"no column {name!r}; have {[c.name for c in self.columns]}")
+        raise KeyError(
+            f"no column {name!r}; have {[c.name for c in self.live_columns]}"
+        )
 
     def has_column(self, name: str) -> bool:
-        return any(c.name == name for c in self.columns)
+        """Live columns only — a dropped column's name is free for re-add."""
+        return any(c.name == name for c in self.live_columns)
+
+    def drop_column(self, name: str) -> "TableSchema":
+        """Tombstone a column (see ColumnDef.dropped). Idempotent under
+        epoch replay: dropping a name that is already dropped (and not
+        re-added) is a no-op; dropping a name that never existed raises."""
+        if not self.has_column(name):
+            if any(c.dropped and c.name == name for c in self.columns):
+                return self  # replay of an already-applied drop
+            raise KeyError(
+                f"no column {name!r}; have {[c.name for c in self.live_columns]}"
+            )
+        target = self._col(name)
+        cols = [
+            ColumnDef(
+                x.field_id, x.name, x.physical_name, x.type_name,
+                x.physical_type_name, x.prev_names,
+                True if x.field_id == target.field_id else x.dropped,
+            )
+            for x in self.columns
+        ]
+        return TableSchema(cols, self.last_field_id)
 
     def add_column(self, name: str, dtype: T.DataType) -> "TableSchema":
         if self.has_column(name):
@@ -172,6 +213,7 @@ class TableSchema:
                 x.type_name,
                 x.physical_type_name,
                 (x.prev_names + [old]) if x.field_id == c.field_id else x.prev_names,
+                x.dropped,
             )
             for x in self.columns
         ]
@@ -187,7 +229,7 @@ class TableSchema:
         cols = [
             ColumnDef(x.field_id, x.name, x.physical_name,
                       new_tn if x.field_id == c.field_id else x.type_name,
-                      x.physical_type_name, x.prev_names)
+                      x.physical_type_name, x.prev_names, x.dropped)
             for x in self.columns
         ]
         return TableSchema(cols, self.last_field_id)

@@ -558,7 +558,7 @@ class LakeTable:
         if self.meta.get("properties", {}).get("write.sort-keys", True):
             key_phys = [
                 c.physical_name
-                for c in self.table_schema.columns
+                for c in self.table_schema.live_columns
                 if c.name in self.key_cols
             ]
             staged = staged.sortWithinPartitions(_PART_DIR_COL, *key_phys)
@@ -991,6 +991,16 @@ class LakeTable:
 
     def rename_column(self, old: str, new: str) -> Snapshot:
         return self.update_schema(lambda s: s.rename_column(old, new))
+
+    def drop_column(self, name: str) -> Snapshot:
+        """Tombstone a column (metadata-only commit — no data rewrite):
+        reads/exports stop projecting it immediately, extraction stops,
+        old files keep the data for time travel, and the name is free for
+        a later re-add under a fresh field id (see schema.py). Key
+        columns are the table's identity and can never be dropped."""
+        if name in self.key_cols:
+            raise ValueError(f"cannot drop key column {name!r}")
+        return self.update_schema(lambda s: s.drop_column(name))
 
     def widen_column(self, name: str, type_name: str) -> Snapshot:
         return self.update_schema(lambda s: s.widen_column(name, spark_type_from_name(type_name)))

@@ -80,7 +80,10 @@ def payload_struct_expr(table: LakeTable, raw_col: str) -> F.Column:
     times (measured 20x slowdown on wide extracts)."""
     key_cols = table.key_cols
     fields: list[T.StructField] = []
-    for c in table.table_schema.columns:
+    # live columns only: a dropped column stops being extracted, and a
+    # dropped + re-added pair must not put duplicate field names into the
+    # from_json struct
+    for c in table.table_schema.live_columns:
         if c.name in key_cols:
             continue
         for v in [c.name] + [p for p in c.prev_names if p != c.name]:
@@ -98,7 +101,7 @@ def payload_extract_exprs(table: LakeTable, struct_col: str = _PX_COL) -> list[F
     key_cols = table.key_cols
     j = F.col(struct_col)
     exprs = []
-    for c in table.table_schema.columns:
+    for c in table.table_schema.live_columns:
         if c.name in key_cols:
             continue
         variants = [c.name] + [p for p in c.prev_names if p != c.name]

@@ -68,6 +68,15 @@ def apply_schema_events(table: LakeTable, schema_events: DataFrame) -> SchemaApp
             elif kind == "widen":
                 table.widen_column(sc["column"], sc["new_type"])
                 applied.append(sc)
+            elif kind == "drop":
+                # Iceberg-style tombstone: field id retained, extraction
+                # stops, excluded from reads/export (the reference's
+                # UNSUPPORTED-vs-supported metadata-kind split,
+                # /root/reference/extensions/nvtiff/metadata_extractor.cpp:317-466).
+                # Dropping a key column or a never-existed column raises
+                # inside -> dead-lettered below.
+                table.drop_column(sc["column"])
+                applied.append(sc)
             else:
                 raise ValueError(f"unknown schema-change kind {kind!r}")
         except Exception as e:  # incompatible → dead letter, keep applying rest

@@ -45,6 +45,14 @@ def apply_events_pandas(events: pd.DataFrame) -> pd.DataFrame:
                     for v in state.values():
                         if old in v:
                             v[new] = v.pop(old)
+            elif sc["kind"] == "drop":
+                # stop surfacing the column; stored payload values stay in
+                # state because the ENGINE keeps each row's winning raw
+                # image (_sys_raw) and re-extracts it on a later re-add —
+                # a drop→re-add resurfaces the winning write's value in
+                # both implementations
+                if sc["column"] in columns:
+                    columns.remove(sc["column"])
             elif sc["kind"] == "widen":
                 pass  # dtype-level only
             continue
@@ -58,9 +66,15 @@ def apply_events_pandas(events: pd.DataFrame) -> pd.DataFrame:
         for old, new in renames.items():  # normalize historical key names
             if old in rec:
                 rec[new] = rec.pop(old)
-        state[key] = {c: rec.get(c) for c in columns}
+        # store the FULL winning payload (the _sys_raw analog); the final
+        # projection below applies the schema in force at the END — this is
+        # what makes add-after-disorder backfill and drop→re-add match the
+        # engine's re-extraction semantics
+        state[key] = rec
 
-    out = pd.DataFrame(list(state.values()), columns=columns)
+    out = pd.DataFrame(
+        [{c: rec.get(c) for c in columns} for rec in state.values()], columns=columns
+    )
     if len(out):
         out = out.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
     return out

@@ -32,6 +32,15 @@ SCHEMA_EVENT_PLAN = [
     (0.80, {"kind": "widen", "column": "rating", "new_name": None, "new_type": "long"}),
 ]
 
+# The full lifecycle plan: ...widen -> DROP -> re-ADD. Events between drop
+# and re-add stop carrying the column (the upstream table no longer has
+# it); the engine must stop extracting/exporting it, then resurrect
+# re-extractable values on the re-add (from each row's winning raw image).
+SCHEMA_EVENT_PLAN_FULL = SCHEMA_EVENT_PLAN + [
+    (0.86, {"kind": "drop", "column": "rating", "new_name": None, "new_type": None}),
+    (0.93, {"kind": "add", "column": "rating", "new_name": None, "new_type": "long"}),
+]
+
 
 def turn_text(conv: int, turn: int, version: int) -> str:
     return f"conv {conv} turn {turn} v{version} :: " + " ".join(
@@ -51,6 +60,7 @@ def generate_change_events(
     disorder_window: int = 1_000,
     p_disorder: float = 0.10,
     max_turns: int = 64,
+    schema_plan: list | None = None,
 ) -> pd.DataFrame:
     """Deterministic event frame in *delivery* order.
 
@@ -81,11 +91,11 @@ def generate_change_events(
 
     lsns = (np.arange(n_events, dtype=np.int64) + 1) * 2
 
-    add_lsn = rename_lsn = None
+    add_lsn = rename_lsn = drop_lsn = readd_lsn = None
     schema_rows = []
     if with_schema_events:
         plan_lsns = []
-        for frac, change in SCHEMA_EVENT_PLAN:
+        for frac, change in schema_plan or SCHEMA_EVENT_PLAN:
             pos = min(int(n_events * frac), n_events - 1)
             slsn = int(lsns[pos]) + 1  # odd — strictly after data event at pos
             plan_lsns.append((slsn, change))
@@ -100,8 +110,16 @@ def generate_change_events(
                     "schema_change": change,
                 }
             )
-        add_lsn = plan_lsns[0][0]
-        rename_lsn = plan_lsns[1][0]
+        for slsn, change in plan_lsns:
+            if change["kind"] == "add" and change["column"] == "rating":
+                if add_lsn is None:
+                    add_lsn = slsn
+                else:
+                    readd_lsn = slsn  # re-add after a drop
+            elif change["kind"] == "rename":
+                rename_lsn = slsn
+            elif change["kind"] == "drop" and change["column"] == "rating":
+                drop_lsn = slsn
 
     rng2 = np.random.default_rng(seed + 1)
     rating = rng2.integers(0, 6, size=n_events).astype("float64")
@@ -109,6 +127,13 @@ def generate_change_events(
         rating[lsns < add_lsn] = np.nan
     else:
         rating[:] = np.nan
+    if drop_lsn is not None:
+        # the upstream column doesn't exist between drop and re-add —
+        # payloads in that window stop carrying it
+        in_window = (lsns > drop_lsn) & (
+            (lsns < readd_lsn) if readd_lsn is not None else True
+        )
+        rating[in_window] = np.nan
     rating[ops == "D"] = np.nan
     renamed = lsns > rename_lsn if rename_lsn is not None else np.zeros(n_events, dtype=bool)
 
