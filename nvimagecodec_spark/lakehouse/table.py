@@ -100,6 +100,66 @@ class Snapshot:
     manifest_list: str | None = None
 
 
+def _footer_key_stats(md, key_phys: list[str]) -> dict[str, list]:
+    """Per-file [min, max] for each key column, folded over the parquet
+    footer's row-group statistics. Only JSON-stable value types (str/int)
+    are recorded — anything else (timestamps, truncated/absent stats)
+    yields no entry for that column, which pruning treats as
+    'may contain anything' (conservative, never wrong)."""
+    stats: dict[str, list] = {}
+    if not key_phys or md.num_row_groups == 0:
+        return stats
+    rg0 = md.row_group(0)
+    names = [rg0.column(j).path_in_schema for j in range(rg0.num_columns)]
+    for phys in key_phys:
+        if phys not in names:
+            continue
+        j = names.index(phys)
+        lo = hi = None
+        ok = True
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(j).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            if lo is None or st.min < lo:
+                lo = st.min
+            if hi is None or st.max > hi:
+                hi = st.max
+        if (
+            ok
+            and isinstance(lo, (str, int))
+            and isinstance(hi, (str, int))
+            and not isinstance(lo, bool)
+        ):
+            stats[phys] = [lo, hi]
+    return stats
+
+
+def prune_files_by_key(files: list[dict], key_phys_vals: dict) -> list[dict]:
+    """Manifest-level FILE skipping inside a bucket: keep only files whose
+    recorded key ranges may contain the given key values. Files without
+    stats (legacy manifests, non-recordable types) always survive."""
+    out = []
+    for f in files:
+        st = f.get("stats") or {}
+        keep = True
+        for col, v in key_phys_vals.items():
+            rng = st.get(col)
+            if rng is None or v is None:
+                continue
+            lo, hi = rng
+            try:
+                if v < lo or v > hi:
+                    keep = False
+                    break
+            except TypeError:  # cross-type compare (schema drift) — keep
+                continue
+        if keep:
+            out.append(f)
+    return out
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed the same metadata version first."""
 
@@ -416,6 +476,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         with_system: bool = False,
         schema_version: int | None = None,
+        key_equals: dict | None = None,
     ) -> DataFrame:
         """Read the table (optionally time-travel / bucket-pruned).
 
@@ -445,6 +506,16 @@ class LakeTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
+        if key_equals:
+            # second pruning tier: manifest key ranges skip files WITHIN the
+            # bucket (see _footer_key_stats). ``key_equals`` maps LOGICAL
+            # key-column names to values; stats live under physical names.
+            phys = {
+                c.physical_name: key_equals[c.name]
+                for c in tschema.live_columns
+                if c.name in key_equals
+            }
+            files = prune_files_by_key(files, phys)
 
         def scan(fl: list[dict], with_sys: bool) -> DataFrame:
             phys = tschema.to_spark_physical().add(BUCKET_COL, T.IntegerType())
@@ -491,13 +562,16 @@ class LakeTable:
         (reference analog: per-sample status/metadata query,
         /root/reference/include/nvimgcodec.h:1793-1811).
 
-        Two pruning tiers: the key's bucket is computed ONCE (manifest-
+        Three pruning tiers: the key's bucket is computed ONCE (manifest-
         level pruning hands the scan only that bucket's files — 1/B of
-        the table at B buckets), then the key equality predicates push
-        down into the parquet scan so row-group stats prune inside the
-        bucket. The bucket transform (xxhash64) is evaluated by a one-row
-        Spark job rather than reimplemented in Python — a forked hash
-        would silently read the wrong bucket.
+        the table at B buckets); manifest per-file key ranges then skip
+        files WITHIN the bucket (a compacted, key-sorted bucket split by
+        maxRecordsPerFile has disjoint per-file ranges, so the point read
+        touches ONE file, not one bucket); finally the key equality
+        predicates push down into the parquet scan so row-group stats
+        prune inside the surviving file. The bucket transform (xxhash64)
+        is evaluated by a one-row Spark job rather than reimplemented in
+        Python — a forked hash would silently read the wrong bucket.
 
         Delta-carrying buckets reconcile as usual; tombstoned keys return
         an empty frame.
@@ -516,7 +590,10 @@ class LakeTable:
             [tuple(key[f.name] for f in key_schema.fields)], key_schema
         )
         b = row.select(self.bucket_expr(row).alias("b")).first()["b"]
-        df = self.read_logical(buckets=[b])
+        # key_equals is sound ONLY because every returned row is filtered
+        # to exactly this key below — pruned files can't contain it, so
+        # neither the winner nor its tombstone can be missed
+        df = self.read_logical(buckets=[b], key_equals=dict(key))
         for k in self.key_cols:
             df = df.where(F.col(k).eqNullSafe(F.lit(key[k])))
         return df
@@ -569,6 +646,11 @@ class LakeTable:
         )
         import pyarrow.parquet as pq
 
+        key_phys = [
+            c.physical_name
+            for c in self.table_schema.live_columns
+            if c.name in self.key_cols
+        ]
         files: list[dict] = []
         for entry in sorted(os.listdir(out_dir)):
             if not entry.startswith(f"{_PART_DIR_COL}="):
@@ -578,12 +660,22 @@ class LakeTable:
             for fn in sorted(os.listdir(bdir)):
                 if fn.endswith(".parquet"):
                     p = os.path.join(bdir, fn)
-                    # real row counts from the footer (one metadata read per
-                    # file at commit time): manifests carry per-bucket row
-                    # stats, which the adaptive CoW-vs-MoR choice and the
-                    # commit summaries need. Iceberg records the same.
-                    rows = pq.ParquetFile(p).metadata.num_rows
-                    files.append({"path": p, "bucket": bucket, "rows": rows})
+                    # real row counts + per-file key min/max from the footer
+                    # (one metadata read per file at commit time): manifests
+                    # carry per-bucket row stats (adaptive CoW-vs-MoR) and
+                    # key ranges (point-lookup FILE skipping inside a
+                    # bucket). The key-sorted layout (default on) makes the
+                    # ranges tight, and a compacted bucket split by
+                    # maxRecordsPerFile gets DISJOINT per-file ranges — a
+                    # point lookup then reads one file, not one bucket.
+                    # Iceberg manifests record the same (ROI/partial-read
+                    # analog, /root/reference/include/nvimgcodec.h:564-574).
+                    md = pq.ParquetFile(p).metadata
+                    fentry = {"path": p, "bucket": bucket, "rows": md.num_rows}
+                    stats = _footer_key_stats(md, key_phys)
+                    if stats:
+                        fentry["stats"] = stats
+                    files.append(fentry)
         return files
 
     def _commit(

@@ -98,3 +98,52 @@ def test_sort_keys_property_clusters_rows(spark, tmp_path):
         col = pq.read_table(f["path"], columns=["conv_id"])["conv_id"].to_pylist()
         assert col == sorted(col), f["path"]
     assert t.lookup(conv_id="c042", turn_idx=0).count() == 1
+
+
+def test_manifest_key_stats_recorded(spark, table):
+    """Every data file's manifest entry carries [min,max] for both key
+    columns (footer stats; key-sorted layout makes them tight)."""
+    for f in table.current_snapshot().files:
+        st = f.get("stats")
+        assert st and "conv_id" in st and "turn_idx" in st, f
+        lo, hi = st["conv_id"]
+        assert isinstance(lo, str) and lo <= hi
+
+
+def test_lookup_skips_files_inside_bucket(spark, tmp_path):
+    """The round-3 point: a multi-file bucket with disjoint per-file key
+    ranges (what compaction + maxRecordsPerFile produces at scale) must
+    hand the scan exactly ONE file for a point lookup."""
+    from nvimagecodec_spark.lakehouse.table import prune_files_by_key
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], 1)
+    # two appends -> two files in bucket 0 with disjoint conv_id ranges
+    merge_into(t, lww_dedupe(_events(
+        spark, [("I", i, f"a{i:03d}", 0, f'{{"text":"a{i}"}}') for i in range(50)])))
+    merge_into_delta(t, lww_dedupe(_events(
+        spark, [("I", 100 + i, f"z{i:03d}", 0, f'{{"text":"z{i}"}}') for i in range(50)])))
+    files = t.current_snapshot().files
+    assert len(files) == 2 and all(f["bucket"] == 0 for f in files)
+
+    kept = prune_files_by_key(files, {"conv_id": "a007", "turn_idx": 0})
+    assert len(kept) == 1 and kept[0]["stats"]["conv_id"][0].startswith("a")
+    kept_z = prune_files_by_key(files, {"conv_id": "z007", "turn_idx": 0})
+    assert len(kept_z) == 1 and kept_z[0]["stats"]["conv_id"][0].startswith("z")
+
+    # end-to-end: lookups stay correct THROUGH the pruned read — including
+    # the MoR reconcile path (the z-file is a delta layer) and misses
+    assert t.lookup(conv_id="a007", turn_idx=0).collect()[0]["text"] == "a7"
+    assert t.lookup(conv_id="z007", turn_idx=0).collect()[0]["text"] == "z7"
+    assert t.lookup(conv_id="m500", turn_idx=0).count() == 0
+
+    # a tombstone in a pruned-in delta file still suppresses the base row
+    merge_into_delta(t, lww_dedupe(_events(spark, [("D", 999, "a007", 0, None)])))
+    assert t.lookup(conv_id="a007", turn_idx=0).count() == 0
+
+
+def test_stats_survive_manifest_roundtrip(spark, table, tmp_path):
+    """Stats are persisted through the content-addressed manifests, not
+    just the in-memory snapshot — a fresh handle sees them."""
+    t2 = LakeTable.load(spark, table.path)
+    for f in t2.current_snapshot().files:
+        assert f.get("stats"), f
