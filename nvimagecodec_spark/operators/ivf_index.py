@@ -162,18 +162,27 @@ class IvfIndex:
         cent_df = self.spark.createDataFrame(
             cent_rows, "cell int, centroid array<double>"
         )
+        # Winning cell per vector WITHOUT grouping on the vector column:
+        # the cross-join rows carry only (id, sim, cell) — the narrow
+        # argmax groups/shuffles on the id, and the full vectors join back
+        # by id afterwards. Grouping on an array<double> key (the round-2
+        # shape) shuffled every vector n_cells times and made equality of
+        # float arrays the grouping semantics — fragile and wasteful.
         assigned = (
-            embeddings.crossJoin(F.broadcast(cent_df))
+            embeddings.select(id_col, vec_col)
+            .crossJoin(F.broadcast(cent_df))
             .select(
-                "*",
+                F.col(id_col),
+                F.col("cell"),
                 cosine(F.col(vec_col), F.col("centroid")).alias("_sim"),
             )
-            .groupBy(*embeddings.columns)
+            .groupBy(id_col)
             .agg(F.max_by("cell", "_sim").alias("cell"))
         )
-        n = assigned.count()
+        out = embeddings.join(assigned, id_col)
+        n = out.count()
         (
-            assigned.repartition(self.meta["n_cells"], F.col("cell"))
+            out.repartition(self.meta["n_cells"], F.col("cell"))
             .write.partitionBy("cell")
             .mode("append")
             .parquet(os.path.join(self.path, "assignments"))

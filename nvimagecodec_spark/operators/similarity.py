@@ -57,7 +57,6 @@ def ivf_topk(
     Centroids are per-cell means (element-wise), computed with a single
     aggregation; the candidate scan is pruned to the probed cells.
     """
-    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
     exploded = embeddings.select(
         F.col(cell_col),
         F.posexplode(F.col(vec_col)).alias("dim", "val"),
@@ -86,7 +85,6 @@ def ivf_topk(
         .select(cell_col)
     )
     candidates = embeddings.join(F.broadcast(probed), cell_col)
-    del dim_idx
     scored = (
         candidates.crossJoin(F.broadcast(anchor))
         .where(F.col(id_col) != anchor_id)

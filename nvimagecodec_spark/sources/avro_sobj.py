@@ -178,6 +178,97 @@ def encode_avro_line(
     return base64.b64encode(AVRO_HEADER + body).decode()
 
 
+# ----------------------------------------------------------- Spark encode
+#
+# Pure-expression encoder (round-3 experiment, VERDICT #6): unlike the
+# DECODER — where a pure-expression varint parser needs combinatorially
+# nested byte positions and OOMs the analyzer (see module docstring) —
+# ENCODING is fixed-layout per field: each varint is a ≤9-branch CASE on
+# the value's magnitude, assembled as hex text and unhex'd once. It is
+# feasible (byte-identical to encode_avro_line on a 20k-value fuzz) but
+# it LOSES: 600k rows on local[16], interleaved A/B, warm, best of 4 —
+# expression 1.30s vs Arrow pandas-UDF 0.75s (~1.7x). The hex-text
+# assembly costs ~60 string expressions per row (lpad/hex per byte +
+# concat + unhex + base64 + chunk-strip), far more than one C-speed
+# Python loop over an Arrow batch. The pandas UDF stays the product
+# encoder (emit_changes, roundtrip queries); this expression form is
+# kept for environments without Python workers, and as the measured
+# negative finding the decoder docstring's positive one mirrors.
+
+
+def _zigzag_expr(v: Column) -> Column:
+    # two's-complement wrap of shiftleft matches Java semantics, so the
+    # standard (n << 1) ^ (n >> 63) works for the full ±2^62 domain
+    return F.shiftleft(v, 1).bitwiseXOR(F.shiftright(v, 63))
+
+
+def _byte_hex(e: Column) -> Column:
+    return F.lpad(F.hex(e), 2, "0")
+
+
+def _varint_hex(z: Column) -> Column:
+    """LEB128 hex of a non-negative (zigzagged) long — a 9-branch CASE on
+    magnitude; branch k emits k fixed bytes."""
+    expr = F.when(z < 128, _byte_hex(z))
+    for k in range(2, 9):
+        parts = [
+            _byte_hex(
+                F.shiftright(z, 7 * i).bitwiseAND(F.lit(0x7F)).bitwiseOR(F.lit(0x80))
+            )
+            for i in range(k - 1)
+        ]
+        parts.append(_byte_hex(F.shiftright(z, 7 * (k - 1))))
+        expr = expr.when(z < F.lit(1 << (7 * k)), F.concat(*parts))
+    # 9-byte tail: everything below 2^63 (zigzag of ±2^62 never needs 10)
+    parts = [
+        _byte_hex(F.shiftright(z, 7 * i).bitwiseAND(F.lit(0x7F)).bitwiseOR(F.lit(0x80)))
+        for i in range(8)
+    ]
+    parts.append(_byte_hex(F.shiftright(z, 56)))
+    return expr.otherwise(F.concat(*parts))
+
+
+def _str_hex(s: Column) -> Column:
+    """Avro string: zigzag(byte-length) varint + utf-8 bytes, as hex."""
+    b = F.encode(s, "UTF-8")
+    return F.concat(_varint_hex(F.shiftleft(F.length(b).cast("long"), 1)), F.hex(b))
+
+
+def avro_encode_expr(
+    op: Column,
+    lsn: Column,
+    ts_us: Column,
+    conv_id: Column,
+    turn_idx: Column,
+    payload: Column,
+) -> Column:
+    """One change event → base64 single-object line, entirely JVM-side.
+
+    Byte-identical to ``encode_avro_line`` (property-tested): canonical
+    Avro binary has exactly one encoding per value. Null lsn/ts encode as
+    0 (the wire longs are non-nullable); empty payload encodes as null,
+    matching the Python encoder.
+    """
+    body = F.concat(
+        _str_hex(op),
+        _varint_hex(_zigzag_expr(F.coalesce(lsn.cast("long"), F.lit(0).cast("long")))),
+        _varint_hex(_zigzag_expr(F.coalesce(ts_us.cast("long"), F.lit(0).cast("long")))),
+        F.when(conv_id.isNull(), "00").otherwise(F.concat(F.lit("02"), _str_hex(conv_id))),
+        F.when(turn_idx.isNull(), "00").otherwise(
+            F.concat(F.lit("02"), _varint_hex(_zigzag_expr(turn_idx.cast("long"))))
+        ),
+        F.when(payload.isNull() | (payload == ""), "00").otherwise(
+            F.concat(F.lit("02"), _str_hex(payload))
+        ),
+    )
+    b64 = F.base64(F.unhex(F.concat(F.lit(AVRO_HEADER.hex().upper()), body)))
+    # Spark's base64 may emit MIME-chunked output (76-char lines joined by
+    # \r\n) depending on spark.sql.legacy.chunkBase64String.enabled; the
+    # wire format is one line per message, so strip unconditionally rather
+    # than depend on session conf
+    return F.regexp_replace(b64, "[\\r\\n]", "")
+
+
 # ------------------------------------------------------------ Spark decode
 
 _AVRO_STRUCT = T.StructType(

@@ -495,6 +495,32 @@ class ChangeStream:
             df = df.where(F.col("lsn") <= F.lit(end_lsn))
         return df
 
+    def lsn_counts(
+        self, start_lsn: int = 0, granularity: int = 1
+    ) -> list[tuple[int, int]]:
+        """Real offset accounting for the incremental loop: event counts
+        per LSN chunk, ``[(chunk_end_lsn, n_events), ...]`` ascending,
+        over events with ``lsn > start_lsn``. Chunk c covers
+        ``(c*granularity, (c+1)*granularity]`` so ``chunk_end_lsn`` is a
+        valid ``slice`` end bound.
+
+        One combinable aggregate over the remaining stream; the driver
+        round-trip is bounded by span/granularity rows (callers pick
+        granularity so that's ~10^4). This is what lets epoch sizing
+        track EVENT counts when LSNs are sparse/gappy — a database LSN
+        is a byte position, not a row number, so assuming density
+        under-fills epochs by orders of magnitude."""
+        g = max(int(granularity), 1)
+        rows = (
+            self.slice(start_lsn=start_lsn)
+            .groupBy(F.floor((F.col("lsn") - 1) / g).alias("chunk"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("chunk").isNotNull())
+            .orderBy("chunk")
+            .collect()
+        )
+        return [((int(r["chunk"]) + 1) * g, int(r["n"])) for r in rows]
+
     def max_lsn(self) -> int | None:
         """High-water LSN. Cached per (file set + sizes) fingerprint: a
         text source has no footer stats, so computing this is a full

@@ -149,17 +149,23 @@ class CdcEngine:
             # OVERWRITE: a crash-replayed epoch rewrites ITS partition
             # instead of appending duplicates — the sink is exactly-once
             # like the table commit it rides along with.
+            dl = events.where(F.col("src_format").isNull()).select(
+                "src_file",
+                "src_offset",
+                "raw_value",
+                F.lit(self.source_id).alias("source_id"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+            # coalesce(1) is right for trickle dead letters (one tidy file
+            # per epoch) but a poison storm — a misconfigured upstream
+            # emitting millions of bad lines — must not funnel through one
+            # task while the healthy path stays parallel. coalesce can't
+            # RAISE parallelism (a single poison file reads as one split),
+            # so a storm pays one bounded repartition shuffle for 8-way
+            # sink writes.
+            dl = dl.coalesce(1) if n_dead <= 50_000 else dl.repartition(8)
             (
-                events.where(F.col("src_format").isNull())
-                .select(
-                    "src_file",
-                    "src_offset",
-                    "raw_value",
-                    F.lit(self.source_id).alias("source_id"),
-                    F.lit(batch_id).alias("batch_id"),
-                )
-                .coalesce(1)
-                .write.partitionBy("source_id", "batch_id")
+                dl.write.partitionBy("source_id", "batch_id")
                 .option("partitionOverwriteMode", "dynamic")
                 .mode("overwrite")
                 .parquet(self.config.dead_letter_dir)
@@ -327,15 +333,38 @@ class CdcEngine:
                 last = max(last, rec["offset_range"].get("end_lsn") or 0)
                 batch_id = max(batch_id, rec["batch_id"] + 1)
         top = stream.max_lsn()
+        if top is None or last >= top:
+            return 0
+        # Real offset accounting: epoch bounds come from EVENT counts per
+        # LSN chunk (one pass over the remaining stream, ~10^4-row driver
+        # round-trip), not from assuming dense LSNs — a database LSN is a
+        # byte position, so lsn-span == event-count holds only in toy
+        # fixtures; with gappy LSNs the old `last + cap` bound under-filled
+        # epochs by the gap factor.
+        g = max(1, (top - last) // 10_000)
+        hist = stream.lsn_counts(start_lsn=last, granularity=g)
         epochs = 0
-        while top is not None and last < top and epochs < max_epochs:
-            cap = self.rate.cap
-            # LSN caps are a rough proxy for event counts (LSNs are dense
-            # in our fixtures); a production source would use real offsets.
-            end = min(top, last + max(cap, 1))
+        i = 0
+        while i < len(hist) and epochs < max_epochs:
+            cap = max(self.rate.cap, 1)
+            # accumulate whole chunks until the NEXT one would exceed the
+            # rate cap (always at least one — a single over-cap chunk is
+            # indivisible at this granularity)
+            acc = 0
+            end = last
+            while i < len(hist) and (acc == 0 or acc + hist[i][1] <= cap):
+                acc += hist[i][1]
+                end = hist[i][0]
+                i += 1
             events = stream.slice(start_lsn=last, end_lsn=end)
             self.apply_epoch(
-                events, batch_id, offset_range={"start_lsn": last, "end_lsn": end}
+                events,
+                batch_id,
+                offset_range={
+                    "start_lsn": last,
+                    "end_lsn": end,
+                    "events_planned": acc,
+                },
             )
             last = end
             batch_id += 1

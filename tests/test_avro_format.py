@@ -165,3 +165,56 @@ def test_out_of_range_values_become_null_rows_not_scan_errors(spark):
 
     with pytest.raises(ValueError):
         encode_avro_line("I", 1, 2, "c", 1 << 31, None)
+
+
+def test_expression_encoder_byte_identical(spark):
+    """avro_encode_expr (the JVM-expression encoder) must emit the exact
+    bytes encode_avro_line does — canonical Avro binary has one encoding
+    per value, so equality is exact, not semantic. (Perf note, measured
+    interleaved at 600k rows: the Arrow pandas-UDF encoder is ~1.7x
+    FASTER; the expression form exists for pythonless environments — see
+    the module docstring's measurement.)"""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nvimagecodec_spark.sources.avro_sobj import (
+        avro_encode_expr,
+        encode_avro_line,
+    )
+
+    random.seed(3)
+    rows = [
+        ("I", 0, 0, "c", 0, '{"a":1}'),
+        ("U", 1, -1, "conv-x", 1, '{"text":"hé😀"}'),
+        ("D", (1 << 62) - 1, -(1 << 62) + 1, None, -(2**31), None),
+        ("S", 127, 128, "y" * 300, 2**31 - 1, ""),
+    ] + [
+        (
+            random.choice(["I", "U", "D"]),
+            random.randint(-(1 << 62) + 1, (1 << 62) - 1),
+            random.randint(-(1 << 62) + 1, (1 << 62) - 1),
+            None if random.random() < 0.1 else "c" * random.randint(1, 40),
+            None if random.random() < 0.1 else random.randint(-(2**31), 2**31 - 1),
+            None if random.random() < 0.2 else '{"t":"' + "x" * random.randint(0, 150) + '"}',
+        )
+        for _ in range(1000)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "op string, lsn long, ts_us long, conv_id string, turn_idx int, payload string",
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            avro_encode_expr(
+                F.col("op"), F.col("lsn"), F.col("ts_us"),
+                F.col("conv_id"), F.col("turn_idx"), F.col("payload"),
+            )
+        ).collect()
+    ]
+    want = [
+        encode_avro_line(o, l, t, c, ti, None if p == "" else p)
+        for o, l, t, c, ti, p in rows
+    ]
+    assert got == want

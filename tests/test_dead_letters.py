@@ -168,3 +168,40 @@ def test_dead_letter_sink_idempotent_under_crash_replay(spark, tmp_path, stream_
     dl = spark.read.parquet(dl_dir)
     assert dl.count() == 4, "replay duplicated dead letters"
     assert table.read_logical().count() == 6
+
+
+def test_poison_storm_keeps_sink_parallel(spark, tmp_path):
+    """Round-3 advice #7: an epoch where a misconfigured upstream emits
+    ~10^5 bad lines must not funnel the dead-letter sink through ONE
+    task — above the threshold the sink keeps 8-way parallelism (file
+    count proves the write parallelism; the healthy rows still apply)."""
+    d = tmp_path / "storm"
+    d.mkdir()
+    with open(d / "000-storm.jsonl", "w") as f:
+        for i in range(5):
+            f.write(_line("I", f"c{i}", 0, i + 1, f"t{i}") + "\n")
+        for i in range(100_000):
+            f.write(f"POISON LINE {i} ##\n")
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], bucket_count=4
+    )
+    dl_dir = str(tmp_path / "dead")
+    engine = CdcEngine(
+        spark,
+        table,
+        source_id="storm",
+        config=EngineConfig(dead_letter_dir=dl_dir, expire_every_epochs=0),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    engine.run_stream(str(d), max_files_per_trigger=10)
+
+    assert table.read_logical().count() == 5  # healthy path unaffected
+    dead = spark.read.parquet(dl_dir)
+    assert dead.count() == 100_000
+    part = [
+        p for p in os.walk(dl_dir)
+    ]
+    n_files = sum(
+        1 for root, _d, fns in part for fn in fns if fn.endswith(".parquet")
+    )
+    assert n_files > 1, "poison storm serialized through one sink task"
