@@ -645,6 +645,21 @@ def q_mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(docs, every_n=2)
 
 
+def q_mm_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third multimodal format (FAUD): magic-byte probe + lazy header-only
+    metadata — sample rate, duration, channels, derived sample count (the
+    parser-plugin-per-format pattern, /root/reference/extensions/)."""
+    docs = M.attach_fake_audio(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return M.audio_metadata(docs.select("doc_id", "audio"))
+
+
+def q_mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed waveform stats: one row per 1s window, Arrow-batched
+    explode (the audio analog of video frame sampling)."""
+    docs = M.attach_fake_audio(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return M.audio_windowed_stats(docs, window_ms=1000)
+
+
 # -------------------------------------------------------------- embeddings
 
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_decode": q_mm_image_decode,
         "mm_image_resize": q_mm_image_resize,
         "mm_video_frame_sample": q_mm_video_frame_sample,
+        "mm_audio_metadata": q_mm_audio_metadata,
+        "mm_audio_windows": q_mm_audio_windows,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_persisted": q_emb_ivf_persisted,
@@ -1206,6 +1223,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
                    CAST(('0x' || substring(md5(text || '|frame|' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) AS frame_h32
             FROM v, UNNEST(generate_series(0, n_frames - 1, 2)) AS g(i)
+        """,
+        "mm_audio_metadata": """
+            WITH a AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(text), 7, 1)) AS INTEGER) % 4 AS sri,
+                     CAST(('0x' || substring(md5(text), 9, 4)) AS INTEGER) % 9000 + 1000 AS duration_ms,
+                     CAST(('0x' || substring(md5(text), 13, 1)) AS INTEGER) % 2 + 1 AS channels
+              FROM documents
+            )
+            SELECT doc_id, 'faud' AS codec,
+                   CAST(CASE sri WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                 WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+                   CAST(duration_ms AS INTEGER) AS duration_ms,
+                   CAST(channels AS INTEGER) AS channels,
+                   CAST((CASE sri WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                                  WHEN 2 THEN 22050 ELSE 44100 END)
+                        * CAST(duration_ms AS BIGINT) // 1000 AS BIGINT) AS n_samples,
+                   29 AS n_bytes
+            FROM a
+        """,
+        "mm_audio_windows": """
+            WITH a AS (
+              SELECT doc_id, md5(text) AS h,
+                     CAST(('0x' || substring(md5(text), 9, 4)) AS INTEGER) % 9000 + 1000 AS duration_ms
+              FROM documents
+            )
+            SELECT doc_id, CAST(w AS INTEGER) AS window_idx,
+                   CAST(('0x' || substring(h, 2 * ((2 * w) % 15) + 1, 4)) AS INTEGER) AS energy,
+                   CAST(('0x' || substring(h, 2 * ((3 * w) % 16) + 1, 2)) AS INTEGER) AS peak
+            FROM a, UNNEST(generate_series(0, CAST(CEIL(duration_ms / 1000.0) AS INTEGER) - 1)) AS g(w)
         """,
         "emb_cosine_topk": """
             WITH anchor AS (SELECT embedding AS a FROM embeddings WHERE vec_id = 0)

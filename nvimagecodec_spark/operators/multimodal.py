@@ -31,9 +31,16 @@ FAKE codec layout (big-endian):
                  coded pixel data)
   FVID (video):  magic 'FVID' | width:int32 | height:int32 | n_frames:uint8
                  | n_frames × 16-byte frame payloads (md5(text|frame_idx))
+  FAUD (audio):  magic 'FAUD' | sample_rate:int32 | duration_ms:int32
+                 | channels:uint8 | payload: md5(text) = 16 bytes (stands
+                 in for the encoded waveform)
 
 Every derived quantity is md5-based so a DuckDB oracle can recompute it
-from the source text without ever seeing the binary.
+from the source text without ever seeing the binary. The audio tier gives
+the multimodal family its third format the way the reference ships many
+parser plugins (/root/reference/extensions/ — nvjpeg, nvjpeg2k, nvtiff,
+...): same probe chain, same lazy header-only metadata, same Arrow-batched
+content tier (windowed waveform stats ↔ frame sampling).
 """
 
 from __future__ import annotations
@@ -48,7 +55,8 @@ from pyspark.sql import types as T
 
 MAGIC_IMAGE = "FIMG"
 MAGIC_VIDEO = "FVID"
-_MAGIC_HEX = {MAGIC_IMAGE: "46494D47", MAGIC_VIDEO: "46564944"}
+MAGIC_AUDIO = "FAUD"
+_MAGIC_HEX = {MAGIC_IMAGE: "46494D47", MAGIC_VIDEO: "46564944", MAGIC_AUDIO: "46415544"}
 
 
 def _hx(col: Column, start: int, n: int) -> Column:
@@ -101,6 +109,25 @@ def attach_fake_videos(df: DataFrame, text_col: str = "text", out_col: str = "vi
     return df.withColumn(out_col, F.unhex(header_hex))
 
 
+def attach_fake_audio(df: DataFrame, text_col: str = "text", out_col: str = "audio") -> DataFrame:
+    """Deterministic binary audio column: sample rate from a standard-rate
+    table, 1-10s duration, mono/stereo — all md5-derived so the DuckDB
+    oracle recomputes every field from the source text."""
+    md5 = F.md5(F.col(text_col))
+    rates = F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100))
+    sample_rate = F.element_at(rates, (_hx(md5, 7, 1) % 4 + 1).cast("int")).cast("int")
+    duration_ms = (_hx(md5, 9, 4) % 9000 + 1000).cast("int")
+    channels = (_hx(md5, 13, 1) % 2 + 1).cast("int")
+    header_hex = F.concat(
+        F.lit(_MAGIC_HEX[MAGIC_AUDIO]),
+        F.lpad(F.hex(sample_rate), 8, "0"),
+        F.lpad(F.hex(duration_ms), 8, "0"),
+        F.lpad(F.hex(channels), 2, "0"),
+        md5,  # 16-byte encoded-waveform stand-in
+    )
+    return df.withColumn(out_col, F.unhex(header_hex))
+
+
 # ------------------------------------------------------------ metadata tier
 
 def detect_codec(binary_col: str) -> Column:
@@ -109,7 +136,8 @@ def detect_codec(binary_col: str) -> Column:
     NULL = unknown format → dead-letter disposition."""
     magic = F.hex(F.substring(F.col(binary_col), 1, 4))
     expr = F.lit(None).cast("string")
-    for name in (MAGIC_VIDEO, MAGIC_IMAGE):  # image probed first (reversed fold)
+    # image probed first (reversed fold), then video, then audio
+    for name in (MAGIC_AUDIO, MAGIC_VIDEO, MAGIC_IMAGE):
         expr = F.when(magic == _MAGIC_HEX[name], F.lit(name.lower())).otherwise(expr)
     return expr
 
@@ -130,6 +158,81 @@ def media_metadata(df: DataFrame, binary_col: str = "image") -> DataFrame:
         F.when(codec == MAGIC_VIDEO.lower(), as_int(13, 1)).alias("n_frames"),
         F.length(b).cast("int").alias("n_bytes"),
     )
+
+
+def audio_metadata(df: DataFrame, binary_col: str = "audio") -> DataFrame:
+    """FAUD header → typed metadata, pure JVM expressions (lazy header-only
+    parse, like media_metadata; per-format metadata extractors mirror the
+    reference's extension-per-codec layout,
+    /root/reference/extensions/nvtiff/metadata_extractor.cpp:317-466)."""
+    b = F.col(binary_col)
+    as_int = lambda start, n: F.conv(F.hex(F.substring(b, start, n)), 16, 10).cast("int")  # noqa: E731
+    codec = detect_codec(binary_col)
+    is_audio = codec == MAGIC_AUDIO.lower()
+    sample_rate = F.when(is_audio, as_int(5, 4))
+    duration_ms = F.when(is_audio, as_int(9, 4))
+    return df.select(
+        *[c for c in df.columns if c != binary_col],
+        codec.alias("codec"),
+        sample_rate.alias("sample_rate"),
+        duration_ms.alias("duration_ms"),
+        F.when(is_audio, as_int(13, 1)).alias("channels"),
+        F.when(
+            is_audio,
+            # floor == integer div for these positive exact-in-double
+            # products; the DuckDB oracle uses // — results match exactly
+            F.floor(sample_rate.cast("long") * duration_ms.cast("long") / 1000).cast(
+                "long"
+            ),
+        ).alias("n_samples"),
+        F.length(b).cast("int").alias("n_bytes"),
+    )
+
+
+_AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("energy", T.IntegerType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def audio_windowed_stats(
+    df: DataFrame, window_ms: int = 1000, binary_col: str = "audio", id_col: str = "doc_id"
+) -> DataFrame:
+    """Windowed waveform stats (the audio analog of frame sampling): one
+    row per ``window_ms`` window with deterministic payload-derived
+    energy/peak, Arrow-batched. A real implementation would decode PCM and
+    compute true RMS per window — the seam is exactly this function's body
+    (the ``_real_decode`` pattern); the windowing/explode/batching
+    plumbing is the product code either way."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, energies, peaks = [], [], [], []
+            for did, b in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(b)
+                duration_ms = int.from_bytes(b[8:12], "big")
+                payload = b[13:29]
+                n_w = -(-duration_ms // window_ms)  # ceil
+                for w in range(n_w):
+                    s = (2 * w) % 15
+                    ids.append(int(did))
+                    idxs.append(w)
+                    energies.append(int.from_bytes(payload[s : s + 2], "big"))
+                    peaks.append(payload[(3 * w) % 16])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(idxs, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int32"),
+                    "peak": pd.Series(peaks, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, schema=_AUDIO_WINDOW_SCHEMA)
 
 
 # -------------------------------------------------------------- decode tier

@@ -71,3 +71,43 @@ def test_unknown_magic_dead_letters(spark):
 def test_real_decode_seam_is_stubbed():
     with pytest.raises(NotImplementedError):
         M._real_decode(b"", 1, 1, 3)
+
+
+def test_audio_metadata_and_probe(spark, docs):
+    aud = M.attach_fake_audio(docs)
+    rows = M.audio_metadata(aud.select("doc_id", "audio")).collect()
+    assert rows
+    for r in rows:
+        assert r["codec"] == "faud"
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100)
+        assert 1000 <= r["duration_ms"] <= 9999
+        assert r["channels"] in (1, 2)
+        assert r["n_samples"] == r["sample_rate"] * r["duration_ms"] // 1000
+        assert r["n_bytes"] == 29
+    # the probe chain distinguishes all three formats on one column
+    imgs = M.attach_fake_images(docs)
+    mixed = (
+        aud.select("doc_id", F.col("audio").alias("payload")).limit(3)
+        .unionAll(imgs.select("doc_id", F.col("image").alias("payload")).limit(3))
+    )
+    codecs = {
+        r["codec"]
+        for r in mixed.select(M.detect_codec("payload").alias("codec")).collect()
+    }
+    assert codecs == {"faud", "fimg"}
+
+
+def test_audio_windowed_stats(spark, docs):
+    aud = M.attach_fake_audio(docs)
+    meta = {
+        r["doc_id"]: r["duration_ms"]
+        for r in M.audio_metadata(aud.select("doc_id", "audio")).collect()
+    }
+    win = M.audio_windowed_stats(aud, window_ms=1000).collect()
+    per_doc: dict = {}
+    for r in win:
+        assert 0 <= r["energy"] <= 0xFFFF and 0 <= r["peak"] <= 0xFF
+        per_doc.setdefault(r["doc_id"], []).append(r["window_idx"])
+    for did, dur in meta.items():
+        expect = -(-dur // 1000)
+        assert sorted(per_doc[did]) == list(range(expect))
