@@ -133,11 +133,13 @@ def emit_changes(
     of re-emitting results in a consumable format,
     /root/reference/extensions/nvjpeg2k/cuda_encoder.cpp).
 
-    ``jsonl`` encodes entirely JVM-side (`to_json` over the envelope);
-    ``avro`` batches rows through the Arrow encoder. The emitted `lsn`
-    is the winning write's lsn, so replaying the stream into a table
-    already holding older state is safe (LWW resolves). Returns rows
-    emitted. Requires the engine's transcript key model
+    Every registered TEXT wire format is an emit target: ``jsonl``,
+    ``binary-v1`` and ``tsv`` encode entirely JVM-side (column
+    expressions); ``avro`` batches rows through the Arrow encoder (the
+    measured-faster path — see avro_sobj.py's encoder note). The emitted
+    `lsn` is the winning write's lsn, so replaying the stream into a
+    table already holding older state is safe (LWW resolves). Returns
+    rows emitted. Requires the engine's transcript key model
     (conv_id, turn_idx) — the normalized CHANGE_SCHEMA keys.
     """
     if table.key_cols != ["conv_id", "turn_idx"]:
@@ -165,6 +167,31 @@ def emit_changes(
                 after,
             )
         )
+    elif encoding in ("binary-v1", "tsv"):
+        from nvimagecodec_spark.sources.changelog import (
+            binary_line_expr,
+            tsv_line_expr,
+        )
+
+        pay = F.when(F.col("op") != "D", F.to_json(F.struct(*payload_cols)))
+        if encoding == "binary-v1":
+            line = binary_line_expr(
+                F.col("op"),
+                F.col("lsn"),
+                F.unix_micros(F.col("commit_ts")),
+                F.col("conv_id"),
+                F.col("turn_idx"),
+                pay,
+            )
+        else:
+            line = tsv_line_expr(
+                F.col("op"),
+                F.col("lsn"),
+                F.col("commit_ts"),
+                F.col("conv_id"),
+                F.col("turn_idx"),
+                pay,
+            )
     elif encoding == "avro":
         import pandas as pd
 
@@ -201,7 +228,9 @@ def emit_changes(
         line = enc("op", "lsn", "ts_us", "conv_id", "turn_idx", "payload")
         ch = src
     else:
-        raise ValueError(f"unknown emit encoding {encoding!r} (jsonl|avro)")
+        raise ValueError(
+            f"unknown emit encoding {encoding!r} (jsonl|binary-v1|tsv|avro)"
+        )
     out = ch.select(line.alias("value"))
     out.repartition(files).write.mode("overwrite").text(out_dir)
     return table.spark.read.text(out_dir).count()

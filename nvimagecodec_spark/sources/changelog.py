@@ -228,6 +228,26 @@ def encode_binary_line(
     return f"{_BIN_MAGIC}{op}{lsn:016x}{ts_micros:016x}{turn}{conv}|{payload_json or ''}"
 
 
+def binary_line_expr(
+    op: Column, lsn: Column, ts_us: Column, conv_id: Column,
+    turn_idx: Column, payload: Column,
+) -> Column:
+    """Pure-expression binary-v1 encoder (JVM-side twin of
+    ``encode_binary_line`` — fixed offsets make this a handful of
+    hex/lpad concats). Null lsn/ts encode as 0, null turn as the
+    ffffffff sentinel, exactly like the Python encoder's None handling."""
+    hex16 = lambda c: F.lpad(  # noqa: E731
+        F.lower(F.hex(F.coalesce(c, F.lit(0).cast("long")))), 16, "0"
+    )
+    turn = F.when(turn_idx.isNull(), _BIN_NULL_TURN).otherwise(
+        F.lpad(F.lower(F.hex(turn_idx)), 8, "0")
+    )
+    return F.concat(
+        F.lit(_BIN_MAGIC), op, hex16(lsn), hex16(ts_us), turn,
+        F.coalesce(conv_id, F.lit("")), F.lit("|"), F.coalesce(payload, F.lit("")),
+    )
+
+
 def _binary_probe(raw: Column) -> Column:
     return raw.startswith(_BIN_MAGIC)
 
@@ -281,6 +301,25 @@ def encode_tsv_line(
 ) -> str:
     turn = "" if turn_idx is None else str(turn_idx)
     return "\t".join([op, str(lsn), commit_ts, conv_id or "", turn, payload_json or ""])
+
+
+def tsv_line_expr(
+    op: Column, lsn: Column, commit_ts: Column, conv_id: Column,
+    turn_idx: Column, payload: Column,
+) -> Column:
+    """Pure-expression TSV encoder (JVM-side twin of ``encode_tsv_line``).
+    Every field is null-coalesced to '' BEFORE concat_ws — concat_ws
+    silently drops null args, which would shift field positions."""
+    e = lambda c: F.coalesce(c.cast("string"), F.lit(""))  # noqa: E731
+    return F.concat_ws(
+        "\t",
+        e(op),
+        e(lsn),
+        F.coalesce(F.date_format(commit_ts, "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit("")),
+        e(conv_id),
+        e(turn_idx),
+        e(payload),
+    )
 
 
 def _tsv_probe(raw: Column) -> Column:

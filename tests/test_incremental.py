@@ -208,9 +208,10 @@ def test_expire_commits_metadata_before_deleting_files(spark, table, monkeypatch
 
 def test_emit_changes_round_trips_through_the_probe_chain(spark, tmp_dir):
     """emit_changes closes the wire loop: a snapshot-range changelog
-    emitted as jsonl AND avro lines parses back through the format
-    registry with identical change semantics — one engine's output is a
-    valid source for another without sharing a lakehouse."""
+    emitted in EVERY registered text wire format (jsonl, binary-v1,
+    tsv, avro) parses back through the format registry with identical
+    change semantics — one engine's output is a valid source for another
+    without sharing a lakehouse."""
     import os
 
     from datetime import datetime
@@ -246,13 +247,15 @@ def test_emit_changes_round_trips_through_the_probe_chain(spark, tmp_dir):
     s1 = t.current_snapshot().snapshot_id
 
     expected = {("c1", "U"), ("c2", "D"), ("c99", "I")}
-    for enc in ("jsonl", "avro"):
+    fmt_name = {"jsonl": "jsonlines", "binary-v1": "binary-v1",
+                "tsv": "tsv", "avro": "avro-sobj"}
+    for enc in ("jsonl", "binary-v1", "tsv", "avro"):
         out_dir = os.path.join(tmp_dir, f"emit-{enc}")
         n = emit_changes(t, s0, s1, out_dir, encoding=enc, files=2)
         assert n == 3
         parsed = ChangeStream(spark, out_dir).events().collect()
         assert {(r.conv_id, r.op) for r in parsed} == expected
         fmt = {r.src_format for r in parsed}
-        assert fmt == ({"jsonlines"} if enc == "jsonl" else {"avro-sobj"})
+        assert fmt == {fmt_name[enc]}
         upd = next(r for r in parsed if r.conv_id == "c1")
         assert '"text":"v2"' in upd.after and upd.lsn == 100
