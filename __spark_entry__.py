@@ -612,6 +612,45 @@ def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"), bits=32)
 
 
+def _docs_pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents + planted PII: every doc_id % 7 == 0 gets an email, an
+    international phone number, and an IPv4 appended (identically in the
+    DuckDB oracle). The synthetic corpus carries no real PII, so an
+    unplanted check would pass vacuously on all-zero counts — the same
+    lesson as the planted near-dups."""
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org +1415555"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" 10.0.0."),
+        (F.col("doc_id") % 250).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, planted).otherwise(F.col("text")).alias("text"),
+    )
+
+
+def q_docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training compliance scan: per-doc email/IP/phone hit counts +
+    redaction flag, pure column expressions (patterns chosen to match
+    under both Java regex and RE2 — see operators/text.py)."""
+    return X.pii_scan(_docs_pii_augmented(spark, sf_dir))
+
+
+def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 3-gram shingle overlap of every document
+    against a 'benchmark' subset (doc_id % 37 == 0) — the train/test
+    overlap check; benchmark shingles BROADCAST, the corpus never
+    shuffles for candidate detection."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    return X.contamination(docs, bench, n=3, threshold=0.1)
+
+
 # -------------------------------------------------------------- multimodal
 
 def q_mm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_jaccard_pairs": q_docs_ngram_jaccard_pairs,
         "docs_jaccard_lsh_gated": q_docs_jaccard_lsh_gated,
         "docs_simhash": q_docs_simhash,
+        "docs_pii_scan": q_docs_pii_scan,
+        "docs_contamination": q_docs_contamination,
         "mm_image_metadata": q_mm_image_metadata,
         "mm_image_decode": q_mm_image_decode,
         "mm_image_resize": q_mm_image_resize,
@@ -1189,6 +1230,41 @@ def oracle_sql() -> dict[str, str]:
         """.format(jx=sql_roundn("n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared)", 4)),
         "docs_jaccard_lsh_gated": _JACCARD_LSH_GATED_SQL,
         "docs_simhash": _SIMHASH_SQL,
+        "docs_pii_scan": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.org +1415555'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                               || ' 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                          ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{X.PII_EMAIL}')) AS INTEGER) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{X.PII_IP}')) AS INTEGER) AS n_ips,
+                   CAST(len(regexp_extract_all(text, '{X.PII_PHONE}')) AS INTEGER) AS n_phones,
+                   (len(regexp_extract_all(text, '{X.PII_EMAIL}'))
+                    + len(regexp_extract_all(text, '{X.PII_IP}'))
+                    + len(regexp_extract_all(text, '{X.PII_PHONE}'))) > 0 AS has_pii
+            FROM aug
+        """,
+        "docs_contamination": "WITH "
+        + _SHINGLES_SQL
+        + f""",
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+            per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+            hits AS (SELECT s.doc_id, COUNT(*) AS n_hits
+                     FROM sh s JOIN bench b ON s.shingle = b.shingle
+                     GROUP BY s.doc_id)
+            SELECT p.doc_id, p.n_shingles,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   {sql_roundn("COALESCE(h.n_hits, 0) * 1.0 / p.n_shingles", 4)}
+                       AS overlap_ratio,
+                   (COALESCE(h.n_hits, 0) * 1.0 / p.n_shingles) >= 0.1 AS contaminated
+            FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
+        """,
         "mm_image_metadata": """
             SELECT doc_id, 'fimg' AS codec,
                    CAST(CAST(('0x' || substring(md5(text), 1, 2)) AS INTEGER) % 48 + 16 AS INTEGER) AS width,

@@ -87,3 +87,74 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         md5_fingerprint(norm).alias("fp_md5"),
         md5_hash32(norm, seed=0).alias("fp_h32"),
     )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes + greedy bounded quantifiers only — no
+# alternation or backtracking-order ambiguity, so leftmost-first (Java)
+# and leftmost-longest (RE2) scans produce the same match sets.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{7,15}"
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII hit counts (emails / IPv4 / international phone
+    numbers) + a redaction flag — the pre-training compliance scan every
+    large-scale text pipeline runs. Pure column expressions: one narrow
+    map over the scan, no shuffle, no Python."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all(t, F.lit(PII_IP), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0)))
+    return docs.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        ((n_emails + n_ips + n_phones) > 0).alias("has_pii"),
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per document, how many of its n-gram
+    shingles appear in the benchmark corpus (train/test overlap — the
+    check every published-eval pipeline must run before training).
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (10^4-10^5 eval items vs 10^9 docs), so its DISTINCT shingle set
+    BROADCASTS into the doc-shingle stream — candidate detection is a
+    map-side semi-join with no shuffle of the corpus; only the per-doc
+    hit counts (two ints per doc) aggregate."""
+    from nvimagecodec_spark.operators.dedup import shingles
+
+    doc_sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    bench_sh = (
+        shingles(benchmark, n=n, text_col=text_col, id_col=id_col)
+        .select("shingle")
+        .distinct()
+    )
+    per_doc = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    ratio = F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_shingles")
+    return (
+        per_doc.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_shingles"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            round4(ratio).alias("overlap_ratio"),
+            (ratio >= threshold).alias("contaminated"),
+        )
+    )

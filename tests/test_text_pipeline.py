@@ -1,0 +1,66 @@
+"""PII scan + benchmark decontamination (round-3 additions to the
+training-data operator set). Semantics are oracle-checked in
+test_entry_oracle.py; these pin the scale shapes and edge behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nvimagecodec_spark.operators import text as X
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "plain words only nothing sensitive here at all"),
+        (1, "mail me at alice.smith+x@example.co.uk thanks"),
+        (2, "server 192.168.10.255 and backup 10.0.0.1 are down"),
+        (3, "call +4915112345678 or +14155550123 now"),
+        (4, "a@b.io 1.2.3.4 +12345678 everything at once"),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_scan_counts(spark, docs):
+    got = {r["doc_id"]: r for r in X.pii_scan(docs).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ips"], got[0]["n_phones"]) == (0, 0, 0)
+    assert not got[0]["has_pii"]
+    assert got[1]["n_emails"] == 1 and got[1]["has_pii"]
+    assert got[2]["n_ips"] == 2
+    assert got[3]["n_phones"] == 2
+    assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_phones"]) == (1, 1, 1)
+
+
+def test_contamination_semantics(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with different words entirely"),
+            (3, "quick brown fox jumps high today"),  # partial overlap w/ 1
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in X.contamination(corpus, bench, n=3).collect()}
+    # doc 1 contains all 3 benchmark shingles; doc 3 shares 2; doc 2 none
+    assert got[1]["n_hits"] == 3 and got[1]["contaminated"]
+    assert got[3]["n_hits"] == 2 and got[3]["contaminated"]
+    assert got[2]["n_hits"] == 0 and not got[2]["contaminated"]
+    assert got[2]["overlap_ratio"] == 0.0
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    """The corpus must never shuffle for candidate detection: the
+    benchmark shingle set broadcasts (100 TB contract — only the per-doc
+    counts aggregate)."""
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = corpus.where(F.col("doc_id") < 3)
+    df = X.contamination(corpus, bench, n=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert df.count() == 50
