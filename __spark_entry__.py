@@ -236,6 +236,62 @@ def q_cdc_schema_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_emit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CDC loop in ONE oracle-checked query: change stream →
+    LWW → lakehouse MERGE → snapshot-diff changelog (read_changes from
+    the create snapshot = every live key as an I event) → re-emitted as
+    binary-v1 WIRE LINES → parsed back through the format registry.
+    Any defect in the merge, the manifest diff, the expression encoder,
+    or the fixed-offset parser breaks the match. Reference analog:
+    encoder tier re-emitting results in a consumable format,
+    /root/reference/extensions/nvjpeg2k/cuda_encoder.cpp."""
+    from nvimagecodec_spark.lakehouse.incremental import emit_changes
+    from nvimagecodec_spark.sources.changelog import ChangeStream
+
+    ch = _changes(spark, sf_dir).withColumn(
+        "after",
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.col("value"),
+                F.date_format("commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            )
+        ),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nvics-emit-")
+    _TEMP_DIRS.append(tmp)
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
+    )
+    base = table.current_snapshot().snapshot_id
+    merge_into(table, lww_dedupe(ch))
+    head = table.current_snapshot().snapshot_id
+    out_dir = os.path.join(tmp, "wire")
+    emit_changes(table, base, head, out_dir, encoding="binary-v1", files=4)
+    parsed = ChangeStream(spark, out_dir).events()
+    return parsed.select(
+        "conv_id",
+        "turn_idx",
+        "lsn",
+        "op",
+        "src_format",
+        ts_micros(F.col("commit_ts")).alias("ts_us"),
+        F.get_json_object("after", "$.event_type").alias("event_type_out"),
+        F.round(F.get_json_object("after", "$.value").cast("double") * 100)
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+
 def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4 metrics aggregation: per-op event counts + distinct keys."""
     ch = _changes(spark, sf_dir)
@@ -820,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_apply": q_cdc_engine_apply,
         "cdc_mor_apply": q_cdc_mor_apply,
         "cdc_schema_drop": q_cdc_schema_drop,
+        "cdc_emit_roundtrip": q_cdc_emit_roundtrip,
         "cdc_op_stats": q_cdc_op_stats,
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_epoch_stats": q_cdc_epoch_stats,
@@ -986,6 +1043,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM changes)
             SELECT conv_id, turn_idx, event_type, round(value, 2) AS value,
                    epoch_us(commit_ts) AS ts_us
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_emit_roundtrip": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes)
+            SELECT conv_id, turn_idx, lsn, 'I' AS op,
+                   'binary-v1' AS src_format,
+                   epoch_us(commit_ts) AS ts_us,
+                   event_type AS event_type_out,
+                   CAST(ROUND(value * 100) AS BIGINT) AS value_cents
             FROM w WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_schema_drop": f"""
