@@ -87,4 +87,14 @@ class EngineConfig:
     mor_deltas: bool | str = False
     mor_auto_ratio: float = 20.0
     delta_compact_max_files: int = 8
+    # Periodic FULL maintenance sweep (table.optimize: fold deltas,
+    # bin-pack fragmented buckets, expire snapshots, reclaim orphans)
+    # every N epochs — the always-on stream's answer to gradual
+    # fragmentation that per-epoch compaction thresholds don't catch.
+    # Runs AFTER the epoch's tagged commit; a racing writer makes the
+    # sweep a no-op for the contended step, never fails the stream.
+    # 0/None disables (default: short jobs and tests sweep explicitly).
+    optimize_every_epochs: int = 0
+    optimize_max_files_per_bucket: int = 4
+    optimize_orphan_grace_seconds: int = 72 * 3600
     extra: dict = field(default_factory=dict)

@@ -247,6 +247,25 @@ class CdcEngine:
         ):
             self.table.expire_snapshots(keep_last=self.config.keep_snapshots)
 
+        # periodic FULL maintenance (optimize: fold deltas + bin-pack +
+        # expire + orphans) — post-commit like compact_deltas, so a racing
+        # writer must never fail the streaming query; the skipped step
+        # just runs on a later sweep.
+        if (
+            self.config.optimize_every_epochs
+            and batch_id > 0
+            and batch_id % self.config.optimize_every_epochs == 0
+        ):
+            try:
+                self.table.optimize(
+                    max_delta_files=self.config.delta_compact_max_files,
+                    max_files_per_bucket=self.config.optimize_max_files_per_bucket,
+                    keep_snapshots=self.config.keep_snapshots,
+                    orphan_grace_seconds=self.config.optimize_orphan_grace_seconds,
+                )
+            except (ConcurrentModification, CommitConflict):
+                pass
+
         duration = time.time() - t0
         self.rate.observe(n_events, duration)
         self.lineage_log.append(

@@ -120,3 +120,54 @@ def test_compression_codec_knobs(spark, tmp_path):
     t.export(out2)
     exported2 = [f for f in _os.listdir(out2) if f.endswith(".parquet")]
     assert exported2 and all(".zstd.parquet" in f for f in exported2), exported2
+
+
+def test_engine_periodic_optimize_sweep(spark, tmp_path):
+    """optimize_every_epochs: a long-running stream self-maintains — after
+    the sweep the table is defragmented (<= max files/bucket, no delta
+    layers) and the final state is untouched."""
+    import os
+
+    from nvimagecodec_spark.config import EngineConfig
+    from nvimagecodec_spark.sources.generator import (
+        events_to_files,
+        generate_change_events,
+    )
+    from nvimagecodec_spark.streaming.engine import CdcEngine
+    from tests.test_apply_end_to_end import TARGET_SCHEMA
+
+    events = generate_change_events(n_events=1200, seed=11, with_schema_events=False)
+    stream_dir = os.path.join(str(tmp_path), "stream")
+    events_to_files(events, stream_dir, files=8)
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"), TARGET_SCHEMA,
+        ["conv_id", "turn_idx"], bucket_count=4,
+    )
+    cfg = EngineConfig(
+        mor_deltas=True,
+        delta_compact_max_files=999,   # per-epoch folding OFF...
+        optimize_every_epochs=2,       # ...the periodic sweep does it
+        optimize_max_files_per_bucket=1,
+        expire_every_epochs=0,
+        optimize_orphan_grace_seconds=3600,
+    )
+    engine = CdcEngine(spark, table, source_id="opt", config=cfg)
+    n = engine.run_stream(stream_dir, max_files_per_trigger=2)
+    assert n == 4
+    table.refresh()
+    # epoch ids are 0..3; sweeps ran after epochs 2 (and none pending
+    # compaction work remains beyond one epoch's layers)
+    per_bucket: dict = {}
+    for f in table.current_snapshot().files:
+        per_bucket.setdefault(f["bucket"], []).append(f)
+    for b, fl in per_bucket.items():
+        deltas = [f for f in fl if f.get("kind") == "delta"]
+        # only the post-sweep epoch (id 3) may still carry delta layers
+        assert len(deltas) <= 1, (b, fl)
+
+    from nvimagecodec_spark.oracle.pandas_applier import apply_events_pandas
+    from tests.test_apply_end_to_end import canon_oracle, canon_spark
+
+    got = canon_spark(table.read_logical())
+    want = canon_oracle(apply_events_pandas(events))
+    assert len(got) == len(want)
