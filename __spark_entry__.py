@@ -104,9 +104,12 @@ def q_cdc_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cdc_engine_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL pipeline: change stream → LWW → bucket-pruned CoW MERGE
-    into a lakehouse table → read back final state. Oracle = windowed SQL."""
+def _cdc_table(spark: SparkSession, sf_dir: str, prefix: str):
+    """Shared shape of the apply-path queries: the deterministic change
+    stream with JSON after-images + a fresh transcript-schema LakeTable.
+    The table dir must outlive the returned (lazy) DataFrames — dirs are
+    reaped at interpreter exit (collecting the final table to the driver
+    instead is exactly the anti-pattern this engine exists to avoid)."""
     ch = _changes(spark, sf_dir).withColumn(
         "after",
         F.to_json(
@@ -126,16 +129,18 @@ def q_cdc_engine_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("ts", T.TimestampType()),
         ]
     )
-    # The table dir must outlive the returned (lazy) DataFrame — the
-    # caller collects it. Dirs are reaped at interpreter exit instead of
-    # on return: collecting the whole final table to the driver here (the
-    # round-1 workaround) is exactly the anti-pattern this engine exists
-    # to avoid — at a real SF the flagship query would OOM the driver.
-    tmp = tempfile.mkdtemp(prefix="nvics-apply-")
+    tmp = tempfile.mkdtemp(prefix=prefix)
     _TEMP_DIRS.append(tmp)
     table = LakeTable.create(
         spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
     )
+    return ch, table
+
+
+def q_cdc_engine_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL pipeline: change stream → LWW → bucket-pruned CoW MERGE
+    into a lakehouse table → read back final state. Oracle = windowed SQL."""
+    ch, table = _cdc_table(spark, sf_dir, "nvics-apply-")
     merge_into(table, lww_dedupe(ch))
     return table.read_logical().select(
         "conv_id",
@@ -153,30 +158,7 @@ def q_cdc_mor_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the base), then the read reconciles the layers with the shared LWW
     order comparator. Oracle = the same windowed SQL as cdc_engine_apply:
     the final state must be indistinguishable from copy-on-write."""
-    ch = _changes(spark, sf_dir).withColumn(
-        "after",
-        F.to_json(
-            F.struct(
-                F.col("event_type"),
-                F.col("value"),
-                F.date_format("commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
-            )
-        ),
-    )
-    schema = T.StructType(
-        [
-            T.StructField("conv_id", T.StringType()),
-            T.StructField("turn_idx", T.IntegerType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("ts", T.TimestampType()),
-        ]
-    )
-    tmp = tempfile.mkdtemp(prefix="nvics-mor-")
-    _TEMP_DIRS.append(tmp)
-    table = LakeTable.create(
-        spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
-    )
+    ch, table = _cdc_table(spark, sf_dir, "nvics-mor-")
     merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 4 == 0)))
     for i in (1, 2, 3):
         merge_into_delta(table, lww_dedupe(ch.where(F.col("lsn") % 4 == i)))
@@ -198,30 +180,7 @@ def q_cdc_schema_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop failing to stop extraction, both break the oracle match.
     Reference analog: metadata kinds with explicit UNSUPPORTED handling,
     /root/reference/extensions/nvtiff/metadata_extractor.cpp:317-466."""
-    ch = _changes(spark, sf_dir).withColumn(
-        "after",
-        F.to_json(
-            F.struct(
-                F.col("event_type"),
-                F.col("value"),
-                F.date_format("commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
-            )
-        ),
-    )
-    schema = T.StructType(
-        [
-            T.StructField("conv_id", T.StringType()),
-            T.StructField("turn_idx", T.IntegerType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("ts", T.TimestampType()),
-        ]
-    )
-    tmp = tempfile.mkdtemp(prefix="nvics-drop-")
-    _TEMP_DIRS.append(tmp)
-    table = LakeTable.create(
-        spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
-    )
+    ch, table = _cdc_table(spark, sf_dir, "nvics-drop-")
     merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 3 == 0)))
     table.drop_column("value")
     merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 3 == 1)))
@@ -248,34 +207,12 @@ def q_cdc_emit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nvimagecodec_spark.lakehouse.incremental import emit_changes
     from nvimagecodec_spark.sources.changelog import ChangeStream
 
-    ch = _changes(spark, sf_dir).withColumn(
-        "after",
-        F.to_json(
-            F.struct(
-                F.col("event_type"),
-                F.col("value"),
-                F.date_format("commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
-            )
-        ),
-    )
-    schema = T.StructType(
-        [
-            T.StructField("conv_id", T.StringType()),
-            T.StructField("turn_idx", T.IntegerType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("ts", T.TimestampType()),
-        ]
-    )
-    tmp = tempfile.mkdtemp(prefix="nvics-emit-")
-    _TEMP_DIRS.append(tmp)
-    table = LakeTable.create(
-        spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
-    )
+    ch, table = _cdc_table(spark, sf_dir, "nvics-emit-")
     base = table.current_snapshot().snapshot_id
     merge_into(table, lww_dedupe(ch))
     head = table.current_snapshot().snapshot_id
-    out_dir = os.path.join(tmp, "wire")
+    out_dir = tempfile.mkdtemp(prefix="nvics-emit-wire-")
+    _TEMP_DIRS.append(out_dir)
     emit_changes(table, base, head, out_dir, encoding="binary-v1", files=4)
     parsed = ChangeStream(spark, out_dir).events()
     return parsed.select(

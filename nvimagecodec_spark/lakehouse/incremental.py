@@ -175,6 +175,18 @@ def emit_changes(
 
         pay = F.when(F.col("op") != "D", F.to_json(F.struct(*payload_cols)))
         if encoding == "binary-v1":
+            # the binary layout delimits conv_id from the payload with the
+            # FIRST '|' at/after the fixed header — a key containing '|'
+            # would emit lines the decoder mis-splits. The Python encoder
+            # raises per value; an expression can't, so validate up front
+            # (one cheap limit(1) pass) and fail LOUDLY instead of
+            # exporting corrupt wire data.
+            bad = ch.where(F.col("conv_id").contains("|")).limit(1).count()
+            if bad:
+                raise ValueError(
+                    "binary-v1 emit: conv_id values containing '|' cannot "
+                    "be framed; use jsonl/tsv/avro for this table"
+                )
             line = binary_line_expr(
                 F.col("op"),
                 F.col("lsn"),
@@ -217,16 +229,16 @@ def emit_changes(
                 ]
             )
 
-        staged = (
-            F.when(F.col("op") != "D", F.to_json(F.struct(*payload_cols)))
-            .alias("payload")
-        )
-        ts_us = F.unix_micros(F.col("commit_ts")).alias("ts_us")
-        src = read_changes(table, from_id, to_id).select(
-            "op", "lsn", ts_us, "conv_id", "turn_idx", staged
+        pay = F.when(F.col("op") != "D", F.to_json(F.struct(*payload_cols)))
+        ch = ch.select(
+            "op",
+            "lsn",
+            F.unix_micros(F.col("commit_ts")).alias("ts_us"),
+            "conv_id",
+            "turn_idx",
+            pay.alias("payload"),
         )
         line = enc("op", "lsn", "ts_us", "conv_id", "turn_idx", "payload")
-        ch = src
     else:
         raise ValueError(
             f"unknown emit encoding {encoding!r} (jsonl|binary-v1|tsv|avro)"

@@ -632,12 +632,12 @@ class LakeTable:
         # one) and extending that sort with the keys is shuffle-free.
         # (A naive sequential benchmark first suggested +60% — that was
         # machine-load variance; trust interleaved A/Bs on this box.)
+        key_phys = [
+            c.physical_name
+            for c in self.table_schema.live_columns
+            if c.name in self.key_cols
+        ]
         if self.meta.get("properties", {}).get("write.sort-keys", True):
-            key_phys = [
-                c.physical_name
-                for c in self.table_schema.live_columns
-                if c.name in self.key_cols
-            ]
             staged = staged.sortWithinPartitions(_PART_DIR_COL, *key_phys)
         (
             staged.write.partitionBy(_PART_DIR_COL)
@@ -646,11 +646,6 @@ class LakeTable:
         )
         import pyarrow.parquet as pq
 
-        key_phys = [
-            c.physical_name
-            for c in self.table_schema.live_columns
-            if c.name in self.key_cols
-        ]
         files: list[dict] = []
         for entry in sorted(os.listdir(out_dir)):
             if not entry.startswith(f"{_PART_DIR_COL}="):

@@ -46,14 +46,23 @@ class IvfIndex:
                     os.rename(cand, self.path)
                     break
         else:
-            # the index at self.path is whole — any sibling is a leftover
-            # of a crash AFTER the swap completed (e.g. between the second
-            # rename and the rmtree of the retired copy) and would leak a
-            # full index copy forever; reap it here
+            # the index at self.path is whole — an OLD sibling is a
+            # leftover of a crash AFTER the swap completed (e.g. between
+            # the second rename and the rmtree of the retired copy) and
+            # would leak a full index copy forever. Age-gated like
+            # remove_orphans: a RECENT sibling may be a concurrent
+            # maybe_rebuild's in-flight build (its .rebuild exists while
+            # the main index is still whole) — never touched.
             import shutil
+            import time
 
+            cutoff = time.time() - 24 * 3600
             for cand in (self.path + ".rebuild", self.path + ".retired"):
-                shutil.rmtree(cand, ignore_errors=True)
+                try:
+                    if os.path.getmtime(cand) < cutoff:
+                        shutil.rmtree(cand, ignore_errors=True)
+                except OSError:
+                    pass
         with open(os.path.join(self.path, "meta.json")) as f:
             self.meta = json.load(f)
         self._centroids: list[tuple[int, list[float]]] | None = None

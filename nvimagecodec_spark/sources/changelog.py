@@ -550,9 +550,14 @@ class ChangeStream:
         is a byte position, not a row number, so assuming density
         under-fills epochs by orders of magnitude."""
         g = max(int(granularity), 1)
+        # integer `div`, NOT `/`: Spark's / on longs is double division,
+        # which loses low bits past 2^53 — exactly the byte-position-LSN
+        # domain this feature serves (an off-by-one chunk at the tail
+        # would leave events unapplied). lsn > start_lsn >= 0 here, so
+        # truncating div equals floor.
         rows = (
             self.slice(start_lsn=start_lsn)
-            .groupBy(F.floor((F.col("lsn") - 1) / g).alias("chunk"))
+            .groupBy(F.expr(f"(lsn - 1) div {g}").alias("chunk"))
             .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("chunk").isNotNull())
             .orderBy("chunk")

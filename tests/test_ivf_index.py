@@ -142,13 +142,18 @@ def test_init_reaps_leaked_swap_siblings(spark, tmp_path):
     path = str(tmp_path / "idx")
     IvfIndex.build(emb, path, n_cells=2, seed=7)
     # simulate the post-swap crash: a complete retired copy next to a
-    # complete live index
+    # complete live index, AGED past the reap grace (a recent sibling may
+    # be a concurrent rebuild's in-flight build and must survive)
     shutil.copytree(path, path + ".retired")
     shutil.copytree(path, path + ".rebuild")
+    recent = path + ".rebuild"
+    old_age = __import__("time").time() - 48 * 3600
+    os.utime(path + ".retired", (old_age, old_age))
 
     idx = IvfIndex.load(spark, path)
-    assert not os.path.exists(path + ".retired")
-    assert not os.path.exists(path + ".rebuild")
+    assert not os.path.exists(path + ".retired")  # old leak reaped
+    assert os.path.exists(recent)  # in-flight-looking sibling untouched
+    shutil.rmtree(recent, ignore_errors=True)
     assert len(idx.topk(anchor=0, k=3, n_probe=2).collect()) == 3
 
 
