@@ -229,6 +229,68 @@ def q_cdc_emit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL LOOP in the correctness gate: the change stream is
+    serialized to jsonl text files (in Spark — no driver-side encode),
+    parsed ONCE through the format registry into a columnar staging area
+    (`materialize` — per-epoch slices then hit the parquet reader with
+    the LSN predicate pushed down, instead of re-parsing text every
+    epoch), and CdcEngine.run_incremental drains it in ~4 rate-capped
+    epochs sized by the real event-count histogram (lsn_counts). The
+    final state must be epoch-split-invariant — identical to the
+    single-batch windowed-SQL oracle. Covers S3 columnar staging + S7
+    slices + G3/G4/T4 pacing + the epoch core end to end."""
+    from nvimagecodec_spark.config import EngineConfig
+    from nvimagecodec_spark.sources.changelog import ChangeStream
+    from nvimagecodec_spark.streaming.engine import CdcEngine
+
+    ch, table = _cdc_table(spark, sf_dir, "nvics-incr-")
+    jsonl = F.to_json(
+        F.struct(
+            F.col("op"),
+            F.col("lsn"),
+            F.date_format("commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("commit_ts"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            F.when(
+                F.col("op") != "D",
+                F.struct(
+                    F.col("event_type"),
+                    F.col("value"),
+                    F.date_format("commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+                ),
+            ).alias("after"),
+        )
+    )
+    stream_dir = tempfile.mkdtemp(prefix="nvics-incr-stream-")
+    _TEMP_DIRS.append(stream_dir)
+    ch.select(jsonl.alias("value")).repartition(4).write.mode("overwrite").text(
+        stream_dir
+    )
+    parq_dir = tempfile.mkdtemp(prefix="nvics-incr-parq-")
+    _TEMP_DIRS.append(parq_dir)
+    stream = ChangeStream(spark, stream_dir).materialize(
+        parq_dir, lsn_partition_width=65536
+    )
+    n = stream.events().count()
+    cap = max(n // 4 + 1, 1)
+    cfg = EngineConfig(
+        target_batch_events=cap,
+        min_batch_events=min(cap, 1),
+        max_batch_events=cap,
+        expire_every_epochs=0,
+    )
+    engine = CdcEngine(spark, table, source_id="incr-gate", config=cfg)
+    engine.run_incremental(stream, max_epochs=100)
+    return table.read_logical().select(
+        "conv_id",
+        "turn_idx",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        ts_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
 def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4 metrics aggregation: per-op event counts + distinct keys."""
     ch = _changes(spark, sf_dir)
@@ -814,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mor_apply": q_cdc_mor_apply,
         "cdc_schema_drop": q_cdc_schema_drop,
         "cdc_emit_roundtrip": q_cdc_emit_roundtrip,
+        "cdc_incremental_apply": q_cdc_incremental_apply,
         "cdc_op_stats": q_cdc_op_stats,
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_epoch_stats": q_cdc_epoch_stats,
@@ -974,6 +1037,15 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_mor_apply": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes)
+            SELECT conv_id, turn_idx, event_type, round(value, 2) AS value,
+                   epoch_us(commit_ts) AS ts_us
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_incremental_apply": f"""
             WITH changes AS ({_CHANGES_SQL}),
             w AS (SELECT *, ROW_NUMBER() OVER (
                     PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
