@@ -136,10 +136,74 @@ def _footer_key_stats(md, key_phys: list[str]) -> dict[str, list]:
     return stats
 
 
-def prune_files_by_key(files: list[dict], key_phys_vals: dict) -> list[dict]:
+# ---- per-file key Bloom filters ------------------------------------------
+# Min/max ranges skip files in a KEY-SORTED bucket, but they are useless
+# for merge-on-read DELTA layers: every trickle batch spans the whole
+# keyspace, so each layer's range covers everything and a point lookup
+# reads every layer. A small Bloom filter over the canonical key string,
+# recorded per file for low-row-count files only (delta layers are small
+# by definition; big CoW files skip it — their sorted ranges already
+# prune), lets `lookup` skip layers that cannot contain the key. False
+# positives merely read one extra file; false negatives are impossible.
+# Parquet's per-column bloom_filter properties make the same trade at
+# row-group granularity; recording it in the manifest prunes BEFORE any
+# file I/O happens.
+
+_BLOOM_BITS_PER_KEY = 10  # ~1% FPR with k=7
+_BLOOM_K = 7
+_BLOOM_MAX_ROWS = 50_000  # above this, sorted ranges are the right tool
+# a bloom FALSE NEGATIVE loses rows, so writer and lookup must stringify
+# key values identically — only types with one canonical text form
+# participate (timestamp/float reprs differ between parquet-read values
+# and caller values)
+_BLOOM_TYPES = {"string", "int", "integer", "bigint", "smallint", "tinyint", "long"}
+
+
+def _bloom_positions(key: str, m: int) -> list[int]:
+    import hashlib
+
+    d = hashlib.md5(key.encode()).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def bloom_build(keys, n_keys: int) -> dict:
+    """{"m": bits, "b64": bitarray} over canonical key strings."""
+    import base64
+
+    m = max(n_keys * _BLOOM_BITS_PER_KEY, 64)
+    bits = bytearray((m + 7) // 8)
+    for key in keys:
+        for pos in _bloom_positions(key, m):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def bloom_might_contain(bloom: dict, key: str) -> bool:
+    import base64
+
+    m = int(bloom["m"])
+    bits = base64.b64decode(bloom["b64"])
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7)) for pos in _bloom_positions(key, m)
+    )
+
+
+def canonical_key(values) -> str:
+    """THE key canonicalization shared by the bloom writer (parquet
+    values) and lookup (caller values) — both sides must stringify
+    identically, in key-column order."""
+    return "\x1f".join("\x00" if v is None else str(v) for v in values)
+
+
+def prune_files_by_key(
+    files: list[dict], key_phys_vals: dict, key_string: str | None = None
+) -> list[dict]:
     """Manifest-level FILE skipping inside a bucket: keep only files whose
-    recorded key ranges may contain the given key values. Files without
-    stats (legacy manifests, non-recordable types) always survive."""
+    recorded key ranges — and, when present, key Bloom filter — may
+    contain the given key values. Files without stats/bloom (legacy
+    manifests, non-recordable types, large files) always survive."""
     out = []
     for f in files:
         st = f.get("stats") or {}
@@ -155,6 +219,8 @@ def prune_files_by_key(files: list[dict], key_phys_vals: dict) -> list[dict]:
                     break
             except TypeError:  # cross-type compare (schema drift) — keep
                 continue
+        if keep and key_string is not None and f.get("bloom"):
+            keep = bloom_might_contain(f["bloom"], key_string)
         if keep:
             out.append(f)
     return out
@@ -507,15 +573,19 @@ class LakeTable:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
         if key_equals:
-            # second pruning tier: manifest key ranges skip files WITHIN the
-            # bucket (see _footer_key_stats). ``key_equals`` maps LOGICAL
-            # key-column names to values; stats live under physical names.
-            phys = {
-                c.physical_name: key_equals[c.name]
-                for c in tschema.live_columns
-                if c.name in key_equals
-            }
-            files = prune_files_by_key(files, phys)
+            # second pruning tier: manifest key ranges — and key blooms,
+            # when the full key is given and its types are bloom-safe —
+            # skip files WITHIN the bucket (see _footer_key_stats /
+            # bloom_build). ``key_equals`` maps LOGICAL key-column names
+            # to values; stats live under physical names.
+            key_defs = [c for c in tschema.live_columns if c.name in key_equals]
+            phys = {c.physical_name: key_equals[c.name] for c in key_defs}
+            key_string = None
+            if len(key_defs) == len(self.key_cols) and all(
+                c.type_name in _BLOOM_TYPES for c in key_defs
+            ):
+                key_string = canonical_key([key_equals[c.name] for c in key_defs])
+            files = prune_files_by_key(files, phys, key_string)
 
         def scan(fl: list[dict], with_sys: bool) -> DataFrame:
             phys = tschema.to_spark_physical().add(BUCKET_COL, T.IntegerType())
@@ -600,7 +670,11 @@ class LakeTable:
 
     # ----------------------------------------------------------------- write
     def _write_data_files(
-        self, df: DataFrame, snapshot_id: int, bucket_count: int | None = None
+        self,
+        df: DataFrame,
+        snapshot_id: int,
+        bucket_count: int | None = None,
+        key_bloom: bool = False,
     ) -> list[dict]:
         """Write df (must carry BUCKET_COL) partitioned by bucket; return manifest entries.
 
@@ -670,6 +744,34 @@ class LakeTable:
                     stats = _footer_key_stats(md, key_phys)
                     if stats:
                         fentry["stats"] = stats
+                    # key Bloom for SMALL files (delta layers): min/max
+                    # ranges can't skip layers that each span the whole
+                    # keyspace. One column read of the just-written (page-
+                    # cache-hot) file; large files skip — their sorted
+                    # ranges already prune, and their blooms would bloat
+                    # the manifests. write.key-bloom: False opts out.
+                    # only DELTA commits request blooms (key_bloom=True):
+                    # CoW files in a key-sorted bucket already prune by
+                    # range, and reading every bulk file's key columns
+                    # back at commit time would tax the hot path for
+                    # nothing
+                    bloom_typed = key_phys and all(
+                        c.type_name in _BLOOM_TYPES
+                        for c in self.table_schema.live_columns
+                        if c.name in self.key_cols
+                    )
+                    if (
+                        key_bloom
+                        and bloom_typed
+                        and 0 < md.num_rows <= _BLOOM_MAX_ROWS
+                        and self.meta.get("properties", {}).get("write.key-bloom", True)
+                    ):
+                        tbl = pq.read_table(p, columns=key_phys)
+                        cols = [tbl.column(c).to_pylist() for c in key_phys]
+                        fentry["bloom"] = bloom_build(
+                            (canonical_key(vals) for vals in zip(*cols)),
+                            md.num_rows,
+                        )
                     files.append(fentry)
         return files
 
@@ -857,7 +959,8 @@ class LakeTable:
         expected_bc = bucketed_under if bucketed_under is not None else self.bucket_count
         next_id = self.current_snapshot().snapshot_id + 1
         new_files = [
-            {**f, "kind": "delta"} for f in self._write_data_files(df, next_id)
+            {**f, "kind": "delta"}
+            for f in self._write_data_files(df, next_id, key_bloom=True)
         ]
         s = {"delta_files": len(new_files)}
         s.update(summary or {})

@@ -147,3 +147,72 @@ def test_stats_survive_manifest_roundtrip(spark, table, tmp_path):
     t2 = LakeTable.load(spark, table.path)
     for f in t2.current_snapshot().files:
         assert f.get("stats"), f
+
+
+def test_bloom_skips_overlapping_delta_layers(spark, tmp_path):
+    """Min/max ranges cannot skip MoR delta layers — every trickle batch
+    spans the keyspace, so layer ranges all overlap. The per-file key
+    bloom must prune layers that don't contain the key, while never
+    producing a false negative (tombstones included)."""
+    from nvimagecodec_spark.lakehouse.table import (
+        bloom_might_contain,
+        canonical_key,
+        prune_files_by_key,
+    )
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], 1)
+    merge_into(t, lww_dedupe(_events(
+        spark, [("I", i, f"c{i:03d}", 0, f'{{"text":"base{i}"}}') for i in range(100)])))
+    # two delta layers with fully OVERLAPPING ranges but disjoint members
+    merge_into_delta(t, lww_dedupe(_events(spark, [
+        ("U", 1001, "c001", 0, '{"text":"d1-a"}'),
+        ("U", 1002, "c099", 0, '{"text":"d1-b"}'),
+    ])))
+    merge_into_delta(t, lww_dedupe(_events(spark, [
+        ("U", 2001, "c000", 0, '{"text":"d2-a"}'),
+        ("U", 2002, "c098", 0, '{"text":"d2-b"}'),
+    ])))
+    files = t.current_snapshot().files
+    assert len(files) == 3
+    # blooms on the delta layers only; the CoW base relies on its sorted
+    # ranges (and commit-time bloom builds stay off the bulk hot path)
+    assert all(f.get("bloom") for f in files if f.get("kind") == "delta")
+    assert all("bloom" not in f for f in files if f.get("kind") != "delta")
+    # ranges overlap: range pruning alone keeps all 3 for c001
+    no_bloom = [{k: v for k, v in f.items() if k != "bloom"} for f in files]
+    assert len(prune_files_by_key(no_bloom, {"conv_id": "c001", "turn_idx": 0})) == 3
+    # bloom prunes the layer that can't contain the key
+    ks = canonical_key(["c001", 0])
+    kept = prune_files_by_key(files, {"conv_id": "c001", "turn_idx": 0}, ks)
+    assert len(kept) == 2  # base + delta1; delta2 skipped
+    deltas_kept = [f for f in kept if f.get("kind") == "delta"]
+    assert len(deltas_kept) == 1
+    assert bloom_might_contain(deltas_kept[0]["bloom"], ks)
+
+    # end-to-end through the pruned read: winners, misses, tombstones
+    assert t.lookup(conv_id="c001", turn_idx=0).collect()[0]["text"] == "d1-a"
+    assert t.lookup(conv_id="c098", turn_idx=0).collect()[0]["text"] == "d2-b"
+    assert t.lookup(conv_id="c050", turn_idx=0).collect()[0]["text"] == "base50"
+    assert t.lookup(conv_id="zzz", turn_idx=0).count() == 0
+    merge_into_delta(t, lww_dedupe(_events(spark, [("D", 3001, "c001", 0, None)])))
+    assert t.lookup(conv_id="c001", turn_idx=0).count() == 0
+
+
+def test_bloom_respects_opt_out_and_size_gate(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], 1,
+        properties={"write.key-bloom": False},
+    )
+    merge_into(t, lww_dedupe(_events(
+        spark, [("I", i, f"c{i}", 0, '{"text":"v"}') for i in range(10)])))
+    merge_into_delta(t, lww_dedupe(_events(
+        spark, [("U", 100, "c1", 0, '{"text":"v2"}')])))
+    assert all("bloom" not in f for f in t.current_snapshot().files)
+    # pruning with a key string but no blooms keeps everything (no false negatives)
+    from nvimagecodec_spark.lakehouse.table import canonical_key, prune_files_by_key
+
+    kept = prune_files_by_key(
+        t.current_snapshot().files, {"conv_id": "c1", "turn_idx": 0},
+        canonical_key(["c1", 0]),
+    )
+    assert len(kept) == len(t.current_snapshot().files)
