@@ -276,7 +276,7 @@ def q_cdc_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = max(n // 4 + 1, 1)
     cfg = EngineConfig(
         target_batch_events=cap,
-        min_batch_events=min(cap, 1),
+        min_batch_events=1,
         max_batch_events=cap,
         expire_every_epochs=0,
     )

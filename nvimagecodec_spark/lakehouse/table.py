@@ -581,7 +581,11 @@ class LakeTable:
             key_defs = [c for c in tschema.live_columns if c.name in key_equals]
             phys = {c.physical_name: key_equals[c.name] for c in key_defs}
             key_string = None
-            if len(key_defs) == len(self.key_cols) and all(
+            # blooms apply only when key_equals IS exactly the key column
+            # set (a stray non-key column would canonicalize the wrong
+            # tuple and bloom-prune files that DO contain the key — a
+            # silent false negative; review-caught)
+            if {c.name for c in key_defs} == set(self.key_cols) and all(
                 c.type_name in _BLOOM_TYPES for c in key_defs
             ):
                 key_string = canonical_key([key_equals[c.name] for c in key_defs])
@@ -711,6 +715,16 @@ class LakeTable:
             for c in self.table_schema.live_columns
             if c.name in self.key_cols
         ]
+        build_blooms = (
+            key_bloom
+            and bool(key_phys)
+            and all(
+                c.type_name in _BLOOM_TYPES
+                for c in self.table_schema.live_columns
+                if c.name in self.key_cols
+            )
+            and self.meta.get("properties", {}).get("write.key-bloom", True)
+        )
         if self.meta.get("properties", {}).get("write.sort-keys", True):
             staged = staged.sortWithinPartitions(_PART_DIR_COL, *key_phys)
         (
@@ -755,17 +769,7 @@ class LakeTable:
                     # range, and reading every bulk file's key columns
                     # back at commit time would tax the hot path for
                     # nothing
-                    bloom_typed = key_phys and all(
-                        c.type_name in _BLOOM_TYPES
-                        for c in self.table_schema.live_columns
-                        if c.name in self.key_cols
-                    )
-                    if (
-                        key_bloom
-                        and bloom_typed
-                        and 0 < md.num_rows <= _BLOOM_MAX_ROWS
-                        and self.meta.get("properties", {}).get("write.key-bloom", True)
-                    ):
+                    if build_blooms and 0 < md.num_rows <= _BLOOM_MAX_ROWS:
                         tbl = pq.read_table(p, columns=key_phys)
                         cols = [tbl.column(c).to_pylist() for c in key_phys]
                         fentry["bloom"] = bloom_build(

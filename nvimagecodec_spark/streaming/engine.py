@@ -345,7 +345,10 @@ class CdcEngine:
         """Self-paced LSN-sliced epochs with adaptive rate (reference
         process() loop + CodeStreamView slices). Progress = last applied
         end_lsn, recovered from the lineage log on restart."""
-        last = 0
+        # progress starts BELOW the smallest valid lsn: slices are
+        # half-open (last, end], so starting at 0 would silently drop an
+        # event at lsn=0 (review-caught; real sources do start at 0)
+        last = -1
         batch_id = 0
         for rec in self.lineage_log.records():
             if rec.get("source_id") == self.source_id and rec.get("offset_range"):

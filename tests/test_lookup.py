@@ -216,3 +216,22 @@ def test_bloom_respects_opt_out_and_size_gate(spark, tmp_path):
         canonical_key(["c1", 0]),
     )
     assert len(kept) == len(t.current_snapshot().files)
+
+
+def test_bloom_size_gate(spark, tmp_path, monkeypatch):
+    """Delta files ABOVE the row threshold get no bloom (ranges are the
+    right tool there); files at/below it do."""
+    import nvimagecodec_spark.lakehouse.table as tbl
+
+    monkeypatch.setattr(tbl, "_BLOOM_MAX_ROWS", 3)
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], 1)
+    merge_into(t, lww_dedupe(_events(
+        spark, [("I", i, f"c{i}", 0, '{"text":"v"}') for i in range(5)])))
+    merge_into_delta(t, lww_dedupe(_events(  # 5 rows > 3 -> no bloom
+        spark, [("U", 100 + i, f"c{i}", 0, '{"text":"w"}') for i in range(5)])))
+    merge_into_delta(t, lww_dedupe(_events(  # 2 rows <= 3 -> bloom
+        spark, [("U", 200, "c0", 0, '{"text":"x"}')])))
+    by_rows = {f["rows"]: f for f in t.current_snapshot().files if f.get("kind") == "delta"}
+    assert "bloom" not in by_rows[5]
+    assert by_rows[1].get("bloom")
+    assert t.lookup(conv_id="c0", turn_idx=0).collect()[0]["text"] == "x"

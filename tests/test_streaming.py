@@ -134,6 +134,37 @@ def test_incremental_epochs_track_cap_with_gappy_lsns(spark, tmp_dir):
     _assert_matches_oracle(table, events)
 
 
+def test_incremental_applies_lsn_zero(spark, tmp_dir):
+    """Review-caught: slices are (last, end], so the loop must start
+    below the smallest valid lsn — an event at lsn=0 (real sources start
+    there) was silently dropped when progress started at 0."""
+    import json
+
+    stream_dir = os.path.join(tmp_dir, "s")
+    os.makedirs(stream_dir)
+    lines = [
+        {"op": "I", "lsn": 0, "commit_ts": "2025-01-01 00:00:00",
+         "conv_id": "zero", "turn_idx": 0,
+         "after": {"role": "user", "text": "first", "ts": "2025-01-01 00:00:00"}},
+        {"op": "I", "lsn": 1, "commit_ts": "2025-01-01 00:00:01",
+         "conv_id": "one", "turn_idx": 0,
+         "after": {"role": "user", "text": "second", "ts": "2025-01-01 00:00:00"}},
+    ]
+    with open(os.path.join(stream_dir, "a.jsonl"), "w") as f:
+        for l in lines:
+            f.write(json.dumps(l) + "\n")
+    from tests.test_apply_end_to_end import TARGET_SCHEMA
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_dir, "t"), TARGET_SCHEMA, ["conv_id", "turn_idx"], 2
+    )
+    engine = CdcEngine(spark, table, source_id="z")
+    n = engine.run_incremental(ChangeStream(spark, stream_dir))
+    assert n >= 1
+    rows = {r["conv_id"]: r["text"] for r in table.read_logical().collect()}
+    assert rows == {"zero": "first", "one": "second"}
+
+
 def test_epoch_replay_is_noop_at_engine_level(spark, tmp_dir):
     events, stream_dir, table = _setup(spark, tmp_dir, n_events=500, with_schema=False, files=2)
     engine = CdcEngine(spark, table, source_id="x")
