@@ -10,7 +10,7 @@ pipeline; see SURVEY.md) re-expressed as an idiomatic Spark CDC pipeline:
 - copy-on-write, bucket-partitioned MERGE into an Iceberg-like
   transactional table format (``lakehouse``) with atomic snapshot
   commits, commit tags (exactly-once replays are no-ops), schema
-  evolution (add/rename/widen) and time travel
+  evolution (add/rename/widen/drop) and time travel
 - skew salting, adaptive per-epoch rate control, per-partition lineage
 
 Reference analogs are cited per-module (file:line into /root/reference).

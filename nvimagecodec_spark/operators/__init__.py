@@ -1,11 +1,14 @@
 from nvimagecodec_spark.operators.lww import lww_dedupe, lww_dedupe_window
 from nvimagecodec_spark.operators.merge import merge_into, MergeResult
 from nvimagecodec_spark.operators.multimodal import (
+    audio_metadata,
+    audio_windowed_stats,
     decode_images,
     media_metadata,
     resize_images,
     sample_frames,
 )
+from nvimagecodec_spark.operators.text import contamination, pii_scan
 from nvimagecodec_spark.operators.skew import hot_keys, with_salt
 
 __all__ = [
@@ -19,4 +22,8 @@ __all__ = [
     "decode_images",
     "resize_images",
     "sample_frames",
+    "audio_metadata",
+    "audio_windowed_stats",
+    "pii_scan",
+    "contamination",
 ]
