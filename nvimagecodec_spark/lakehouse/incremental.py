@@ -90,6 +90,8 @@ def read_changes(table: LakeTable, from_id: int, to_id: int) -> DataFrame:
         cols += [
             F.col("_sys_lsn").alias(f"{tag}_lsn"),
             F.col("_sys_cts").alias(f"{tag}_cts"),
+            F.col("_sys_sf").alias(f"{tag}_sf"),
+            F.col("_sys_so").alias(f"{tag}_so"),
             F.coalesce(F.col("_sys_deleted"), F.lit(False)).alias(f"{tag}_del"),
         ]
         return df.select(*cols)
@@ -98,19 +100,32 @@ def read_changes(table: LakeTable, from_id: int, to_id: int) -> DataFrame:
     new = side(to_id, "n")
     j = old.join(new, key_cols, "full_outer")
 
-    o_live = F.col("o_lsn").isNotNull() & ~F.col("o_del")
-    n_live = F.col("n_lsn").isNotNull() & ~F.col("n_del")
+    # Presence comes from the {tag}_del columns — non-null iff the side
+    # EXISTS (they are coalesced to false for every real row, so only a
+    # missing full-outer side leaves them null). Review-caught: using
+    # lsn non-nullness as the presence proxy silently hid every row with
+    # a null lsn (CHANGE_SCHEMA permits them) from the changelog.
+    o_exists = F.col("o_del").isNotNull()
+    n_exists = F.col("n_del").isNotNull()
+    o_live = o_exists & ~F.col("o_del")
+    n_live = n_exists & ~F.col("n_del")
+    # Change detection uses the FULL LWW order struct — an update that
+    # won on a tie-break (same lsn, later commit_ts/offset) still changed
+    # the row; comparing lsn alone missed it (and was null-unsafe).
+    ord_of = lambda t: F.struct(  # noqa: E731
+        F.col(f"{t}_lsn"), F.col(f"{t}_cts"), F.col(f"{t}_sf"), F.col(f"{t}_so")
+    )
     op = (
         F.when(~o_live & n_live, "I")
         .when(o_live & ~n_live, "D")
-        .when(o_live & n_live & (F.col("n_lsn") != F.col("o_lsn")), "U")
+        .when(o_live & n_live & ~ord_of("n").eqNullSafe(ord_of("o")), "U")
     )
     picked = [
-        F.when(F.col("n_lsn").isNotNull(), F.col(f"n_{c}")).otherwise(F.col(f"o_{c}")).alias(c)
+        F.when(n_exists, F.col(f"n_{c}")).otherwise(F.col(f"o_{c}")).alias(c)
         for c in payload_cols
     ]
-    lsn = F.when(F.col("n_lsn").isNotNull(), F.col("n_lsn")).otherwise(F.col("o_lsn"))
-    cts = F.when(F.col("n_lsn").isNotNull(), F.col("n_cts")).otherwise(F.col("o_cts"))
+    lsn = F.when(n_exists, F.col("n_lsn")).otherwise(F.col("o_lsn"))
+    cts = F.when(n_exists, F.col("n_cts")).otherwise(F.col("o_cts"))
     return (
         j.withColumn("op", op)
         .where(F.col("op").isNotNull())
@@ -179,8 +194,10 @@ def emit_changes(
             # FIRST '|' at/after the fixed header — a key containing '|'
             # would emit lines the decoder mis-splits. The Python encoder
             # raises per value; an expression can't, so validate up front
-            # (one cheap limit(1) pass) and fail LOUDLY instead of
-            # exporting corrupt wire data.
+            # and fail LOUDLY instead of exporting corrupt wire data.
+            # Persisted: the validation and the export below would
+            # otherwise each run the full snapshot-diff join.
+            ch = ch.persist()
             bad = ch.where(F.col("conv_id").contains("|")).limit(1).count()
             if bad:
                 raise ValueError(
@@ -244,5 +261,8 @@ def emit_changes(
             f"unknown emit encoding {encoding!r} (jsonl|binary-v1|tsv|avro)"
         )
     out = ch.select(line.alias("value"))
-    out.repartition(files).write.mode("overwrite").text(out_dir)
+    try:
+        out.repartition(files).write.mode("overwrite").text(out_dir)
+    finally:
+        ch.unpersist()  # no-op unless the binary branch persisted it
     return table.spark.read.text(out_dir).count()

@@ -196,8 +196,13 @@ class TableSchema:
         fid = self.last_field_id + 1
         tn = dtype.simpleString()
         # Physical name is namespaced by field id so a column dropped and
-        # re-added never collides with stale data in old files.
+        # re-added never collides with stale data in old files. A user
+        # column literally named e.g. 'note_5' could still collide with
+        # the generated name (review-caught) — disambiguate until unique.
+        taken = {c.physical_name for c in self.columns}
         phys = f"{name}_{fid}"
+        while phys in taken:
+            phys += "x"
         cols = self.columns + [ColumnDef(fid, name, phys, tn, tn)]
         return TableSchema(cols, fid)
 

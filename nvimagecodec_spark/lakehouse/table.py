@@ -980,11 +980,12 @@ class LakeTable:
 
         return self._commit("delta", files_fn, s, tag=tag)
 
-    def delta_stats(self) -> dict[int, int]:
+    def delta_stats(self, snapshot: Snapshot | None = None) -> dict[int, int]:
         """Per-bucket live delta-file counts — the compaction-scheduling
-        signal (read amplification grows with layered deltas)."""
+        signal (read amplification grows with layered deltas). Pass a
+        pinned ``snapshot`` to count against it instead of current."""
         out: dict[int, int] = {}
-        for f in self.current_snapshot().files:
+        for f in (snapshot or self.current_snapshot()).files:
             if f.get("kind") == "delta":
                 out[f["bucket"]] = out.get(f["bucket"], 0) + 1
         return out
@@ -1000,10 +1001,7 @@ class LakeTable:
         writers. Returns None if nothing to fold."""
         self.refresh()
         snap0 = self.current_snapshot()
-        per_bucket: dict[int, int] = {}
-        for f in snap0.files:
-            if f.get("kind") == "delta":
-                per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+        per_bucket = self.delta_stats(snap0)
         dirty = sorted(b for b, n in per_bucket.items() if n > max_delta_files)
         if not dirty:
             return None

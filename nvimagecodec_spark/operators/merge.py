@@ -326,11 +326,18 @@ def _merge_broadcast(
     join"). Three broadcast joins that never move the table beat one
     join that does; `test_merge_broadcast_strategy_plan` pins this.
     """
-    b = batch.alias("b")
+    # Null-key safety (review-caught): every key comparison here must be
+    # null-SAFE — the resolve join already was, but (a) the join-matched
+    # marker used key-col non-nullness (false for a matched null-key batch
+    # row → its update was dropped) and (b) the semi/anti joins used plain
+    # equality (null keys never match → a null-key batch row was always
+    # 'new' and duplicated the existing row). The marker is now a literal
+    # flag column; the semi/anti joins use eqNullSafe conditions.
+    b = batch.withColumn("_b_hit", F.lit(True)).alias("b")
     c = current.alias("c")
     cond = [F.col(f"c.{k}").eqNullSafe(F.col(f"b.{k}")) for k in key_cols]
 
-    batch_wins = F.col(f"b.{key_cols[0]}").isNotNull() & (_ord("b.") > _ord("c."))
+    batch_wins = F.col("b._b_hit").isNotNull() & (_ord("b.") > _ord("c."))
     resolved = c.join(F.broadcast(b), cond, "left_outer").select(
         *[
             F.when(batch_wins, F.col(f"b.{col}")).otherwise(F.col(f"c.{col}")).alias(col)
@@ -338,11 +345,21 @@ def _merge_broadcast(
         ]
     )
 
-    batch_keys = batch.select(*key_cols).distinct()
+    bk = batch.select(*key_cols).distinct().alias("bk")
+    cond_bk = [F.col(f"cc.{k}").eqNullSafe(F.col(f"bk.{k}")) for k in key_cols]
     matched_keys = (
-        current.join(F.broadcast(batch_keys), key_cols, "left_semi").select(*key_cols).distinct()
+        current.alias("cc")
+        .join(F.broadcast(bk), cond_bk, "left_semi")
+        .select(*key_cols)
+        .distinct()
+        .alias("mk")
     )
-    new_rows = batch.join(F.broadcast(matched_keys), key_cols, "left_anti").select(*all_cols)
+    cond_mk = [F.col(f"bb.{k}").eqNullSafe(F.col(f"mk.{k}")) for k in key_cols]
+    new_rows = (
+        batch.alias("bb")
+        .join(F.broadcast(matched_keys), cond_mk, "left_anti")
+        .select(*all_cols)
+    )
     return resolved.unionByName(new_rows)
 
 

@@ -225,6 +225,12 @@ class CdcEngine:
                 light_bucket_max_rows=self.config.light_bucket_max_rows,
                 delta_auto_ratio=self.config.mor_auto_ratio if auto else None,
             )
+        # the adaptive controller's signal is steady-state APPLY
+        # throughput — including the periodic maintenance below would
+        # shrink the cap after every sweep epoch (review-caught)
+        apply_secs = time.time() - t0
+        self.rate.observe(n_events, apply_secs)
+
         if res.strategy == "delta-append":
             # bucket-granular fold-back bounds read amplification; it is
             # MAINTENANCE — the epoch's tagged commit already landed, so a
@@ -245,7 +251,13 @@ class CdcEngine:
             and batch_id > 0
             and batch_id % self.config.expire_every_epochs == 0
         ):
-            self.table.expire_snapshots(keep_last=self.config.keep_snapshots)
+            try:
+                self.table.expire_snapshots(keep_last=self.config.keep_snapshots)
+            except (ConcurrentModification, CommitConflict):
+                # post-commit maintenance — same contract as compact_deltas
+                # and the optimize sweep: a racing writer must never fail
+                # the streaming query; retention just runs next time
+                pass
 
         # periodic FULL maintenance (optimize: fold deltas + bin-pack +
         # expire + orphans) — post-commit like compact_deltas, so a racing
@@ -267,7 +279,6 @@ class CdcEngine:
                 pass
 
         duration = time.time() - t0
-        self.rate.observe(n_events, duration)
         self.lineage_log.append(
             {
                 "source_id": self.source_id,
@@ -334,7 +345,21 @@ class CdcEngine:
             return writer.trigger(processingTime=trigger_interval).start()
         q = writer.trigger(availableNow=True).start()
         try:
-            q.awaitTermination(await_seconds)
+            if max_epochs is None:
+                q.awaitTermination(await_seconds)
+            else:
+                # best-effort epoch bound (review-caught: the parameter
+                # was accepted and silently ignored): poll and stop once
+                # the limit is reached — epochs already applied stay
+                # exactly-once; an epoch that slipped in while stopping
+                # is still correct, just beyond the soft cap.
+                deadline = (
+                    time.time() + await_seconds if await_seconds else None
+                )
+                while q.isActive and applied["n"] < max_epochs:
+                    if deadline and time.time() > deadline:
+                        break
+                    q.awaitTermination(0.2)
         finally:
             if q.isActive:
                 q.stop()
@@ -354,6 +379,19 @@ class CdcEngine:
             if rec.get("source_id") == self.source_id and rec.get("offset_range"):
                 last = max(last, rec["offset_range"].get("end_lsn") or 0)
                 batch_id = max(batch_id, rec["batch_id"] + 1)
+        # batch ids must also clear every COMMIT TAG this source ever
+        # wrote — run_stream epochs and a lost lineage log both leave
+        # tags the loop's fresh batch_id would collide with, and a tag
+        # collision makes apply_epoch no-op ("skipped-duplicate") while
+        # the loop advances `last` past real events (review-caught).
+        self.table.refresh()
+        for s_ in self.table.meta["snapshots"]:
+            t_ = s_.get("tag")
+            if t_ and t_.get("source_id") == self.source_id:
+                batch_id = max(batch_id, int(t_.get("batch_id", -1)) + 1)
+        for sid, bid in self.table.meta.get("expired_tags", []):
+            if sid == self.source_id:
+                batch_id = max(batch_id, int(bid) + 1)
         top = stream.max_lsn()
         if top is None or last >= top:
             return 0

@@ -26,12 +26,10 @@ class LineageLog:
         os.makedirs(os.path.dirname(path), exist_ok=True)
 
     def append(self, record: dict[str, Any]) -> None:
-        tmp = self.path + ".tmp"
         with open(self.path, "a") as f:
             f.write(json.dumps(record, default=str) + "\n")
             f.flush()
             os.fsync(f.fileno())
-        del tmp
 
     def records(self) -> list[dict]:
         if not os.path.exists(self.path):

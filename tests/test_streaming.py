@@ -165,6 +165,46 @@ def test_incremental_applies_lsn_zero(spark, tmp_dir):
     assert rows == {"zero": "first", "one": "second"}
 
 
+def test_incremental_after_stream_no_tag_collision(spark, tmp_dir):
+    """Review-caught: run_stream and run_incremental share the commit-tag
+    keyspace of a source_id. Switching modes must seed the incremental
+    loop's batch ids ABOVE the streaming epochs' tags — a collision made
+    apply_epoch no-op as 'skipped-duplicate' while the loop advanced
+    past real events, silently dropping them."""
+    events, stream_dir, table = _setup(spark, tmp_dir, n_events=800, with_schema=False, files=4)
+    engine = CdcEngine(spark, table, source_id="mixed")
+    n1 = engine.run_stream(stream_dir, max_files_per_trigger=2)
+    assert n1 >= 2  # tags (mixed, 0..n1-1) now exist
+
+    # new events arrive; a FRESH engine drains them incrementally.
+    # lsns continue past the first stream's range.
+    extra = generate_change_events(n_events=300, seed=99, with_schema_events=False)
+    extra["lsn"] = extra["lsn"] + int(events["lsn"].max())
+    extra_dir = os.path.join(tmp_dir, "extra")
+    events_to_files(extra, extra_dir, files=2)
+    engine2 = CdcEngine(spark, table, source_id="mixed",
+                        checkpoint_dir=os.path.join(tmp_dir, "ck2"))
+    n2 = engine2.run_incremental(ChangeStream(spark, extra_dir))
+    assert n2 >= 1
+    # every applied epoch committed for real — none skipped as duplicate
+    recs = [r for r in engine2.lineage() if r.get("offset_range")]
+    assert recs and all(r["strategy"] != "skipped-duplicate" for r in recs)
+
+    import pandas as pd
+
+    combined = pd.concat([events, extra], ignore_index=True)
+    _assert_matches_oracle(table, combined)
+
+
+def test_run_stream_honors_max_epochs(spark, tmp_dir):
+    """max_epochs was accepted and silently ignored (review-caught); the
+    bound is best-effort but must actually stop a large backlog early."""
+    events, stream_dir, table = _setup(spark, tmp_dir, n_events=2000, with_schema=False, files=10)
+    engine = CdcEngine(spark, table, source_id="capped")
+    n = engine.run_stream(stream_dir, max_files_per_trigger=1, max_epochs=2)
+    assert n < 10, n  # stopped well before draining all 10 single-file epochs
+
+
 def test_epoch_replay_is_noop_at_engine_level(spark, tmp_dir):
     events, stream_dir, table = _setup(spark, tmp_dir, n_events=500, with_schema=False, files=2)
     engine = CdcEngine(spark, table, source_id="x")
