@@ -1332,15 +1332,21 @@ def oracle_sql() -> dict[str, str]:
         + _SHINGLES_SQL
         + f""",
             bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
-            per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+            counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+            -- every doc appears, even shingle-less ones (n_shingles NULL here,
+            -- so the ratio divides to NULL — 'never evaluated' stays visible)
+            per_doc AS (SELECT d.doc_id, c.n_shingles
+                        FROM (SELECT DISTINCT doc_id FROM documents) d
+                        LEFT JOIN counts c ON d.doc_id = c.doc_id),
             hits AS (SELECT s.doc_id, COUNT(*) AS n_hits
                      FROM sh s JOIN bench b ON s.shingle = b.shingle
                      GROUP BY s.doc_id)
-            SELECT p.doc_id, p.n_shingles,
+            SELECT p.doc_id, COALESCE(p.n_shingles, 0) AS n_shingles,
                    COALESCE(h.n_hits, 0) AS n_hits,
                    {sql_roundn("COALESCE(h.n_hits, 0) * 1.0 / p.n_shingles", 4)}
                        AS overlap_ratio,
-                   (COALESCE(h.n_hits, 0) * 1.0 / p.n_shingles) >= 0.1 AS contaminated
+                   COALESCE((COALESCE(h.n_hits, 0) * 1.0 / p.n_shingles) >= 0.1,
+                            false) AS contaminated
             FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
         """,
         "mm_image_metadata": """

@@ -85,7 +85,7 @@ def read_changes(table: LakeTable, from_id: int, to_id: int) -> DataFrame:
         df = table.read(
             snapshot_id=snapshot_id, buckets=buckets, with_system=True, schema_version=to_sv
         )
-        cols = [F.col(k) for k in key_cols]
+        cols = [F.col(k).alias(f"{tag}_k_{k}") for k in key_cols]
         cols += [F.col(c).alias(f"{tag}_{c}") for c in payload_cols]
         cols += [
             F.col("_sys_lsn").alias(f"{tag}_lsn"),
@@ -98,7 +98,22 @@ def read_changes(table: LakeTable, from_id: int, to_id: int) -> DataFrame:
 
     old = side(from_id, "o")
     new = side(to_id, "n")
-    j = old.join(new, key_cols, "full_outer")
+    # Null-SAFE key equality (advisor-caught): a name-list full_outer join
+    # uses null-unsafe `=`, so a null key part never pairs across sides —
+    # an UNCHANGED null-key row in a touched bucket emitted a spurious D+I
+    # pair (same lsn/order: a downstream LWW consumer can resolve the tie
+    # toward the D and delete a live row), and an updated one emitted D+I
+    # instead of U. Same eqNullSafe pattern as merge._merge_broadcast; the
+    # output key is the coalesce of the per-side copies (equal-null-safe
+    # whenever both sides exist, so coalesce order is immaterial).
+    cond = None
+    for k in key_cols:
+        c = F.col(f"o_k_{k}").eqNullSafe(F.col(f"n_k_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = old.join(new, cond, "full_outer")
+    key_out = [
+        F.coalesce(F.col(f"n_k_{k}"), F.col(f"o_k_{k}")).alias(k) for k in key_cols
+    ]
 
     # Presence comes from the {tag}_del columns — non-null iff the side
     # EXISTS (they are coalesced to false for every real row, so only a
@@ -129,7 +144,7 @@ def read_changes(table: LakeTable, from_id: int, to_id: int) -> DataFrame:
     return (
         j.withColumn("op", op)
         .where(F.col("op").isNotNull())
-        .select("op", *key_cols, *picked, lsn.alias("lsn"), cts.alias("commit_ts"))
+        .select("op", *key_out, *picked, lsn.alias("lsn"), cts.alias("commit_ts"))
     )
 
 

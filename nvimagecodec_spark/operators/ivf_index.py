@@ -30,8 +30,34 @@ from pyspark.sql import functions as F
 from nvimagecodec_spark.functions.vectors import cosine
 
 
+def _newest_mtime(path: str) -> float:
+    """Newest mtime anywhere under `path` (advisor-caught: a rebuild writes
+    parquet into nested assignments/cell=*/ subdirs, which does NOT refresh
+    the top directory's mtime — age-gating on the top dir alone could reap
+    a >24h-running rebuild mid-flight and fail its final rename)."""
+    newest = 0.0
+    for root, _dirs, files in os.walk(path):
+        try:
+            newest = max(newest, os.path.getmtime(root))
+        except OSError:
+            pass
+        for fn in files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root, fn)))
+            except OSError:
+                pass
+    return newest
+
+
 class IvfIndex:
     """Handle to a persisted IVF index (see module docstring)."""
+
+    # reader-side retry budget for the brief path-not-found window between
+    # maybe_rebuild's two renames (see _with_swap_retry). Backoff doubles
+    # per attempt: FIXED intervals can phase-lock with a periodic swapper
+    # (observed in the race test) — growing ones cannot.
+    SWAP_RETRY_ATTEMPTS = 6
+    SWAP_RETRY_SLEEP = 0.05  # first backoff; doubles each attempt (~1.6s total)
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -39,12 +65,29 @@ class IvfIndex:
         # crash recovery for maybe_rebuild's two-rename swap: a crash
         # between the renames leaves the complete OLD index at .retired
         # (or the complete NEW one at .rebuild) and nothing at self.path —
-        # restore rather than fail the load
+        # restore rather than fail the load. A CONCURRENT swapper mid-window
+        # looks identical for a few ms, so probe for the index re-appearing
+        # before concluding it crashed (same retry budget as reads).
         if not os.path.exists(os.path.join(self.path, "meta.json")):
-            for cand in (self.path + ".rebuild", self.path + ".retired"):
-                if os.path.exists(os.path.join(cand, "meta.json")):
-                    os.rename(cand, self.path)
+            import time
+
+            healed = False
+            for attempt in range(self.SWAP_RETRY_ATTEMPTS):
+                if attempt:
+                    time.sleep(self.SWAP_RETRY_SLEEP * (2 ** (attempt - 1)))
+                if os.path.exists(os.path.join(self.path, "meta.json")):
+                    healed = True  # a live swapper finished its second rename
                     break
+            if not healed:
+                for cand in (self.path + ".rebuild", self.path + ".retired"):
+                    if os.path.exists(os.path.join(cand, "meta.json")):
+                        try:
+                            os.rename(cand, self.path)
+                        except OSError:
+                            # a racing healer/swapper beat us; fall through to
+                            # the meta.json open below, which retries too
+                            pass
+                        break
         else:
             # the index at self.path is whole — an OLD sibling is a
             # leftover of a crash AFTER the swap completed (e.g. between
@@ -58,14 +101,54 @@ class IvfIndex:
 
             cutoff = time.time() - 24 * 3600
             for cand in (self.path + ".rebuild", self.path + ".retired"):
-                try:
-                    if os.path.getmtime(cand) < cutoff:
-                        shutil.rmtree(cand, ignore_errors=True)
-                except OSError:
-                    pass
-        with open(os.path.join(self.path, "meta.json")) as f:
-            self.meta = json.load(f)
+                # age = NEWEST mtime anywhere under the tree, not the top
+                # dir's: nested parquet writes don't refresh the top dir,
+                # so a long-running rebuild would look stale while its
+                # leaf files are seconds old (advisor-caught)
+                if os.path.exists(cand) and _newest_mtime(cand) < cutoff:
+                    shutil.rmtree(cand, ignore_errors=True)
+        self.meta = self._with_swap_retry(
+            lambda: json.load(open(os.path.join(self.path, "meta.json")))
+        )
         self._centroids: list[tuple[int, list[float]]] | None = None
+
+    def _with_swap_retry(self, fn):
+        """Run ``fn``, retrying across maybe_rebuild's swap window.
+
+        The two-rename swap leaves a few-ms gap where ``self.path`` holds
+        nothing (and a slightly longer one where a scan pinned to retired
+        files fails mid-job). Reference analog: result visibility is
+        synchronized across streams before publishing
+        (/root/reference/src/image_generic_codec.h:605-638) and exercised
+        concurrently (/root/reference/test/api/concurrent_decode_test.cpp);
+        a filesystem index can't block publication, so readers absorb the
+        window with a bounded retry instead.
+        """
+        import time
+
+        last: Exception | None = None
+        for attempt in range(self.SWAP_RETRY_ATTEMPTS):
+            if attempt:
+                time.sleep(self.SWAP_RETRY_SLEEP * (2 ** (attempt - 1)))
+            try:
+                return fn()
+            except Exception as e:  # noqa: BLE001 — classify, re-raise if unrelated
+                msg = str(e)
+                transient = isinstance(e, (FileNotFoundError, OSError)) or any(
+                    s in msg
+                    for s in (
+                        "PATH_NOT_FOUND",
+                        "FileNotFoundException",
+                        "does not exist",
+                        # a listing that races the rename can also surface as
+                        # an empty-directory schema-inference failure
+                        "UNABLE_TO_INFER_SCHEMA",
+                    )
+                )
+                if not transient:
+                    raise
+                last = e
+        raise last  # pragma: no cover — loop always raises or returns
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -120,7 +203,11 @@ class IvfIndex:
     # ------------------------------------------------------------------ query
     def centroids(self) -> list[tuple[int, list[float]]]:
         if self._centroids is None:
-            rows = self.spark.read.parquet(os.path.join(self.path, "centroids")).collect()
+            rows = self._with_swap_retry(
+                lambda: self.spark.read.parquet(
+                    os.path.join(self.path, "centroids")
+                ).collect()
+            )
             self._centroids = sorted((r["cell"], list(r["centroid"])) for r in rows)
         return self._centroids
 
@@ -136,14 +223,19 @@ class IvfIndex:
 
     def candidates(self, cells: list[int]) -> DataFrame:
         """Cell-pruned scan: only the probed cells' partition directories
-        are read (PartitionFilters on `cell` — asserted in tests)."""
-        df = self.spark.read.parquet(os.path.join(self.path, "assignments"))
+        are read (PartitionFilters on `cell` — asserted in tests). The
+        parquet open (file listing + schema) is swap-retried; the returned
+        frame is lazy, so callers executing across a mid-job swap go
+        through a retried entry point (topk/assignment_quality) instead."""
+        df = self._with_swap_retry(
+            lambda: self.spark.read.parquet(os.path.join(self.path, "assignments"))
+        )
         return df.where(F.col("cell").isin([int(c) for c in cells]))
 
     def anchor_vector(self, anchor_id: int) -> list[float]:
         vec_col, id_col = self.meta["vec_col"], self.meta["id_col"]
-        row = (
-            self.spark.read.parquet(os.path.join(self.path, "assignments"))
+        row = self._with_swap_retry(
+            lambda: self.spark.read.parquet(os.path.join(self.path, "assignments"))
             .where(F.col(id_col) == anchor_id)
             .select(vec_col)
             .first()
@@ -205,9 +297,9 @@ class IvfIndex:
         cent_df = self.spark.createDataFrame(
             self.centroids(), "cell int, centroid array<double>"
         )
-        df = self.spark.read.parquet(os.path.join(self.path, "assignments"))
-        row = (
-            df.join(F.broadcast(cent_df), "cell")
+        row = self._with_swap_retry(
+            lambda: self.spark.read.parquet(os.path.join(self.path, "assignments"))
+            .join(F.broadcast(cent_df), "cell")
             .select(cosine(F.col(vec_col), F.col("centroid")).alias("_sim"))
             .agg(F.avg("_sim"))
             .first()
@@ -221,13 +313,15 @@ class IvfIndex:
         retrain k-means over the full current vector set into a sibling
         directory, then swap it in with a rename dance. ``self.path``
         never holds a HALF-written index; there is, however, a brief
-        window between the two renames where it holds nothing — a
-        concurrent reader mid-swap can see path-not-found and should
-        retry, and a crash inside the window is healed on the next
-        ``load``/``__init__`` (the complete old or new index is restored
-        from the ``.retired``/``.rebuild`` sibling). Returns True iff a
-        rebuild ran; this handle refreshes itself, other handles should
-        re-``load``.
+        window between the two renames where it holds nothing — every
+        eager read entry point (``centroids``/``candidates``/
+        ``anchor_vector``/``assignment_quality``/``load``) absorbs it
+        with a bounded retry (``_with_swap_retry``, race-tested in
+        tests/test_ivf_index.py), and a crash inside the window is healed
+        on the next ``load``/``__init__`` (the complete old or new index
+        is restored from the ``.retired``/``.rebuild`` sibling). Returns
+        True iff a rebuild ran; this handle refreshes itself, other
+        handles should re-``load``.
 
         The quality check is one broadcast-join aggregate; callers can
         run this after every N upserts as a cheap scheduling policy.

@@ -141,20 +141,33 @@ def contamination(
         .select("shingle")
         .distinct()
     )
-    per_doc = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    # EVERY input doc appears in the report (advisor-caught): a document
+    # with fewer than n tokens (or null text) yields zero shingles and was
+    # absent from the output entirely — a compliance-style report must
+    # distinguish 'clean' (evaluated, 0 hits) from 'never evaluated', so
+    # shingle-less docs emit n_shingles=0, n_hits=0, overlap_ratio NULL,
+    # contaminated=false.
+    ids = docs.select(id_col).distinct()
+    per_doc = ids.join(
+        doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles")),
+        id_col,
+        "left",
+    )
     hits = (
         doc_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+    # a shingle-less doc's raw n_shingles is NULL here, so the division
+    # yields NULL — exactly the 'not evaluable' marker the report wants
     ratio = F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_shingles")
     return (
         per_doc.join(hits, id_col, "left")
         .select(
             F.col(id_col),
-            F.col("n_shingles"),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
             F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
             round4(ratio).alias("overlap_ratio"),
-            (ratio >= threshold).alias("contaminated"),
+            F.coalesce(ratio >= threshold, F.lit(False)).alias("contaminated"),
         )
     )

@@ -553,11 +553,17 @@ class ChangeStream:
         # integer `div`, NOT `/`: Spark's / on longs is double division,
         # which loses low bits past 2^53 — exactly the byte-position-LSN
         # domain this feature serves (an off-by-one chunk at the tail
-        # would leave events unapplied). lsn > start_lsn >= 0 here, so
-        # truncating div equals floor.
+        # would leave events unapplied). `div` truncates toward zero,
+        # which equals floor only for non-negative numerators; callers
+        # may pass start_lsn=-1 (run_incremental does, so lsn=0 events
+        # aren't dropped by the half-open slice), making lsn-1 = -1 the
+        # one negative case — floor(-1/g) is -1 for every g, so pin it
+        # explicitly instead of letting `div` bin lsn=0 into chunk 0
+        # (advisor-caught: chunk bounds must cover (c*g, (c+1)*g]).
+        chunk = F.expr(f"CASE WHEN lsn = 0 THEN -1 ELSE (lsn - 1) div {g} END")
         rows = (
             self.slice(start_lsn=start_lsn)
-            .groupBy(F.expr(f"(lsn - 1) div {g}").alias("chunk"))
+            .groupBy(chunk.alias("chunk"))
             .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("chunk").isNotNull())
             .orderBy("chunk")

@@ -79,6 +79,46 @@ def test_read_changes_sees_null_lsn_rows(spark, tmp_path):
     assert ch2 == {"nolsn": "D"}
 
 
+def test_read_changes_null_key_rows(spark, tmp_path):
+    """Null key parts must pair across the snapshot-diff join (advisor-
+    caught: a name-list full_outer join is null-UNSAFE, so an unchanged
+    null-key row in a touched bucket emitted a spurious D+I pair and an
+    updated one emitted D+I instead of U)."""
+    # bucket_count=1: every key shares the one bucket, so touching ANY row
+    # puts the null-key rows inside the diffed bucket set
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], 1)
+    merge_into(t, lww_dedupe(_events(spark, [
+        ("I", 1, None, 0, '{"text":"v1"}', "f", 1),
+        ("I", 2, "ck", None, '{"text":"k1"}', "f", 2),
+        ("I", 3, "a", 1, '{"text":"x"}', "f", 3),
+    ])))
+    s1 = t.current_snapshot().snapshot_id
+    # epoch touches the bucket but NOT the null-key rows → they must be
+    # absent from the changelog entirely (no spurious D+I pair)
+    merge_into(t, lww_dedupe(_events(spark, [
+        ("U", 10, "a", 1, '{"text":"x2"}', "f", 4),
+    ])))
+    s2 = t.current_snapshot().snapshot_id
+    ch = read_changes(t, s1, s2).collect()
+    assert [(r["conv_id"], r["turn_idx"], r["op"]) for r in ch] == [("a", 1, "U")]
+    # an UPDATED null-key row emits exactly one U (not D+I)
+    merge_into(t, lww_dedupe(_events(spark, [
+        ("U", 20, None, 0, '{"text":"v2"}', "f", 5),
+        ("U", 21, "ck", None, '{"text":"k2"}', "f", 6),
+    ])))
+    s3 = t.current_snapshot().snapshot_id
+    ch3 = sorted(
+        ((r["conv_id"], r["turn_idx"], r["op"], r["text"]) for r in read_changes(t, s2, s3).collect()),
+        key=lambda x: (x[0] or "", x[1] if x[1] is not None else -1),
+    )
+    assert ch3 == [(None, 0, "U", "v2"), ("ck", None, "U", "k2")]
+    # and its delete is a single D carrying the last image
+    merge_into(t, lww_dedupe(_events(spark, [("D", 30, None, 0, None, "f", 7)])))
+    s4 = t.current_snapshot().snapshot_id
+    ch4 = read_changes(t, s3, s4).collect()
+    assert [(r["conv_id"], r["turn_idx"], r["op"]) for r in ch4] == [(None, 0, "D")]
+
+
 def test_read_changes_emits_tiebreak_update(spark, tmp_path):
     """Two writes with the SAME lsn resolved by the (cts, sf, so)
     tie-break: the changelog must emit a U — comparing lsn alone hid it."""

@@ -165,6 +165,34 @@ def test_incremental_applies_lsn_zero(spark, tmp_dir):
     assert rows == {"zero": "first", "one": "second"}
 
 
+def test_lsn_counts_bins_lsn_zero_with_coarse_granularity(spark, tmp_dir):
+    """Advisor-caught: with start_lsn=-1 (run_incremental's seed) and
+    granularity>1, truncating div binned an lsn=0 event into chunk 0 —
+    its chunk_end was g instead of 0, violating the documented invariant
+    that chunk c covers (c*g, (c+1)*g]. lsn=0 must land in chunk -1
+    (chunk_end 0) so slice(start=-1, end=0] captures exactly it."""
+    import json
+
+    stream_dir = os.path.join(tmp_dir, "s")
+    os.makedirs(stream_dir)
+    with open(os.path.join(stream_dir, "a.jsonl"), "w") as f:
+        for lsn in (0, 1, 7, 8):
+            f.write(json.dumps(
+                {"op": "I", "lsn": lsn, "commit_ts": "2025-01-01 00:00:00",
+                 "conv_id": f"c{lsn}", "turn_idx": 0,
+                 "after": {"role": "user", "text": "x", "ts": "2025-01-01 00:00:00"}}
+            ) + "\n")
+    hist = ChangeStream(spark, stream_dir).lsn_counts(start_lsn=-1, granularity=4)
+    # chunks: (-4,0] holds lsn 0; (0,4] holds lsn 1; (4,8] holds lsn 7,8
+    assert hist == [(0, 1), (4, 1), (8, 2)], hist
+    # every chunk_end is a valid slice bound covering exactly its count
+    stream = ChangeStream(spark, stream_dir)
+    last = -1
+    for end, n in hist:
+        assert stream.slice(start_lsn=last, end_lsn=end).count() == n
+        last = end
+
+
 def test_incremental_after_stream_no_tag_collision(spark, tmp_dir):
     """Review-caught: run_stream and run_incremental share the commit-tag
     keyspace of a source_id. Switching modes must seed the incremental

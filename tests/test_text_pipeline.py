@@ -51,6 +51,31 @@ def test_contamination_semantics(spark):
     assert got[2]["overlap_ratio"] == 0.0
 
 
+def test_contamination_reports_shingle_less_docs(spark):
+    """Advisor-caught: a doc with fewer than n tokens (or null text) yields
+    zero shingles and used to vanish from the report — callers could not
+    distinguish 'clean' from 'never evaluated'. It must appear with
+    n_shingles=0, n_hits=0, overlap_ratio NULL, contaminated=false."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "too short"),   # < n tokens → zero 3-gram shingles
+            (3, None),          # null text
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in X.contamination(corpus, bench, n=3).collect()}
+    assert set(got) == {1, 2, 3}  # every input doc is in the report
+    for d in (2, 3):
+        r = got[d]
+        assert (r["n_shingles"], r["n_hits"]) == (0, 0)
+        assert r["overlap_ratio"] is None and r["contaminated"] is False
+    assert got[1]["contaminated"]  # evaluated docs unchanged
+
+
 def test_contamination_benchmark_broadcasts(spark):
     """The corpus must never shuffle for candidate detection: the
     benchmark shingle set broadcasts (100 TB contract — only the per-doc
