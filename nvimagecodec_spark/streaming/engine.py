@@ -75,6 +75,146 @@ class CdcEngine:
     # 10^5-entry JSON line; the counts stay exact either way)
     MAX_PARTITION_LINEAGE = 64
 
+    def _epoch_stats(self, events: DataFrame) -> dict:
+        """ONE fused job over the epoch's events yielding BOTH the per-file
+        lineage stats (G8) and the hot-key summary (G1), with the per-file
+        detail capped SERVER-SIDE at ``MAX_PARTITION_LINEAGE``.
+
+        Round-3 verdict #1: these were two separate driver round-trips, and
+        the lineage one collected one row per source file UNCAPPED — at
+        100× scale an epoch can span 10^5-10^6 files, and the ~0.9s/epoch
+        fixed driver cost was the throughput ceiling for trickle regimes.
+        Now the epoch's events are scanned+parsed ONCE into a persisted
+        7-column narrow projection (bounded by the rate cap — NOT by table
+        or corpus size; the wide event rows stay un-cached per the
+        measured note in ``apply_epoch``), three small finishing
+        aggregations read the cache concurrently inside one job, and
+        everything returns in one collect whose row count is ≤ cap + 1
+        regardless of file count. Shapes measured interleaved on
+        cdc_incremental_apply @ sf0.1 (best/median of 3): legacy 2-job
+        12.05/12.54s, grouping-sets+persist 12.30/13.04s, this variant
+        12.20/12.94s, no-persist union 11.94/12.36s — all within host
+        noise, so the tie-break is the 100× shape: one parse, one driver
+        round-trip, bounded collect. Reference analog: one promise/status
+        vector per batch, not three
+        (/root/reference/src/processing_results.h:51-89).
+        """
+        cap = self.MAX_PARTITION_LINEAGE
+        from pyspark import StorageLevel
+
+        flagged = events.select(
+            "src_file",
+            "src_offset",
+            "lsn",
+            "conv_id",
+            "turn_idx",
+            F.col("src_format").isNotNull().alias("_claimed"),
+            (
+                F.col("src_format").isNotNull()
+                & ~F.col("op").eqNullSafe(F.lit("S"))
+            ).alias("_is_data"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _N = lambda: F.lit(None).cast("long")  # noqa: E731 — union pad
+        try:
+            file_agg = flagged.groupBy("src_file").agg(
+                F.sum(F.when(F.col("_claimed"), 1).otherwise(0)).alias("rows"),
+                F.sum(F.when(~F.col("_claimed"), 1).otherwise(0)).alias("dead"),
+                F.min("src_offset").alias("min_offset"),
+                F.max("src_offset").alias("max_offset"),
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+            )
+            # capped detail: dead-only files first (they are the ones an
+            # operator must see), then by name — TakeOrderedAndProject,
+            # no full sort
+            detail = (
+                file_agg.orderBy((F.col("rows") > 0).asc(), F.col("src_file").asc())
+                .limit(cap)
+                .select(
+                    F.lit("file").alias("_row"),
+                    "src_file",
+                    "rows",
+                    "dead",
+                    "min_offset",
+                    "max_offset",
+                    "min_lsn",
+                    "max_lsn",
+                    _N().alias("n_files"),
+                    _N().alias("max_n"),
+                    _N().alias("total"),
+                    _N().alias("keys"),
+                )
+            )
+            # exact totals survive the cap: a single-row file summary and a
+            # single-row key summary, cross-joined (1×1) and unioned under
+            # the detail so ONE collect carries everything. Column pruning
+            # keeps each branch's partial agg minimal (no shared exchange —
+            # deliberate: the summary branch aggregates 2 columns, not 8).
+            fsumm = file_agg.agg(
+                F.count(F.lit(1)).alias("n_files"), F.sum("dead").alias("dead")
+            )
+            ksumm = (
+                flagged.where(F.col("_is_data"))
+                .groupBy("conv_id", "turn_idx")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(
+                    F.max("n").alias("max_n"),
+                    F.sum("n").alias("total"),
+                    F.count(F.lit(1)).alias("keys"),
+                )
+            )
+            summ = fsumm.crossJoin(ksumm).select(
+                F.lit("summ").alias("_row"),
+                F.lit(None).cast("string").alias("src_file"),
+                _N().alias("rows"),
+                F.col("dead"),
+                _N().alias("min_offset"),
+                _N().alias("max_offset"),
+                _N().alias("min_lsn"),
+                _N().alias("max_lsn"),
+                F.col("n_files"),
+                F.col("max_n"),
+                F.col("total"),
+                F.col("keys"),
+            )
+            rows = detail.unionByName(summ).collect()
+        finally:
+            flagged.unpersist()
+
+        partitions = []
+        n_files = n_dead = n_events = max_n = distinct_keys = 0
+        for r in rows:
+            if r["_row"] == "file":
+                partitions.append(
+                    {
+                        "src_file": r["src_file"],
+                        "rows": int(r["rows"] or 0),
+                        "dead_letters": int(r["dead"] or 0),
+                        "offset_range": [r["min_offset"], r["max_offset"]],
+                        "lsn_range": [r["min_lsn"], r["max_lsn"]],
+                        "status": "ok" if (r["rows"] or 0) > 0 else "dead-only",
+                    }
+                )
+            else:
+                n_files = int(r["n_files"] or 0)
+                n_dead = int(r["dead"] or 0)
+                max_n = int(r["max_n"] or 0)
+                n_events = int(r["total"] or 0)
+                distinct_keys = int(r["keys"] or 0)
+        truncated = n_files > cap
+        if not truncated:
+            # full set present — keep the historical by-name ordering
+            partitions.sort(key=lambda p: p["src_file"] or "")
+        return {
+            "partitions": partitions,
+            "truncated": truncated,
+            "n_files": n_files,
+            "n_dead": n_dead,
+            "n_events": n_events,
+            "max_key_events": max_n,
+            "distinct_keys": distinct_keys,
+        }
+
     # ------------------------------------------------------------- epoch core
     def apply_epoch(self, events: DataFrame, batch_id: int, offset_range: dict | None = None) -> MergeResult:
         """Apply one epoch of parsed change events. Idempotent per batch_id.
@@ -107,39 +247,13 @@ class CdcEngine:
 
         # Per-partition lineage (SURVEY G8: the reference latches a status
         # per SAMPLE in its results vector, processing_results.h:51-89; the
-        # Spark-scale unit is the source file/offset-range): one combinable
-        # aggregation over the epoch's events yields per-file parsed
-        # vs dead-letter counts and the offset/LSN ranges actually applied.
-        part_rows = (
-            events.groupBy("src_file")
-            .agg(
-                F.sum(F.when(F.col("src_format").isNotNull(), 1).otherwise(0)).alias("rows"),
-                F.sum(F.when(F.col("src_format").isNull(), 1).otherwise(0)).alias("dead"),
-                F.min("src_offset").alias("min_offset"),
-                F.max("src_offset").alias("max_offset"),
-                F.min("lsn").alias("min_lsn"),
-                F.max("lsn").alias("max_lsn"),
-            )
-            .collect()
-        )
-        n_dead = sum(int(r["dead"] or 0) for r in part_rows)
-        partitions = [
-            {
-                "src_file": r["src_file"],
-                "rows": int(r["rows"] or 0),
-                "dead_letters": int(r["dead"] or 0),
-                "offset_range": [r["min_offset"], r["max_offset"]],
-                "lsn_range": [r["min_lsn"], r["max_lsn"]],
-                "status": "ok" if (r["rows"] or 0) > 0 else "dead-only",
-            }
-            for r in sorted(part_rows, key=lambda r: r["src_file"] or "")
-        ]
-        truncated = len(partitions) > self.MAX_PARTITION_LINEAGE
-        if truncated:
-            bad = [p for p in partitions if p["status"] != "ok"]
-            partitions = (bad + [p for p in partitions if p["status"] == "ok"])[
-                : self.MAX_PARTITION_LINEAGE
-            ]
+        # Spark-scale unit is the source file/offset-range) FUSED with the
+        # hot-key detection stats (G1): one job, one collect, detail capped
+        # server-side — see _epoch_stats.
+        stats = self._epoch_stats(events)
+        n_dead = stats["n_dead"]
+        partitions = stats["partitions"]
+        truncated = stats["truncated"]
 
         if n_dead and self.config.dead_letter_dir:
             # sink keeps the raw line + lineage so operators can replay it
@@ -177,19 +291,9 @@ class CdcEngine:
             # recover out-of-order-delivered fields from stored raw images
             reextract_payloads(self.table)
 
-        # Hot-epoch detection on a cheap partial-agg count (G1).
-        counts = (
-            data.groupBy("conv_id", "turn_idx")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(
-                F.max("n").alias("max_n"),
-                F.sum("n").alias("total"),
-                F.count(F.lit(1)).alias("keys"),
-            )
-            .collect()[0]
-        )
-        n_events = int(counts["total"] or 0)
-        hot = (counts["max_n"] or 0) > self.config.hot_key_threshold
+        # Hot-epoch detection (G1) — already computed by the fused job.
+        n_events = stats["n_events"]
+        hot = stats["max_key_events"] > self.config.hot_key_threshold
         # Hot epochs are DETECTED and recorded in lineage (monitoring /
         # alerting), but the dedupe stays on plain lww_dedupe: its
         # map-side partial max already collapses a hot key to one row
@@ -286,7 +390,7 @@ class CdcEngine:
                 "offset_range": offset_range,
                 "snapshot_id": res.snapshot.snapshot_id if res.snapshot else None,
                 "events": n_events,
-                "distinct_keys": int(counts["keys"] or 0),
+                "distinct_keys": stats["distinct_keys"],
                 "upserts": res.upserts,
                 "deletes": res.deletes,
                 "strategy": res.strategy,
