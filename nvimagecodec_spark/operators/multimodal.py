@@ -133,10 +133,15 @@ def attach_fake_audio(df: DataFrame, text_col: str = "text", out_col: str = "aud
 def detect_codec(binary_col: str) -> Column:
     """Magic-byte probe chain, most common format first (the reference
     forces JPEG to the probe front, /root/reference/src/codec_registry.cpp:38-43).
-    NULL = unknown format → dead-letter disposition."""
+    Probes the REAL formats (BMP 'BM', binary PPM 'P6', binary PGM 'P5' —
+    the nvbmp/nvpnm plugin pair) by their 2-byte magics after the 4-byte
+    fake family. NULL = unknown format → dead-letter disposition."""
     magic = F.hex(F.substring(F.col(binary_col), 1, 4))
+    magic2 = F.substring(magic, 1, 4)
     expr = F.lit(None).cast("string")
-    # image probed first (reversed fold), then video, then audio
+    for hex2, name in (("5035", "pgm"), ("5036", "ppm"), ("424D", "bmp")):
+        expr = F.when(magic2 == hex2, F.lit(name)).otherwise(expr)
+    # fake family probed first (reversed fold): image, then video, then audio
     for name in (MAGIC_AUDIO, MAGIC_VIDEO, MAGIC_IMAGE):
         expr = F.when(magic == _MAGIC_HEX[name], F.lit(name.lower())).otherwise(expr)
     return expr
@@ -149,11 +154,15 @@ def media_metadata(df: DataFrame, binary_col: str = "image") -> DataFrame:
     b = F.col(binary_col)
     as_int = lambda start, n: F.conv(F.hex(F.substring(b, start, n)), 16, 10).cast("int")  # noqa: E731
     codec = detect_codec(binary_col)
+    # header offsets below are the FAKE family's big-endian layout; real
+    # BMP/PNM payloads go through decode_images_real (their headers are
+    # little-endian / ASCII and need the numpy parser, not expressions)
+    is_fake = codec.isin(MAGIC_IMAGE.lower(), MAGIC_VIDEO.lower(), MAGIC_AUDIO.lower())
     return df.select(
         *[c for c in df.columns if c != binary_col],
         codec.alias("codec"),
-        F.when(codec.isNotNull(), as_int(5, 4)).alias("width"),
-        F.when(codec.isNotNull(), as_int(9, 4)).alias("height"),
+        F.when(is_fake, as_int(5, 4)).alias("width"),
+        F.when(is_fake, as_int(9, 4)).alias("height"),
         F.when(codec == MAGIC_IMAGE.lower(), as_int(13, 1)).alias("channels"),
         F.when(codec == MAGIC_VIDEO.lower(), as_int(13, 1)).alias("n_frames"),
         F.length(b).cast("int").alias("n_bytes"),
@@ -249,11 +258,309 @@ _DECODE_SCHEMA = T.StructType(
 )
 
 
-def _real_decode(payload: bytes, width: int, height: int, channels: int):
-    """Seam for a real pixel decoder (PIL / libjpeg / nvJPEG). None ship in
-    this container, so the engine runs the deterministic fake path; wiring a
-    real library means implementing exactly this function."""
-    raise NotImplementedError("no image codec library available in this environment")
+def _parse_bmp(data: bytes):
+    """Pure-numpy decode of an uncompressed 24-bit BMP (BITMAPINFOHEADER).
+
+    Mirrors the reference's deliberately dependency-free BMP plugin
+    (/root/reference/extensions/nvbmp/nvbmp_ext.cpp — decoder handles
+    24bpp BI_RGB only): little-endian header fields, 4-byte-padded rows,
+    BGR byte order, bottom-up rows when biHeight > 0 (top-down when
+    negative). Returns an H×W×3 uint8 RGB array."""
+    import numpy as np
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    pix_off = int.from_bytes(data[10:14], "little")
+    hdr_size = int.from_bytes(data[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width = int.from_bytes(data[18:22], "little", signed=True)
+    height = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: {bpp}bpp compression={compression}")
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dims {width}x{height}")
+    top_down = height < 0
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    need = pix_off + stride * h
+    if len(data) < need:
+        raise ValueError(f"truncated BMP: {len(data)} < {need}")
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=pix_off)
+    arr = rows.reshape(h, stride)[:, : width * 3].reshape(h, width, 3)
+    if not top_down:
+        arr = arr[::-1]
+    return arr[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _pnm_header(data: bytes):
+    """Parse a PNM ASCII header (magic, width, height, maxval), honoring
+    '#' comments and arbitrary whitespace, per the netpbm spec the
+    reference's nvpnm plugin implements
+    (/root/reference/extensions/nvpnm/nvpnm_ext.cpp). Returns
+    (magic, width, height, maxval, data_offset)."""
+    if len(data) < 2 or data[0:1] != b"P" or data[1:2] not in b"56":
+        raise ValueError("not a binary PNM stream")
+    magic = data[:2].decode()
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        fields.append(int(data[start:pos]))
+    pos += 1  # exactly ONE whitespace byte separates header from raster
+    width, height, maxval = fields
+    if width <= 0 or height <= 0 or not (0 < maxval < 256):
+        raise ValueError(f"unsupported PNM: {width}x{height} maxval={maxval}")
+    return magic, width, height, maxval, pos
+
+
+def _parse_pnm(data: bytes):
+    """Pure-numpy decode of binary PNM: P6 (RGB) → H×W×3, P5 (gray) →
+    H×W×1 uint8."""
+    import numpy as np
+
+    magic, width, height, _maxval, off = _pnm_header(data)
+    ch = 3 if magic == "P6" else 1
+    need = off + width * height * ch
+    if len(data) < need:
+        raise ValueError(f"truncated PNM: {len(data)} < {need}")
+    arr = np.frombuffer(data, dtype=np.uint8, count=width * height * ch, offset=off)
+    return arr.reshape(height, width, ch).copy()
+
+
+def _real_decode(payload: bytes):
+    """REAL pixel decode for the reference's two dependency-free formats
+    (nvbmp 24-bit BMP, nvpnm binary PNM) — the round-3 verdict seam, now
+    implemented. Probes the magic bytes, parses the genuine container
+    layout (little-endian BMP headers, row padding, BGR order, bottom-up
+    rows; PNM ASCII headers with comments), and returns
+    ``(pixels H×W×C uint8 RGB, codec)``. Raises ValueError for formats
+    this sandbox has no codec for (JPEG etc. — those stay behind the
+    FIMG fake family)."""
+    b = bytes(payload)
+    if b[:2] == b"BM":
+        return _parse_bmp(b), "bmp"
+    if b[:2] == b"P6":
+        return _parse_pnm(b), "ppm"
+    if b[:2] == b"P5":
+        return _parse_pnm(b), "pgm"
+    raise ValueError(f"no decoder for magic {b[:4]!r}")
+
+
+def encode_bmp(arr) -> bytes:
+    """Pure-numpy 24-bit BMP encode (bottom-up, BGR, 4-byte row padding) —
+    the nvbmp writer shape. Accepts H×W×3 RGB or H×W×1 gray (replicated)."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    elif c != 3:
+        raise ValueError(f"BMP encode needs 1 or 3 channels, got {c}")
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    pix_off = 14 + 40
+    file_size = pix_off + len(pix)
+    hdr = (
+        b"BM"
+        + file_size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + pix_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(pix).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    return hdr + pix
+
+
+def encode_pnm(arr) -> bytes:
+    """Binary PNM encode: 3-channel → P6, 1-channel → P5 (nvpnm writer,
+    /root/reference/extensions/nvpnm/nvpnm_ext.cpp)."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError(f"PNM encode needs 1 or 3 channels, got {c}")
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def _pattern_pixels(md5_hex: str):
+    """Deterministic pixel field for the real-format fixture corpus:
+    dims from the same md5 nibbles as the FIMG family, seed s from chars
+    5-6, and pixel(x, y, c) = (s + 3x + 7y + 11c) mod 256. Linear in x/y/c
+    with distinct coefficients so a decoder that flips rows (BMP
+    bottom-up), swaps BGR, or mis-strides padding produces different
+    stats — and simple enough that the DuckDB oracle recomputes the exact
+    sums from generate_series over the source text's md5."""
+    import numpy as np
+
+    w = int(md5_hex[0:2], 16) % 48 + 16
+    h = int(md5_hex[2:4], 16) % 48 + 16
+    s = int(md5_hex[4:6], 16)
+    fmt = int(md5_hex[6], 16) % 3  # 0=bmp, 1=ppm, 2=pgm
+    ch = 1 if fmt == 2 else 3
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    c = np.arange(ch, dtype=np.int64)
+    arr = ((s + 3 * x[None, :, None] + 7 * y[:, None, None] + 11 * c[None, None, :]) % 256).astype(
+        "uint8"
+    )
+    return arr, fmt
+
+
+def attach_real_images(
+    df: DataFrame, text_col: str = "text", out_col: str = "image"
+) -> DataFrame:
+    """REAL-format fixture generator: one genuine BMP / binary-PPM /
+    binary-PGM payload per row (format chosen by an md5 nibble, like the
+    reference's mixed resource corpus /root/reference/resources/), pixels
+    from the deterministic ``_pattern_pixels`` field. Arrow-batched —
+    the bytes written here are full real containers that any external
+    BMP/PNM reader opens."""
+    import hashlib
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for txt in pdf[text_col]:
+                md5 = hashlib.md5(str(txt).encode("utf-8")).hexdigest()
+                arr, fmt = _pattern_pixels(md5)
+                payloads.append(encode_bmp(arr) if fmt == 0 else encode_pnm(arr))
+            out = pdf.copy()
+            out[out_col] = payloads
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+_REAL_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_wsum", T.LongType()),
+        T.StructField("c0_sum", T.LongType()),
+    ]
+)
+
+
+def decode_images_real(
+    df: DataFrame, binary_col: str = "image", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched REAL pixel decode (``decodeBatch`` analog over actual
+    containers): parse each BMP/PNM payload with ``_real_decode`` and emit
+    order-sensitive integer pixel stats —
+
+    - ``px_sum``   = Σ pixel
+    - ``px_wsum``  = Σ pixel · (x + 2y + 3c)  (catches row flips, BGR
+      swaps, and stride/padding bugs that a plain sum would miss)
+    - ``c0_sum``   = Σ channel-0 pixel (direct red-vs-blue check)
+
+    All exact int64, so the DuckDB oracle recomputes them from the source
+    text without touching a single payload byte."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, codecs, ws, hs, cs, sums, wsums, c0s = [], [], [], [], [], [], [], []
+            for did, b in zip(pdf[id_col], pdf[binary_col]):
+                arr, codec = _real_decode(bytes(b))
+                h, w, ch = arr.shape
+                a = arr.astype(np.int64)
+                x = np.arange(w, dtype=np.int64)[None, :, None]
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(ch, dtype=np.int64)[None, None, :]
+                ids.append(int(did))
+                codecs.append(codec)
+                ws.append(w)
+                hs.append(h)
+                cs.append(ch)
+                sums.append(int(a.sum()))
+                wsums.append(int((a * (x + 2 * y + 3 * c)).sum()))
+                c0s.append(int(a[:, :, 0].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "codec": pd.Series(codecs, dtype="object"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(cs, dtype="int32"),
+                    "px_sum": pd.Series(sums, dtype="int64"),
+                    "px_wsum": pd.Series(wsums, dtype="int64"),
+                    "c0_sum": pd.Series(c0s, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, schema=_REAL_DECODE_SCHEMA)
+
+
+def resize_images_real(
+    df: DataFrame, new_width: int, new_height: int, binary_col: str = "image"
+) -> DataFrame:
+    """REAL decode → nearest-neighbor resample → re-encode in the SAME
+    container format (full decoder+encoder round trip, the reference's
+    transcode tier). Nearest-neighbor picks source pixel
+    (⌊x'·W/W'⌋, ⌊y'·H/H'⌋) — exact integer math the oracle replicates."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != binary_col]
+        + [T.StructField(binary_col, T.BinaryType())]
+    )
+    other = [c for c in df.columns if c != binary_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for b in pdf[binary_col]:
+                arr, codec = _real_decode(bytes(b))
+                h, w, _ = arr.shape
+                sx = (np.arange(new_width, dtype=np.int64) * w) // new_width
+                sy = (np.arange(new_height, dtype=np.int64) * h) // new_height
+                resized = arr[sy[:, None], sx[None, :], :]
+                payloads.append(
+                    encode_bmp(resized) if codec == "bmp" else encode_pnm(resized)
+                )
+            out = pdf[other].copy()
+            out[binary_col] = payloads
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
 
 
 def decode_images(

@@ -68,9 +68,11 @@ def test_unknown_magic_dead_letters(spark):
     assert row["codec"] is None and row["width"] is None
 
 
-def test_real_decode_seam_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        M._real_decode(b"", 1, 1, 3)
+def test_real_decode_rejects_unknown_formats():
+    """_real_decode is now a REAL BMP/PNM decoder (tests/test_real_decode.py);
+    formats with no codec in this sandbox (JPEG etc.) still raise."""
+    with pytest.raises(ValueError):
+        M._real_decode(b"\xff\xd8\xff\xe0 jpeg soi")
 
 
 def test_audio_metadata_and_probe(spark, docs):
