@@ -706,6 +706,103 @@ def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.contamination(docs, bench, n=3, threshold=0.1)
 
 
+# ---------------------------------------------------------------- streaming
+
+_STREAM_SEQ = [0]
+
+
+def _stream_text_dir(spark: SparkSession, sf_dir: str, prefix: str, files: int) -> str:
+    """Serialize the deterministic change stream to jsonl text files (in
+    Spark — no driver-side encode) for the Structured Streaming queries."""
+    ch = _changes(spark, sf_dir)
+    jsonl = F.to_json(
+        F.struct(
+            F.col("op"),
+            F.col("lsn"),
+            F.date_format("commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("commit_ts"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TEMP_DIRS.append(d)
+    ch.select(jsonl.alias("value")).repartition(files).write.mode("overwrite").text(d)
+    return d
+
+
+def _run_stream_to_memory(df: DataFrame, output_mode: str):
+    """Run a streaming DataFrame to completion (availableNow) into a
+    uniquely-named memory sink; returns the sink table. The memory sink is
+    the TEST/gate harness — production monitoring writes parquet/Kafka —
+    and its size here is bounded: these are aggregate streams (windows ×
+    ops; conversations × micro-batches), not event streams."""
+    _STREAM_SEQ[0] += 1
+    name = f"nvics_stream_sink_{os.getpid()}_{_STREAM_SEQ[0]}"
+    ck = tempfile.mkdtemp(prefix="nvics-stream-ck-")
+    _TEMP_DIRS.append(ck)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if q.isActive:
+        q.stop()
+    return name
+
+
+def q_stream_windowed_op_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 T6 through the REAL Structured Streaming engine: the
+    change stream is tailed with readStream, aggregated into 6-hour
+    event-time tumbling windows under a 1-hour watermark (append mode),
+    and run to completion with availableNow. Emitted = windows the
+    watermark closed: window_end ≤ max(commit_ts) − 1h — exactly what the
+    DuckDB oracle recomputes batch-side. The single data batch keeps the
+    late-drop path out of the value check (multi-batch watermark
+    semantics are pinned in tests/test_streaming_windows.py); n_convs is
+    approx_count_distinct (HLL) and deliberately not oracle-compared."""
+    from nvimagecodec_spark.streaming.windows import read_change_stream, windowed_op_rates
+
+    d = _stream_text_dir(spark, sf_dir, "nvics-winrates-", files=4)
+    changes = read_change_stream(spark, d)
+    rates = windowed_op_rates(changes, window_duration="6 hours", watermark="1 hour")
+    name = _run_stream_to_memory(rates, "append")
+    return spark.table(name).select(
+        ts_micros(F.col("window_start")).alias("window_start_us"),
+        ts_micros(F.col("window_end")).alias("window_end_us"),
+        "op",
+        "n_events",
+    )
+
+
+def q_stream_conversation_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState custom stateful operator (SURVEY §2.5
+    G12) through the real engine: 8 files drained 2-per-trigger so state
+    MUST survive ~4 micro-batches; update-mode emissions land in the sink
+    once per (conversation, batch-it-changed-in). The final state per
+    conversation (all three fields are monotone) must equal the plain
+    batch aggregate — if the state store dropped anything between
+    batches, events_seen comes up short and the hash breaks."""
+    from nvimagecodec_spark.streaming.windows import conversation_progress, read_change_stream
+
+    d = _stream_text_dir(spark, sf_dir, "nvics-convprog-", files=8)
+    changes = read_change_stream(spark, d, max_files_per_trigger=2)
+    prog = conversation_progress(changes)
+    name = _run_stream_to_memory(prog, "update")
+    return (
+        spark.table(name)
+        .groupBy("conv_id")
+        .agg(
+            F.max("events_seen").alias("events_seen"),
+            F.max("max_turn").alias("max_turn"),
+            F.max("last_lsn").alias("last_lsn"),
+        )
+    )
+
+
 # -------------------------------------------------------------- multimodal
 
 def q_mm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_drop": q_cdc_schema_drop,
         "cdc_emit_roundtrip": q_cdc_emit_roundtrip,
         "cdc_incremental_apply": q_cdc_incremental_apply,
+        "stream_windowed_op_rates": q_stream_windowed_op_rates,
+        "stream_conversation_progress": q_stream_conversation_progress,
         "cdc_op_stats": q_cdc_op_stats,
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_epoch_stats": q_cdc_epoch_stats,
@@ -1148,6 +1247,35 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN op <> 'D'
                         THEN CAST(ROUND(value * 100) AS BIGINT) END AS value_cents
             FROM changes
+        """,
+        # streaming-window tier: batch-equivalent semantics. Emission rule
+        # for append-mode tumbling windows under a watermark, verified
+        # empirically: a window emits iff window_end <= max(event_time) -
+        # watermark delay (availableNow runs a trailing flush batch).
+        # Window buckets are epoch-aligned integer floors in BOTH engines.
+        "stream_windowed_op_rates": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            mx AS (SELECT MAX(epoch_us(commit_ts)) AS mt FROM changes),
+            w AS (
+              SELECT (epoch_us(commit_ts) // 21600000000) * 21600000000 AS ws,
+                     op, CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM changes GROUP BY 1, 2
+            )
+            SELECT w.ws AS window_start_us,
+                   w.ws + 21600000000 AS window_end_us,
+                   w.op, w.n_events
+            FROM w, mx
+            WHERE w.ws + 21600000000 <= mx.mt - 3600000000
+        """,
+        "stream_conversation_progress": f"""
+            WITH changes AS ({_CHANGES_SQL})
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS events_seen,
+                   CAST(MAX(turn_idx) AS INTEGER) AS max_turn,
+                   MAX(lsn) AS last_lsn
+            FROM changes
+            WHERE conv_id IS NOT NULL
+            GROUP BY conv_id
         """,
         "events_asof_order": """
             WITH o1 AS (
