@@ -302,18 +302,26 @@ def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G1 skew stats: hot conv_ids + the salt factor the engine would use."""
+    """G1 skew stats: hot conv_ids + the salt factor the engine would use.
+
+    SINGLE pass (round-3 verdict #5): the threshold (0.5% of total events,
+    min 1) is derived in-plan from a global window over the per-key
+    aggregate — the stream is scanned once; the window's single-partition
+    exchange sees only the tiny per-key frame, never raw events. The old
+    shape ran a separate count() action first, scanning everything twice."""
+    from pyspark.sql.window import Window
+
     ch = _changes(spark, sf_dir)
-    total = ch.count()
-    thresh = max(total // 200, 1)
+    counts = ch.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = F.sum("n_events").over(Window.partitionBy())
+    thresh = F.greatest(F.floor(total / 200).cast("long"), F.lit(1).cast("long"))
     return (
-        ch.groupBy("conv_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .where(F.col("n_events") > thresh)
+        counts.withColumn("_thresh", thresh)
+        .where(F.col("n_events") > F.col("_thresh"))
         .select(
             "conv_id",
             "n_events",
-            F.ceil(F.col("n_events") / thresh).cast("long").alias("salt_factor"),
+            F.ceil(F.col("n_events") / F.col("_thresh")).cast("long").alias("salt_factor"),
         )
     )
 

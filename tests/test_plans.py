@@ -128,3 +128,17 @@ def test_changestream_lsn_slice_filters_before_shuffle(spark, tmp_path):
     first_filter = plan.find("Filter")
     assert first_filter != -1
     assert first_exchange == -1 or first_filter > -1  # filter exists pre-shuffle
+
+
+def test_hot_keys_single_scan(spark):
+    """q_cdc_hot_keys derives its threshold in-plan (global window over the
+    per-key aggregate) — the events source must be scanned exactly once,
+    pruned to the key column (round-3 verdict #5: the old shape ran a
+    separate count() action, doubling the I/O)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_cdc_hot_keys(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    # one scan node: the details section lists each scan's Location once
+    assert plan.count("InMemoryFileIndex") == 1, plan
+    assert "ReadSchema: struct<user_id:bigint>" in plan  # column-pruned
