@@ -268,6 +268,40 @@ def main() -> None:
                 extras.setdefault("errors", {})[name] = str(e)[:200]
                 log(f"{name}: FAILED {e}")
 
+        # Honesty split (round-3 verdict #8): the emb_ivf_persisted entry
+        # rebuilds the index every call, so its headline charges k-means
+        # TRAINING to the query path. Build-once/query-many is the product
+        # shape — time the halves separately. Detail carries the split;
+        # the compact line gets the steady-state query number.
+        if "emb_ivf_persisted" not in skip and queries.get("emb_ivf_persisted"):
+            try:
+                import tempfile
+
+                from nvimagecodec_spark.operators.ivf_index import IvfIndex
+
+                emb = spark.read.parquet(os.path.join(args.sf_dir, "embeddings.parquet"))
+                idx_dir = os.path.join(tempfile.mkdtemp(prefix="nvics-bench-ivf-"), "idx")
+                t0 = time.time()
+                idx = IvfIndex.build(emb, idx_dir, n_cells=8, seed=7)
+                build_s = round(time.time() - t0, 3)
+                qtimes = []
+                for _ in range(max(args.reps, 1)):
+                    t0 = time.time()
+                    force(idx.topk(anchor=0, k=25, n_probe=2))
+                    qtimes.append(round(time.time() - t0, 3))
+                queries["emb_ivf_persisted_query_only"] = min(qtimes)
+                extras["ivf_persisted_split"] = {
+                    "build_sec": build_s,
+                    "query_sec_best": min(qtimes),
+                    "query_reps": qtimes,
+                }
+                log(
+                    f"emb_ivf_persisted split: build={build_s}s "
+                    f"query_best={min(qtimes)}s (reps={qtimes})"
+                )
+            except Exception as e:
+                extras.setdefault("errors", {})["ivf_persisted_split"] = str(e)[:200]
+
     total = round(time.time() - t_all, 3)
     result = {
         "metric": "total bench seconds (headline: change-events/sec applied, "
