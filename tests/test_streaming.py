@@ -297,3 +297,84 @@ def test_crash_between_schema_apply_and_merge_commit(spark, tmp_dir):
     # idempotent re-application added no duplicate schema versions
     table.refresh()
     assert len(table.meta["schemas"]) == schema_versions_after_crash
+
+
+def test_interval_trigger_soak_kill_resume(spark, tmp_dir):
+    """Round-3 verdict #7: the ALWAYS-ON tail (processingTime trigger,
+    the production mode / reference T1 loop) under sustained load: a
+    writer thread appends files while the query polls; the query is
+    killed mid-flight, resumed on the same checkpoint with the writer
+    still appending, and the final state must be exactly-once identical
+    to the single-batch oracle. availableNow covers the drain path in
+    the tests above; this covers the live handle's lifecycle."""
+    import threading
+    import time as _time
+
+    events = generate_change_events(n_events=3000, seed=11, with_schema_events=False)
+    staged = os.path.join(tmp_dir, "staged")
+    events_to_files(events, staged, files=12)
+    stream_dir = os.path.join(tmp_dir, "stream")
+    os.makedirs(stream_dir)
+    table = LakeTable.create(
+        spark, os.path.join(tmp_dir, "table"), TARGET_SCHEMA, ["conv_id", "turn_idx"], bucket_count=8
+    )
+    engine = CdcEngine(spark, table, source_id="soak")
+    files = sorted(os.listdir(staged))
+
+    def writer():
+        for f in files:
+            shutil.copy(os.path.join(staged, f), os.path.join(stream_dir, f + ".tmp"))
+            # atomic publish: the tailing FileStreamSource must never list
+            # a half-copied file
+            os.rename(
+                os.path.join(stream_dir, f + ".tmp"), os.path.join(stream_dir, f)
+            )
+            _time.sleep(0.4)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    handle = engine.run_stream(
+        stream_dir, max_files_per_trigger=2, trigger_interval="1 seconds"
+    )
+    assert handle.isActive  # the live production handle, caller-owned
+    # let the tail apply a couple of epochs, then KILL mid-flight (the
+    # writer is still appending)
+    deadline = _time.time() + 90
+    while _time.time() < deadline and len(engine.lineage()) < 2:
+        _time.sleep(0.2)
+    handle.stop()
+    n_before = len(engine.lineage())
+    assert n_before >= 1, "no epoch applied before the kill"
+    assert t.is_alive() or len(os.listdir(stream_dir)) == len(files)
+
+    # resume on the SAME checkpoint while the writer keeps appending
+    engine2 = CdcEngine(
+        spark, table, source_id="soak", checkpoint_dir=engine.checkpoint_dir
+    )
+    handle2 = engine2.run_stream(
+        stream_dir, max_files_per_trigger=2, trigger_interval="1 seconds"
+    )
+    t.join()
+    # poll until the tail catches up to the full oracle state
+    deadline = _time.time() + 120
+    ok = False
+    while _time.time() < deadline:
+        try:
+            _assert_matches_oracle(table, events)
+            ok = True
+            break
+        except AssertionError:
+            _time.sleep(1.0)
+    handle2.stop()
+    assert ok, "tail never converged to the oracle state"
+
+    # exactly-once bookkeeping: no epoch applied twice
+    batch_ids = [r["batch_id"] for r in engine2.lineage()]
+    assert len(batch_ids) == len(set(batch_ids))
+    # and a third run over the same directory is a pure no-op
+    snap = table.current_snapshot().snapshot_id
+    engine3 = CdcEngine(
+        spark, table, source_id="soak", checkpoint_dir=engine.checkpoint_dir
+    )
+    engine3.run_stream(stream_dir, max_files_per_trigger=4)
+    assert table.current_snapshot().snapshot_id == snap
