@@ -57,8 +57,11 @@ class EngineConfig:
     # (batch slice <= light_bucket_max_rows) apply via broadcast — their
     # table data never shuffles — while heavy buckets take sort-merge;
     # one atomic commit. Measured ~5% at 3M rows, grows with SF; off by
-    # default (unimodal epochs want one strategy).
-    split_light_buckets: bool = False
+    # default (unimodal epochs want one strategy). "auto" hands the
+    # threshold to AdaptiveSplitController: a feedback loop on observed
+    # apply throughput with a periodic plain-sort-merge probe epoch
+    # (reference adjustBatchSizes; light_bucket_max_rows seeds it).
+    split_light_buckets: bool | str = False
     light_bucket_max_rows: int = 1_000
     # Snapshot retention: every snapshot entry carries the table's full
     # live-file manifest, so an unbounded epoch stream grows the metadata

@@ -45,7 +45,10 @@ from nvimagecodec_spark.operators.schema_events import (
 from nvimagecodec_spark.operators.skew import lww_dedupe_salted
 from nvimagecodec_spark.sources.changelog import ChangeStream, parse_changes, with_lineage
 from nvimagecodec_spark.streaming.lineage import LineageLog
-from nvimagecodec_spark.streaming.ratelimit import AdaptiveRateController
+from nvimagecodec_spark.streaming.ratelimit import (
+    AdaptiveRateController,
+    AdaptiveSplitController,
+)
 
 
 class CdcEngine:
@@ -68,6 +71,17 @@ class CdcEngine:
             cap=self.config.target_batch_events,
             min_cap=self.config.min_batch_events,
             max_cap=self.config.max_batch_events,
+        )
+        # split_light_buckets="auto": feedback-tuned split fraction
+        # (reference adjustBatchSizes); seeded by light_bucket_max_rows,
+        # never above the broadcast row threshold.
+        self.split_ctl = (
+            AdaptiveSplitController(
+                threshold=self.config.light_bucket_max_rows,
+                max_threshold=self.config.broadcast_threshold_rows,
+            )
+            if self.config.split_light_buckets == "auto"
+            else None
         )
 
     # how many per-source-file lineage rows an epoch record keeps verbatim
@@ -320,15 +334,25 @@ class CdcEngine:
             # whose CoW rewrite would exceed ratio x batch rows go delta,
             # backfills/initial loads stay CoW (G4 adaptive-split analog)
             auto = self.config.mor_deltas == "auto"
+            if self.split_ctl is not None:
+                planned = self.split_ctl.plan()  # 0 = baseline probe epoch
+                do_split, light_max = planned > 0, planned or 1
+            else:
+                do_split = bool(self.config.split_light_buckets)
+                light_max = self.config.light_bucket_max_rows
             res = merge_into(
                 self.table,
                 deduped,
                 tag={"source_id": self.source_id, "batch_id": batch_id},
                 broadcast_threshold_rows=self.config.broadcast_threshold_rows,
-                split_light_buckets=self.config.split_light_buckets,
-                light_bucket_max_rows=self.config.light_bucket_max_rows,
+                split_light_buckets=do_split,
+                light_bucket_max_rows=light_max,
                 delta_auto_ratio=self.config.mor_auto_ratio if auto else None,
             )
+            if self.split_ctl is not None:
+                self.split_ctl.observe(
+                    res.strategy, res.upserts + res.deletes, res.duration_sec
+                )
         # the adaptive controller's signal is steady-state APPLY
         # throughput — including the periodic maintenance below would
         # shrink the cap after every sweep epoch (review-caught)
@@ -403,6 +427,9 @@ class CdcEngine:
                 "duration_sec": round(duration, 3),
                 "events_per_sec": round(n_events / duration, 1) if duration > 0 else None,
                 "next_rate_cap": self.rate.cap,
+                "split_threshold": (
+                    int(self.split_ctl.threshold) if self.split_ctl else None
+                ),
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }
         )
