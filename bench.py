@@ -289,7 +289,9 @@ def main() -> None:
                     t0 = time.time()
                     force(idx.topk(anchor=0, k=25, n_probe=2))
                     qtimes.append(round(time.time() - t0, 3))
-                queries["emb_ivf_persisted_query_only"] = min(qtimes)
+                # split lives in extras ONLY: adding it to `queries` would
+                # double-count the topk inside queries_total_best and break
+                # that field's round-over-round comparability
                 extras["ivf_persisted_split"] = {
                     "build_sec": build_s,
                     "query_sec_best": min(qtimes),

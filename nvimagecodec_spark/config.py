@@ -101,3 +101,12 @@ class EngineConfig:
     optimize_max_files_per_bucket: int = 4
     optimize_orphan_grace_seconds: int = 72 * 3600
     extra: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        # tri-state knobs take bool or ONE exact string; any other string
+        # is truthy in Python, so a typo ('Auto', 'true') would silently
+        # enable the wrong mode instead of the one asked for
+        for knob in ("split_light_buckets", "mor_deltas"):
+            v = getattr(self, knob)
+            if not (isinstance(v, bool) or v == "auto"):
+                raise ValueError(f"{knob} must be True, False or 'auto'; got {v!r}")

@@ -18,11 +18,15 @@ Reference parity map:
 - multi-frame containers       ↔ TIFF pagination / ``next_bitstream_offset``
   (/root/reference/include/nvimgcodec.h:601-612)
 
-Since no image/audio codec library ships in this container, payloads use
-the deterministic FAKE codec family below; the *Spark plumbing* — binary
-schema, probe expressions, mapInPandas signatures, Arrow batch shapes,
-partitioning — is real and tested. Swapping in a real decoder is a
-one-function change (see ``decode_images``'s ``_real_decode`` seam).
+Two payload families coexist. (1) The deterministic FAKE codec family
+below exercises the *Spark plumbing* — binary schema, probe expressions,
+mapInPandas signatures, Arrow batch shapes, partitioning — with payloads
+a DuckDB oracle can recompute from text. (2) REAL pixel decode exists for
+the dependency-free formats the reference also ships as library-free
+plugins: pure-numpy 24-bit BMP and binary PNM (P5/P6) behind the
+``_real_decode`` seam, wired through ``decode_images_real`` /
+``resize_images_real``. Entropy-coded formats (JPEG/PNG/…) would slot
+into the same seam but need codec libraries this container lacks.
 
 FAKE codec layout (big-endian):
 
@@ -595,10 +599,11 @@ def decode_images(
 def resize_images(
     df: DataFrame, new_width: int, new_height: int, binary_col: str = "image"
 ) -> DataFrame:
-    """Transcode/resize (encoder-tier analog). The pixel resample itself is
-    STUBBED (``_real_decode`` seam); the fake path re-emits a valid FIMG
-    header with the new dimensions over the original payload — so schema,
-    batching and binary round-trip plumbing are fully exercised."""
+    """Transcode/resize (encoder-tier analog) for FAKE-codec payloads:
+    re-emits a valid FIMG header with the new dimensions over the original
+    payload — schema, batching and binary round-trip plumbing fully
+    exercised, oracle-recomputable from text. Real pixel resampling for
+    BMP/PNM payloads lives in ``resize_images_real``."""
     hdr = (
         _MAGIC_HEX[MAGIC_IMAGE]
         + format(new_width, "08X")

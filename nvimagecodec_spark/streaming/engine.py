@@ -116,23 +116,28 @@ class CdcEngine:
         cap = self.MAX_PARTITION_LINEAGE
         from pyspark import StorageLevel
 
+        # An event is USABLE only if a format claimed it AND the claimed
+        # parse yielded an op (a probe can claim a line whose from_json
+        # then fails — src_format set, every field NULL). Usable-ness here
+        # must match what the apply path actually applies: counting
+        # claimed-but-malformed rows as data inflated n_events/hot-key
+        # stats and the rate controller's observed throughput with events
+        # split_schema_events silently drops (review-caught, round 4).
+        ok = F.col("src_format").isNotNull() & F.col("op").isNotNull()
         flagged = events.select(
             "src_file",
             "src_offset",
             "lsn",
             "conv_id",
             "turn_idx",
-            F.col("src_format").isNotNull().alias("_claimed"),
-            (
-                F.col("src_format").isNotNull()
-                & ~F.col("op").eqNullSafe(F.lit("S"))
-            ).alias("_is_data"),
+            ok.alias("_ok"),
+            (ok & (F.col("op") != F.lit("S"))).alias("_is_data"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
         _N = lambda: F.lit(None).cast("long")  # noqa: E731 — union pad
         try:
             file_agg = flagged.groupBy("src_file").agg(
-                F.sum(F.when(F.col("_claimed"), 1).otherwise(0)).alias("rows"),
-                F.sum(F.when(~F.col("_claimed"), 1).otherwise(0)).alias("dead"),
+                F.sum(F.when(F.col("_ok"), 1).otherwise(0)).alias("rows"),
+                F.sum(F.when(~F.col("_ok"), 1).otherwise(0)).alias("dead"),
                 F.min("src_offset").alias("min_offset"),
                 F.max("src_offset").alias("max_offset"),
                 F.min("lsn").alias("min_lsn"),
@@ -257,7 +262,13 @@ class CdcEngine:
         self, events: DataFrame, batch_id: int, offset_range: dict | None, t0: float
     ) -> MergeResult:
         has_dead = "raw_value" in events.columns
-        claimed = events.where(F.col("src_format").isNotNull()) if has_dead else events
+        # dead = unclaimed (no format probe matched) OR claimed-but-
+        # malformed (probe claimed the line, the parse yielded no op) —
+        # both are lines the apply cannot use, and the reference never
+        # loses a sample (it latches UNSUPPORTED). The complement is what
+        # split_schema_events + the merge actually consume.
+        usable = F.col("src_format").isNotNull() & F.col("op").isNotNull()
+        claimed = events.where(usable)
 
         # Per-partition lineage (SURVEY G8: the reference latches a status
         # per SAMPLE in its results vector, processing_results.h:51-89; the
@@ -269,7 +280,7 @@ class CdcEngine:
         partitions = stats["partitions"]
         truncated = stats["truncated"]
 
-        if n_dead and self.config.dead_letter_dir:
+        if n_dead and self.config.dead_letter_dir and has_dead:
             # sink keeps the raw line + lineage so operators can replay it
             # after registering the missing format (the reference never
             # loses a sample — it latches UNSUPPORTED). Partitioned by
@@ -277,7 +288,7 @@ class CdcEngine:
             # OVERWRITE: a crash-replayed epoch rewrites ITS partition
             # instead of appending duplicates — the sink is exactly-once
             # like the table commit it rides along with.
-            dl = events.where(F.col("src_format").isNull()).select(
+            dl = events.where(~usable).select(
                 "src_file",
                 "src_offset",
                 "raw_value",

@@ -91,6 +91,19 @@ class AdaptiveSplitController:
     sortmerge_ewma: float | None = None
     epochs_planned: int = 0
 
+    def __post_init__(self):
+        # the documented invariant is "never above the broadcast row
+        # threshold" — enforce it on the SEED too, and keep the floor
+        # below the ceiling so shrink can never jump back above it
+        # (review-caught: a seed > max_threshold, or min_threshold >
+        # max_threshold, parked the controller permanently in a region
+        # where merge_into's broadcast guard disables the split)
+        self.max_threshold = max(1, int(self.max_threshold))
+        self.min_threshold = max(1, min(int(self.min_threshold), self.max_threshold))
+        self.threshold = float(
+            min(max(self.threshold, self.min_threshold), self.max_threshold)
+        )
+
     def plan(self) -> int:
         """Light-bucket threshold for the NEXT epoch (0 = probe epoch:
         run plain sort-merge to refresh the baseline)."""
