@@ -939,8 +939,15 @@ def q_emb_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k) in SQL, the way the reference's golden transcode tests hash
     the pipeline's output without re-deriving the codec
     (/root/reference/test/test_transcode.py:26-66)."""
+    import shutil
+
     from nvimagecodec_spark.operators.ivf_index import IvfIndex
 
+    # wipe the fixed oracle location first: the index now keeps retired
+    # generations (gen-NNNNNN dirs + CURRENT pointer) for snapshot
+    # isolation, and the static oracle SQL globs gen-*/ — it must see
+    # exactly the one generation this call publishes
+    shutil.rmtree(_IVF_ORACLE_PATH, ignore_errors=True)
     idx = IvfIndex.build(
         _t(spark, sf_dir, "embeddings"), _IVF_ORACLE_PATH, n_cells=8, seed=7
     )
@@ -952,11 +959,13 @@ def _ivf_persisted_sql() -> str:
     artifacts q_emb_ivf_persisted just persisted. `cell` comes back from
     hive partitioning as BIGINT — cast to INTEGER to match Spark's
     partition-column inference."""
+    # gen-* glob: q_emb_ivf_persisted wipes the path before building, so
+    # exactly one generation directory exists when the oracle runs
     assign = (
-        f"read_parquet('{_IVF_ORACLE_PATH}/assignments/*/*.parquet', "
+        f"read_parquet('{_IVF_ORACLE_PATH}/gen-*/assignments/*/*.parquet', "
         "hive_partitioning = 1)"
     )
-    cents = f"read_parquet('{_IVF_ORACLE_PATH}/centroids/*.parquet')"
+    cents = f"read_parquet('{_IVF_ORACLE_PATH}/gen-*/centroids/*.parquet')"
     return f"""
         WITH anchor AS (
           SELECT CAST(embedding AS DOUBLE[]) AS a FROM {assign} WHERE vec_id = 0

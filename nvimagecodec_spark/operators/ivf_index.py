@@ -3,16 +3,34 @@
 Round 1's ``ivf_topk_kmeans`` retrained k-means on every query; the
 reference instantiates processors once and reuses them (``pre_init``,
 /root/reference/src/image_generic_codec.h:463-469). Here the index is a
-real on-disk artifact:
+real on-disk artifact with snapshot-isolated rebuilds:
 
-- ``assignments/``: every vector written ONCE, parquet **partitioned by
-  cell** — a probe reads only the probed cells' directories (partition
-  pruning in the scan, asserted in tests), so a 2-of-256-cell probe scans
-  ~1/128th of a 10^10-vector corpus.
-- ``centroids/``: n_cells rows (tiny). Loaded to the driver once per
-  handle and reused across queries — choosing probe cells is an O(cells)
-  dot-product loop, not a Spark job.
-- ``meta.json``: build parameters, for reproducibility checks.
+- ``gen-NNNNNN/assignments/``: every vector written ONCE, parquet
+  **partitioned by cell** — a probe reads only the probed cells'
+  directories (partition pruning in the scan, asserted in tests), so a
+  2-of-256-cell probe scans ~1/128th of a 10^10-vector corpus.
+- ``gen-NNNNNN/centroids/``: n_cells rows (tiny). Loaded to the driver
+  once per handle and reused across queries — choosing probe cells is an
+  O(cells) dot-product loop, not a Spark job.
+- ``gen-NNNNNN/meta.json``: build parameters, for reproducibility checks.
+- ``CURRENT``: a pointer file naming the live generation, replaced
+  atomically (``os.replace``) — the same single-atomic-flip publication
+  the lakehouse table uses for its version metadata.
+
+Generations are IMMUTABLE once published (upsert appends to the live one,
+which is why upsert and rebuild need a single-writer arrangement, same as
+any table writer pair). A rebuild trains into ``gen-{N+1}.tmp``, renames
+it whole to ``gen-{N+1}``, then flips ``CURRENT``. Readers therefore
+never observe a missing or half-written index — the round-3 rename-dance
+swap had a few-ms hole between its two renames that every entry point
+papered over with retries, and worse, a LAZY frame (``topk`` result
+collected after the swap) pinned Spark's file index to paths the dance
+had renamed away. Retired generations outlive the flip by a grace period
+precisely so in-flight lazy frames finish against the snapshot they
+planned over; the reaper removes them afterwards (reference analog:
+result visibility is synchronized before publishing,
+/root/reference/src/image_generic_codec.h:605-638, exercised by
+/root/reference/test/api/concurrent_decode_test.cpp).
 
 All heavy math stays JVM-side (pyspark.ml k-means, column-expression
 cosine); the only driver-side work is the centroid probe.
@@ -29,12 +47,14 @@ from pyspark.sql import functions as F
 
 from nvimagecodec_spark.functions.vectors import cosine
 
+_GEN_PREFIX = "gen-"
+
 
 def _newest_mtime(path: str) -> float:
-    """Newest mtime anywhere under `path` (advisor-caught: a rebuild writes
+    """Newest mtime anywhere under `path` (advisor-caught: a build writes
     parquet into nested assignments/cell=*/ subdirs, which does NOT refresh
     the top directory's mtime — age-gating on the top dir alone could reap
-    a >24h-running rebuild mid-flight and fail its final rename)."""
+    a long-running in-flight build and fail its final rename)."""
     newest = 0.0
     for root, _dirs, files in os.walk(path):
         try:
@@ -50,121 +70,128 @@ def _newest_mtime(path: str) -> float:
 
 
 class IvfIndex:
-    """Handle to a persisted IVF index (see module docstring)."""
+    """Handle to a persisted IVF index (see module docstring).
 
-    # reader-side retry budget for the brief path-not-found window between
-    # maybe_rebuild's two renames (see _with_swap_retry). Backoff doubles
-    # per attempt: FIXED intervals can phase-lock with a periodic swapper
-    # (observed in the race test) — growing ones cannot.
-    SWAP_RETRY_ATTEMPTS = 6
-    SWAP_RETRY_SLEEP = 0.05  # first backoff; doubles each attempt (~1.6s total)
+    A handle pins ONE generation at load (snapshot isolation): queries
+    keep answering against that snapshot even while another process
+    rebuilds and flips ``CURRENT``. If the pinned generation is reaped
+    out from under a very stale handle, the next eager entry point
+    re-resolves the pointer once and retries against the new live
+    generation (``_with_gen_retry``).
+    """
+
+    # how long a retired generation outlives the CURRENT flip before the
+    # reaper may remove it — the window in-flight lazy frames get to
+    # finish. Analogous to snapshot retention in the lakehouse table.
+    RETIRE_GRACE_SECONDS = 3600
+    # orphan cutoff for init-time reaping of aged non-current generations
+    # and crashed-build *.tmp leftovers; generous because a RECENT .tmp
+    # may be a concurrent rebuild's in-flight train (never touched).
+    REAP_AGE_SECONDS = 24 * 3600
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
-        # crash recovery for maybe_rebuild's two-rename swap: a crash
-        # between the renames leaves the complete OLD index at .retired
-        # (or the complete NEW one at .rebuild) and nothing at self.path —
-        # restore rather than fail the load. A CONCURRENT swapper mid-window
-        # looks identical for a few ms, so probe for the index re-appearing
-        # before concluding it crashed (same retry budget as reads).
-        if not os.path.exists(os.path.join(self.path, "meta.json")):
-            import time
-
-            healed = False
-            for attempt in range(self.SWAP_RETRY_ATTEMPTS):
-                if attempt:
-                    time.sleep(self.SWAP_RETRY_SLEEP * (2 ** (attempt - 1)))
-                if os.path.exists(os.path.join(self.path, "meta.json")):
-                    healed = True  # a live swapper finished its second rename
-                    break
-            if not healed:
-                for cand in (self.path + ".rebuild", self.path + ".retired"):
-                    if os.path.exists(os.path.join(cand, "meta.json")):
-                        try:
-                            os.rename(cand, self.path)
-                        except OSError:
-                            # a racing healer/swapper beat us; fall through to
-                            # the meta.json open below, which retries too
-                            pass
-                        break
-        else:
-            # the index at self.path is whole — an OLD sibling is a
-            # leftover of a crash AFTER the swap completed (e.g. between
-            # the second rename and the rmtree of the retired copy) and
-            # would leak a full index copy forever. Age-gated like
-            # remove_orphans: a RECENT sibling may be a concurrent
-            # maybe_rebuild's in-flight build (its .rebuild exists while
-            # the main index is still whole) — never touched.
-            import shutil
-            import time
-
-            cutoff = time.time() - 24 * 3600
-            for cand in (self.path + ".rebuild", self.path + ".retired"):
-                # age = NEWEST mtime anywhere under the tree, not the top
-                # dir's: nested parquet writes don't refresh the top dir,
-                # so a long-running rebuild would look stale while its
-                # leaf files are seconds old (advisor-caught)
-                if os.path.exists(cand) and _newest_mtime(cand) < cutoff:
-                    shutil.rmtree(cand, ignore_errors=True)
-        self.meta = self._with_swap_retry(
-            lambda: json.load(open(os.path.join(self.path, "meta.json")))
+        self.gen = self._read_pointer()
+        self.gen_path = os.path.join(self.path, self.gen)
+        self._reap(grace_seconds=self.REAP_AGE_SECONDS)
+        self.meta = self._with_gen_retry(
+            lambda: json.load(open(os.path.join(self.gen_path, "meta.json")))
         )
         self._centroids: list[tuple[int, list[float]]] | None = None
 
-    def _with_swap_retry(self, fn):
-        """Run ``fn``, retrying across maybe_rebuild's swap window.
+    # --------------------------------------------------------------- pointer
+    def _read_pointer(self) -> str:
+        ptr = os.path.join(self.path, "CURRENT")
+        with open(ptr) as f:
+            return f.read().strip()
 
-        The two-rename swap leaves a few-ms gap where ``self.path`` holds
-        nothing (and a slightly longer one where a scan pinned to retired
-        files fails mid-job). Reference analog: result visibility is
-        synchronized across streams before publishing
-        (/root/reference/src/image_generic_codec.h:605-638) and exercised
-        concurrently (/root/reference/test/api/concurrent_decode_test.cpp);
-        a filesystem index can't block publication, so readers absorb the
-        window with a bounded retry instead.
-        """
+    @staticmethod
+    def _flip_pointer(path: str, gen: str) -> None:
+        """Publish ``gen`` as the live generation — one atomic replace,
+        the only mutation readers can ever observe."""
+        tmp = os.path.join(path, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(gen)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(path, "CURRENT"))
+
+    def _refresh(self) -> None:
+        """Re-resolve the pointer (after this handle's own rebuild, or
+        when the pinned generation vanished under a stale handle)."""
+        self.gen = self._read_pointer()
+        self.gen_path = os.path.join(self.path, self.gen)
+        with open(os.path.join(self.gen_path, "meta.json")) as f:
+            self.meta = json.load(f)
+        self._centroids = None
+
+    def _with_gen_retry(self, fn):
+        """Run ``fn``; if it fails because this handle's pinned generation
+        was reaped (handle older than the retire grace), re-resolve the
+        pointer once and retry against the live generation. Anything else
+        re-raises — with atomic pointer publication there is no transient
+        window to absorb, so one re-resolve is the whole budget."""
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — classify, re-raise if unrelated
+            msg = str(e)
+            stale = isinstance(e, FileNotFoundError) or any(
+                s in msg
+                for s in (
+                    "PATH_NOT_FOUND",
+                    "FileNotFoundException",
+                    "does not exist",
+                    "UNABLE_TO_INFER_SCHEMA",
+                )
+            )
+            if not stale:
+                raise
+            current = self._read_pointer()
+            if current == self.gen:
+                raise  # genuinely broken index, not a reaped snapshot
+            self._refresh()
+            return fn()
+
+    # ----------------------------------------------------------------- reap
+    def _reap(self, grace_seconds: float) -> None:
+        """Remove non-current generations and crashed-build ``*.tmp``
+        leftovers whose NEWEST mtime is older than ``grace_seconds``.
+        The current generation is never a candidate; a recent sibling may
+        be a concurrent rebuild's in-flight build or a retired snapshot
+        still serving lazy frames."""
+        import shutil
         import time
 
-        last: Exception | None = None
-        for attempt in range(self.SWAP_RETRY_ATTEMPTS):
-            if attempt:
-                time.sleep(self.SWAP_RETRY_SLEEP * (2 ** (attempt - 1)))
-            try:
-                return fn()
-            except Exception as e:  # noqa: BLE001 — classify, re-raise if unrelated
-                msg = str(e)
-                transient = isinstance(e, (FileNotFoundError, OSError)) or any(
-                    s in msg
-                    for s in (
-                        "PATH_NOT_FOUND",
-                        "FileNotFoundException",
-                        "does not exist",
-                        # a listing that races the rename can also surface as
-                        # an empty-directory schema-inference failure
-                        "UNABLE_TO_INFER_SCHEMA",
-                    )
-                )
-                if not transient:
-                    raise
-                last = e
-        raise last  # pragma: no cover — loop always raises or returns
+        cutoff = time.time() - grace_seconds
+        try:
+            entries = os.listdir(self.path)
+        except OSError:
+            return
+        for name in entries:
+            if name == self.gen or not name.startswith(_GEN_PREFIX):
+                continue
+            cand = os.path.join(self.path, name)
+            if not os.path.isdir(cand):
+                continue
+            if grace_seconds <= 0 or _newest_mtime(cand) < cutoff:
+                shutil.rmtree(cand, ignore_errors=True)
 
-    # ------------------------------------------------------------------ build
-    @classmethod
-    def build(
-        cls,
+    # ---------------------------------------------------------------- build
+    @staticmethod
+    def _train_into(
         embeddings: DataFrame,
-        path: str,
-        n_cells: int = 16,
-        seed: int = 7,
-        id_col: str = "vec_id",
-        vec_col: str = "embedding",
-    ) -> "IvfIndex":
+        gen_path: str,
+        n_cells: int,
+        seed: int,
+        id_col: str,
+        vec_col: str,
+    ) -> None:
+        """Write a complete generation directory (assignments + centroids
+        + meta.json) at ``gen_path``. Pure build — no publication."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        path = os.path.abspath(path)
         feats = embeddings.withColumn("_features", array_to_vector(F.col(vec_col)))
         model = KMeans(
             k=n_cells, seed=seed, featuresCol="_features", predictionCol="cell"
@@ -176,7 +203,7 @@ class IvfIndex:
             assigned.repartition(n_cells, F.col("cell"))
             .write.partitionBy("cell")
             .mode("overwrite")
-            .parquet(os.path.join(path, "assignments"))
+            .parquet(os.path.join(gen_path, "assignments"))
         )
         spark = embeddings.sparkSession
         cent_rows = [
@@ -184,7 +211,7 @@ class IvfIndex:
         ]
         spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
             1
-        ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        ).write.mode("overwrite").parquet(os.path.join(gen_path, "centroids"))
         meta = {
             "n_cells": n_cells,
             "seed": seed,
@@ -192,20 +219,57 @@ class IvfIndex:
             "vec_col": vec_col,
             "dim": len(cent_rows[0][1]) if cent_rows else 0,
         }
-        with open(os.path.join(path, "meta.json"), "w") as f:
+        with open(os.path.join(gen_path, "meta.json"), "w") as f:
             json.dump(meta, f)
-        return cls(spark, path)
+
+    @classmethod
+    def _next_gen_name(cls, path: str) -> str:
+        highest = 0
+        try:
+            for name in os.listdir(path):
+                if name.startswith(_GEN_PREFIX):
+                    try:
+                        highest = max(highest, int(name[len(_GEN_PREFIX):].split(".")[0]))
+                    except ValueError:
+                        pass
+        except OSError:
+            pass
+        return f"{_GEN_PREFIX}{highest + 1:06d}"
+
+    @classmethod
+    def build(
+        cls,
+        embeddings: DataFrame,
+        path: str,
+        n_cells: int = 16,
+        seed: int = 7,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        """Train and PUBLISH a new generation at ``path`` (created if
+        absent; an existing index gains a generation and flips to it)."""
+        import shutil
+
+        path = os.path.abspath(path)
+        os.makedirs(path, exist_ok=True)
+        gen = cls._next_gen_name(path)
+        tmp = os.path.join(path, gen + ".tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        cls._train_into(embeddings, tmp, n_cells, seed, id_col, vec_col)
+        os.rename(tmp, os.path.join(path, gen))
+        cls._flip_pointer(path, gen)
+        return cls(embeddings.sparkSession, path)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IvfIndex":
         return cls(spark, path)
 
-    # ------------------------------------------------------------------ query
+    # ---------------------------------------------------------------- query
     def centroids(self) -> list[tuple[int, list[float]]]:
         if self._centroids is None:
-            rows = self._with_swap_retry(
+            rows = self._with_gen_retry(
                 lambda: self.spark.read.parquet(
-                    os.path.join(self.path, "centroids")
+                    os.path.join(self.gen_path, "centroids")
                 ).collect()
             )
             self._centroids = sorted((r["cell"], list(r["centroid"])) for r in rows)
@@ -224,18 +288,19 @@ class IvfIndex:
     def candidates(self, cells: list[int]) -> DataFrame:
         """Cell-pruned scan: only the probed cells' partition directories
         are read (PartitionFilters on `cell` — asserted in tests). The
-        parquet open (file listing + schema) is swap-retried; the returned
-        frame is lazy, so callers executing across a mid-job swap go
-        through a retried entry point (topk/assignment_quality) instead."""
-        df = self._with_swap_retry(
-            lambda: self.spark.read.parquet(os.path.join(self.path, "assignments"))
+        returned frame is pinned to this handle's generation — lazy
+        execution after a concurrent rebuild still reads a consistent
+        snapshot, because retired generations outlive the flip by
+        RETIRE_GRACE_SECONDS."""
+        df = self._with_gen_retry(
+            lambda: self.spark.read.parquet(os.path.join(self.gen_path, "assignments"))
         )
         return df.where(F.col("cell").isin([int(c) for c in cells]))
 
     def anchor_vector(self, anchor_id: int) -> list[float]:
         vec_col, id_col = self.meta["vec_col"], self.meta["id_col"]
-        row = self._with_swap_retry(
-            lambda: self.spark.read.parquet(os.path.join(self.path, "assignments"))
+        row = self._with_gen_retry(
+            lambda: self.spark.read.parquet(os.path.join(self.gen_path, "assignments"))
             .where(F.col(id_col) == anchor_id)
             .select(vec_col)
             .first()
@@ -246,11 +311,15 @@ class IvfIndex:
 
     # ------------------------------------------------------------- maintain
     def upsert(self, embeddings: DataFrame) -> int:
-        """Incrementally add vectors to the index WITHOUT retraining:
-        each new vector is assigned to its nearest existing centroid
-        (one narrow crossJoin against the broadcast centroid table +
-        max_by — no Python rows, no k-means) and appended to that cell's
-        partition directory. Returns the number of vectors added.
+        """Incrementally add vectors to the LIVE generation WITHOUT
+        retraining: each new vector is assigned to its nearest existing
+        centroid (one narrow crossJoin against the broadcast centroid
+        table + max_by — no Python rows, no k-means) and appended to that
+        cell's partition directory. Returns the number of vectors added.
+
+        Single-writer with respect to rebuilds: an upsert racing a
+        rebuild's flip could append to a generation that just retired
+        (same coordination contract as two writers on one table).
 
         Centroids drift as data drifts; `assignment_quality()` exposes
         the mean vector→centroid similarity so callers can schedule a
@@ -286,7 +355,7 @@ class IvfIndex:
             out.repartition(self.meta["n_cells"], F.col("cell"))
             .write.partitionBy("cell")
             .mode("append")
-            .parquet(os.path.join(self.path, "assignments"))
+            .parquet(os.path.join(self.gen_path, "assignments"))
         )
         return n
 
@@ -297,8 +366,8 @@ class IvfIndex:
         cent_df = self.spark.createDataFrame(
             self.centroids(), "cell int, centroid array<double>"
         )
-        row = self._with_swap_retry(
-            lambda: self.spark.read.parquet(os.path.join(self.path, "assignments"))
+        row = self._with_gen_retry(
+            lambda: self.spark.read.parquet(os.path.join(self.gen_path, "assignments"))
             .join(F.broadcast(cent_df), "cell")
             .select(cosine(F.col(vec_col), F.col("centroid")).alias("_sim"))
             .agg(F.avg("_sim"))
@@ -306,22 +375,28 @@ class IvfIndex:
         )
         return float(row[0])
 
-    def maybe_rebuild(self, min_quality: float, seed: int | None = None) -> bool:
+    def maybe_rebuild(
+        self,
+        min_quality: float,
+        seed: int | None = None,
+        retire_grace_seconds: float | None = None,
+    ) -> bool:
         """Drift-triggered retrain (the scheduled-rebuild half of index
         maintenance; ``upsert`` is the cheap incremental half): when
         ``assignment_quality()`` has degraded below ``min_quality``,
-        retrain k-means over the full current vector set into a sibling
-        directory, then swap it in with a rename dance. ``self.path``
-        never holds a HALF-written index; there is, however, a brief
-        window between the two renames where it holds nothing — every
-        eager read entry point (``centroids``/``candidates``/
-        ``anchor_vector``/``assignment_quality``/``load``) absorbs it
-        with a bounded retry (``_with_swap_retry``, race-tested in
-        tests/test_ivf_index.py), and a crash inside the window is healed
-        on the next ``load``/``__init__`` (the complete old or new index
-        is restored from the ``.retired``/``.rebuild`` sibling). Returns
-        True iff a rebuild ran; this handle refreshes itself, other
-        handles should re-``load``.
+        retrain k-means over the full current vector set into the NEXT
+        generation directory and flip ``CURRENT`` to it atomically.
+        Readers never see a missing or partial index — concurrent handles
+        keep answering from the generation they pinned at load, and lazy
+        frames they planned before the flip stay valid because the
+        retired generation is only reaped once it is older than
+        ``retire_grace_seconds`` (default RETIRE_GRACE_SECONDS; pass 0 to
+        reap immediately when no other readers can exist). A crash at ANY
+        point leaves ``CURRENT`` pointing at the old complete generation
+        — there is nothing to heal, only an aged ``.tmp``/orphan
+        generation for the init-time reaper. Returns True iff a rebuild
+        ran; this handle refreshes itself, other handles re-resolve
+        lazily if their snapshot is ever reaped.
 
         The quality check is one broadcast-join aggregate; callers can
         run this after every N upserts as a cheap scheduling policy.
@@ -331,25 +406,27 @@ class IvfIndex:
         import shutil
 
         vectors = self.spark.read.parquet(
-            os.path.join(self.path, "assignments")
+            os.path.join(self.gen_path, "assignments")
         ).drop("cell")
-        new_path, old_path = self.path + ".rebuild", self.path + ".retired"
-        shutil.rmtree(new_path, ignore_errors=True)
-        shutil.rmtree(old_path, ignore_errors=True)
-        IvfIndex.build(
+        gen = self._next_gen_name(self.path)
+        tmp = os.path.join(self.path, gen + ".tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._train_into(
             vectors,
-            new_path,
+            tmp,
             n_cells=self.meta["n_cells"],
             seed=self.meta["seed"] if seed is None else seed,
             id_col=self.meta["id_col"],
             vec_col=self.meta["vec_col"],
         )
-        os.rename(self.path, old_path)
-        os.rename(new_path, self.path)
-        shutil.rmtree(old_path, ignore_errors=True)
-        with open(os.path.join(self.path, "meta.json")) as f:
-            self.meta = json.load(f)
-        self._centroids = None
+        os.rename(tmp, os.path.join(self.path, gen))
+        self._flip_pointer(self.path, gen)
+        self._refresh()
+        self._reap(
+            self.RETIRE_GRACE_SECONDS
+            if retire_grace_seconds is None
+            else retire_grace_seconds
+        )
         return True
 
     def topk(

@@ -20,8 +20,11 @@ def index(spark, tmp_path_factory):
 
 
 def test_build_layout_and_reload(spark, index):
-    assert os.path.exists(os.path.join(index.path, "meta.json"))
-    cells = os.listdir(os.path.join(index.path, "assignments"))
+    # generation layout: CURRENT pointer + immutable gen-NNNNNN directory
+    with open(os.path.join(index.path, "CURRENT")) as f:
+        assert f.read().strip() == index.gen
+    assert os.path.exists(os.path.join(index.gen_path, "meta.json"))
+    cells = os.listdir(os.path.join(index.gen_path, "assignments"))
     assert sum(1 for c in cells if c.startswith("cell=")) == 8
     again = IvfIndex.load(spark, index.path)
     assert again.meta["n_cells"] == 8
@@ -118,99 +121,115 @@ def test_maybe_rebuild_on_drift(spark, tmp_path):
     assert q_drifted < q0
 
     total_before = idx.candidates(list(range(8))).count()
-    # threshold above the drifted quality -> rebuild runs
-    assert idx.maybe_rebuild(min_quality=q_drifted + 1e-6) is True
+    gen_before = idx.gen
+    # threshold above the drifted quality -> rebuild runs; grace=0 reaps
+    # the retired generation immediately (no other readers in this test)
+    assert idx.maybe_rebuild(min_quality=q_drifted + 1e-6, retire_grace_seconds=0) is True
+    # pointer flipped to a new generation, retired one reaped
+    assert idx.gen != gen_before
+    assert not os.path.exists(os.path.join(idx.path, gen_before))
+    assert not os.path.exists(idx.gen_path + ".tmp")
     # no rows lost, layout intact, handle refreshed, quality recovered
     assert idx.candidates(list(range(8))).count() == total_before
     assert len(idx.centroids()) == 8
     assert idx.assignment_quality() > q_drifted
     top = [r["vec_id"] for r in idx.topk(anchor=0, k=5, n_probe=3).collect()]
     assert len(top) == 5
-    # no leftover swap directories
-    assert not os.path.exists(idx.path + ".rebuild")
-    assert not os.path.exists(idx.path + ".retired")
 
 
-def test_init_reaps_leaked_swap_siblings(spark, tmp_path):
-    """Review-caught (round-2 advice): a crash AFTER the swap's second
-    rename but BEFORE the rmtree of the retired copy leaks a full index
-    copy forever — __init__ on a whole index must reap leftover
-    .retired/.rebuild siblings."""
+def test_init_reaps_aged_orphan_generations(spark, tmp_path):
+    """A crash after publishing gen-N leaves the retired gen-(N-1) (and a
+    crashed build leaves a gen-*.tmp) on disk forever — __init__ on a
+    whole index reaps AGED non-current generations and tmp leftovers. A
+    RECENT sibling may be a concurrent rebuild's in-flight build or a
+    retired snapshot still serving lazy frames, and must survive."""
     import shutil
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
     path = str(tmp_path / "idx")
-    IvfIndex.build(emb, path, n_cells=2, seed=7)
-    # simulate the post-swap crash: a complete retired copy next to a
-    # complete live index, AGED past the reap grace (a recent sibling may
-    # be a concurrent rebuild's in-flight build and must survive)
-    shutil.copytree(path, path + ".retired")
-    shutil.copytree(path, path + ".rebuild")
-    recent = path + ".rebuild"
+    first = IvfIndex.build(emb, path, n_cells=2, seed=7)
+    # second generation becomes CURRENT; the first is now retired
+    assert first.maybe_rebuild(min_quality=2.0) is True
+    retired = os.path.join(path, "gen-000001")
+    assert os.path.exists(retired)  # grace default keeps it for lazy frames
+    # a recent-looking in-flight build next to it
+    recent_tmp = os.path.join(path, "gen-000003.tmp")
+    shutil.copytree(retired, recent_tmp)
+    # age the WHOLE retired tree: the reaper gates on the newest mtime
+    # found anywhere under the candidate (advisor-caught: nested parquet
+    # writes don't refresh the top dir, so a top-dir-only gate could reap
+    # a long-running rebuild mid-flight)
     old_age = __import__("time").time() - 48 * 3600
-    # age the WHOLE tree: the reaper gates on the newest mtime found
-    # anywhere under the sibling (advisor-caught: nested parquet writes
-    # don't refresh the top dir, so a top-dir-only gate could reap a
-    # long-running rebuild mid-flight)
-    for root, dirs, files in os.walk(path + ".retired"):
+    for root, dirs, files in os.walk(retired):
         for name in [""] + files:
             os.utime(os.path.join(root, name) if name else root, (old_age, old_age))
 
     idx = IvfIndex.load(spark, path)
-    assert not os.path.exists(path + ".retired")  # old leak reaped
-    assert os.path.exists(recent)  # in-flight-looking sibling untouched
-    shutil.rmtree(recent, ignore_errors=True)
-    assert len(idx.topk(anchor=0, k=3, n_probe=2).collect()) == 3
+    assert not os.path.exists(retired)  # aged leak reaped
+    assert os.path.exists(recent_tmp)  # in-flight-looking sibling untouched
+    shutil.rmtree(recent_tmp, ignore_errors=True)
+    assert len(idx.topk(anchor=int(emb.select("vec_id").first()[0]), k=3, n_probe=2).collect()) == 3
 
 
-def test_reader_survives_synthetic_swap_window(spark, tmp_path):
-    """Round-3 verdict #3: readers must absorb maybe_rebuild's brief
-    path-not-found window between the two renames. A swapper thread
-    opens/closes the window in a tight loop while fresh handles load and
-    read — every eager entry point retries (reference analog: result
-    visibility synchronized before publish + concurrent access tests,
+def test_reader_never_sees_missing_index_across_flips(spark, tmp_path):
+    """Round-3 verdict #3, restated for the generation design: publication
+    is ONE atomic pointer replace, so there is no path-not-found window at
+    all. A flipper thread alternates CURRENT between two complete
+    generations in a tight loop while fresh handles load and read — no
+    retries, no failures (reference analog: result visibility synchronized
+    before publish + concurrent access tests,
     /root/reference/test/api/concurrent_decode_test.cpp)."""
     import threading
-    import time
 
     from pyspark.sql import functions as F
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(80)
     path = str(tmp_path / "idx")
-    IvfIndex.build(emb, path, n_cells=2, seed=7)
+    idx0 = IvfIndex.build(emb, path, n_cells=2, seed=7)
+    # a second complete generation to flip against (grace keeps gen 1)
+    assert idx0.maybe_rebuild(min_quality=2.0) is True
+    gens = ["gen-000001", "gen-000002"]
     anchor = emb.select(F.min("vec_id")).first()[0]
 
     stop = threading.Event()
-    swap_errs: list[Exception] = []
 
-    def swapper():
-        retired = path + ".retired"
+    def flipper():
+        i = 0
         while not stop.is_set():
-            try:
-                os.rename(path, retired)
-                time.sleep(0.01)  # hold the window open
-                os.rename(retired, path)
-            except OSError as e:  # a healer won a rename race — re-align
-                swap_errs.append(e)
-                if os.path.exists(os.path.join(retired, "meta.json")) and not os.path.exists(path):
-                    os.rename(retired, path)
-            # realistic duty cycle: swaps are rare and brief — the retry
-            # budget (5 × 100ms) must comfortably outlast one window, not
-            # win a race against a pathological open-2/3-of-the-time loop
-            time.sleep(0.15)
+            IvfIndex._flip_pointer(path, gens[i % 2])
+            i += 1
 
-    th = threading.Thread(target=swapper, daemon=True)
+    th = threading.Thread(target=flipper, daemon=True)
     th.start()
     try:
         for _ in range(15):
-            idx = IvfIndex.load(spark, path)  # load itself is swap-retried
+            idx = IvfIndex.load(spark, path)
             assert len(idx.centroids()) == 2
             vec = idx.anchor_vector(int(anchor))
             assert len(vec) > 0
     finally:
         stop.set()
         th.join(timeout=10)
-    assert not swap_errs, swap_errs
+
+
+def test_lazy_topk_frame_survives_concurrent_rebuild(spark, tmp_path):
+    """Round-4 review finding: a topk() frame planned BEFORE a rebuild
+    pins Spark's file index to the old files; the round-3 rename dance
+    moved those paths away, so collecting the frame after the swap failed
+    mid-job. Generations fix this structurally — the retired generation
+    outlives the flip by the grace period, so the pre-flip frame collects
+    cleanly against its snapshot."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    path = str(tmp_path / "idx")
+    idx = IvfIndex.build(emb, path, n_cells=2, seed=7)
+    anchor = int(emb.select("vec_id").first()[0])
+
+    lazy = idx.topk(anchor=anchor, k=3, n_probe=2)  # planned pre-flip
+    assert idx.maybe_rebuild(min_quality=2.0) is True  # flips CURRENT
+    rows = lazy.collect()  # executes against the retired snapshot
+    assert len(rows) == 3
+    # and a frame from the refreshed handle reads the new generation
+    assert len(idx.topk(anchor=anchor, k=3, n_probe=2).collect()) == 3
 
 
 def test_reader_concurrent_with_real_rebuild(spark, tmp_path):
