@@ -291,6 +291,38 @@ def q_cdc_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation / time-travel read through the gate: two merge
+    epochs land in the table, then BOTH the intermediate snapshot (as-of
+    read, ``read_logical(snapshot_id=...)``) and the head are read back
+    in one result, tagged by version. Proves retired snapshots stay fully
+    readable after later commits (manifest lists are immutable; commits
+    only flip the version pointer) and that the as-of state is exactly
+    the LWW of the first epoch's events — a corrupted manifest chain, a
+    compaction that dropped old files, or an as-of read leaking newer
+    data all break the oracle. Reference analog: pinned code-stream views
+    remain valid while the parse server advances
+    (/root/reference/include/nvimgcodec.h:601-612)."""
+    ch, table = _cdc_table(spark, sf_dir, "nvics-tt-")
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 0)))
+    v1 = table.current_snapshot().snapshot_id
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 1)))
+
+    def state(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("version"),
+            "conv_id",
+            "turn_idx",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            ts_micros(F.col("ts")).alias("ts_us"),
+        )
+
+    return state(table.read_logical(snapshot_id=v1), "v1").unionByName(
+        state(table.read_logical(), "head")
+    )
+
+
 def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4 metrics aggregation: per-op event counts + distinct keys."""
     ch = _changes(spark, sf_dir)
@@ -671,6 +703,66 @@ def q_docs_jaccard_lsh_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, threshold=0.2, candidates=cand)
 
 
+_SAMPLE_RATES = {"en": 0.5, "zh": 0.25, "de": 0.1}
+_SAMPLE_DEFAULT = 0.05
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sample (training-mix
+    primitive): md5-threshold selection, zero shuffles, identical row
+    set on any cluster/partitioning — the oracle replicates the exact
+    hash comparison."""
+    from nvimagecodec_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, _SAMPLE_RATES, strata_col="lang", default_rate=_SAMPLE_DEFAULT, seed=7
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hash-line segmentation:
+    disjoint, exhaustive, stable under reruns and repartitioning."""
+    from nvimagecodec_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, _SPLIT_WEIGHTS, seed=7).select("doc_id", "lang", "split")
+
+
+_PACK_BUDGET = 4096
+_PACK_SHARDS = 8
+
+
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic greedy sequence packing into fixed char-budget bins,
+    sharded 8 ways — the context-window assembly step of a pretraining
+    pipeline. The oracle replays the identical greedy recurrence as a
+    recursive CTE and checks bins AND running fills row by row."""
+    from nvimagecodec_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"), "doc_id", "n_chars"
+    )
+    return pack_sequences(
+        docs, budget=_PACK_BUDGET, tokens_col="n_chars", shard_col="shard"
+    )
+
+
+def q_docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair detectors emit PAIRS; dedupe needs CLUSTERS. Connected
+    components over the LSH-gated Jaccard pair graph via min-label
+    propagation + pointer jumping (O(log diameter) rounds, each round
+    localCheckpointed). One row per document: component-min cluster id,
+    canonical-keeper flag, cluster size. Oracle = DuckDB recursive-CTE
+    transitive closure over the identical pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, n_hashes=8)
+    cand = D.minhash_lsh_pairs(sigs, bands=4, rows_per_band=2)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.2, candidates=cand)
+    return D.neardup_clusters(pairs, docs=docs)
+
+
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"), bits=32)
 
@@ -756,9 +848,13 @@ def _run_stream_to_memory(df: DataFrame, output_mode: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
-    if q.isActive:
+    finished = q.awaitTermination(600)
+    if not finished:
+        # a hung availableNow run must FAIL loudly — stopping the query
+        # and returning the half-drained sink would hand the gate a
+        # silently partial table (review-caught, round 4)
         q.stop()
+        raise TimeoutError(f"streaming query {name} did not drain within 600s")
     return name
 
 
@@ -1014,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_drop": q_cdc_schema_drop,
         "cdc_emit_roundtrip": q_cdc_emit_roundtrip,
         "cdc_incremental_apply": q_cdc_incremental_apply,
+        "cdc_time_travel": q_cdc_time_travel,
         "stream_windowed_op_rates": q_stream_windowed_op_rates,
         "stream_conversation_progress": q_stream_conversation_progress,
         "cdc_op_stats": q_cdc_op_stats,
@@ -1037,6 +1134,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_lsh_pairs": q_docs_minhash_lsh_pairs,
         "docs_ngram_jaccard_pairs": q_docs_ngram_jaccard_pairs,
         "docs_jaccard_lsh_gated": q_docs_jaccard_lsh_gated,
+        "docs_neardup_clusters": q_docs_neardup_clusters,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_hash_split": q_docs_hash_split,
+        "docs_pack_sequences": q_docs_pack_sequences,
         "docs_simhash": q_docs_simhash,
         "docs_pii_scan": q_docs_pii_scan,
         "docs_contamination": q_docs_contamination,
@@ -1163,6 +1264,24 @@ SELECT doc_id, """
 )
 
 
+def _stratified_sample_sql() -> str:
+    from nvimagecodec_spark.operators.sampling import draw_sql, hex_threshold
+
+    case = "CASE lang " + " ".join(
+        f"WHEN '{s}' THEN '{hex_threshold(r)}'" for s, r in sorted(_SAMPLE_RATES.items())
+    ) + f" ELSE '{hex_threshold(_SAMPLE_DEFAULT)}' END"
+    return f"""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE {draw_sql('doc_id', 7)} < {case}
+    """
+
+
+def _hash_split_sql() -> str:
+    from nvimagecodec_spark.operators.sampling import split_case_sql
+
+    return f"SELECT doc_id, lang, {split_case_sql(_SPLIT_WEIGHTS, 'doc_id', 7)} AS split FROM documents"
+
+
 def oracle_sql() -> dict[str, str]:
     norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
     stop = "', '".join(X.EN_STOPWORDS)
@@ -1194,6 +1313,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, event_type, round(value, 2) AS value,
                    epoch_us(commit_ts) AS ts_us
             FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_time_travel": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            v1 AS (SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                   FROM changes WHERE lsn % 2 = 0),
+            head AS (SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                     FROM changes)
+            SELECT 'v1' AS version, conv_id, turn_idx, event_type,
+                   round(value, 2) AS value, epoch_us(commit_ts) AS ts_us
+            FROM v1 WHERE rn = 1 AND op <> 'D'
+            UNION ALL
+            SELECT 'head' AS version, conv_id, turn_idx, event_type,
+                   round(value, 2) AS value, epoch_us(commit_ts) AS ts_us
+            FROM head WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_emit_roundtrip": f"""
             WITH changes AS ({_CHANGES_SQL}),
@@ -1477,6 +1612,61 @@ def oracle_sql() -> dict[str, str]:
             WHERE {jx} >= 0.2
         """.format(jx=sql_roundn("n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared)", 4)),
         "docs_jaccard_lsh_gated": _JACCARD_LSH_GATED_SQL,
+        "docs_stratified_sample": _stratified_sample_sql(),
+        "docs_hash_split": _hash_split_sql(),
+        # the identical greedy recurrence, replayed as a recursive CTE
+        # advancing every shard in lockstep by row_number
+        "docs_pack_sequences": f"""
+            WITH RECURSIVE t AS (
+              SELECT CAST(doc_id % {_PACK_SHARDS} AS BIGINT) AS shard, doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            pack(shard, rn, doc_id, n_chars, bin, bin_fill) AS (
+              SELECT shard, rn, doc_id, n_chars, CAST(0 AS BIGINT), CAST(n_chars AS BIGINT)
+              FROM t WHERE rn = 1
+              UNION ALL
+              SELECT o.shard, o.rn, o.doc_id, o.n_chars,
+                     CASE WHEN p.bin_fill + o.n_chars > {_PACK_BUDGET}
+                          THEN p.bin + 1 ELSE p.bin END,
+                     CASE WHEN p.bin_fill + o.n_chars > {_PACK_BUDGET}
+                          THEN CAST(o.n_chars AS BIGINT)
+                          ELSE p.bin_fill + o.n_chars END
+              FROM pack p JOIN t o ON o.shard = p.shard AND o.rn = p.rn + 1
+            )
+            SELECT shard, doc_id, n_chars, bin, bin_fill FROM pack
+        """,
+        # transitive closure of the SAME pair set the gated-Jaccard query
+        # emits; LEAST(src, min reachable) = the component-min label the
+        # Spark pointer-jump propagation converges to
+        "docs_neardup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_LSH_GATED_SQL}),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            labels AS (
+              SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+              FROM reach GROUP BY src
+            ),
+            alln AS (
+              SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN labels l USING (doc_id)
+            ),
+            sizes AS (
+              SELECT cluster_id, COUNT(*) AS cluster_size FROM alln GROUP BY cluster_id
+            )
+            SELECT a.doc_id, a.cluster_id,
+                   a.doc_id = a.cluster_id AS is_canonical, s.cluster_size
+            FROM alln a JOIN sizes s USING (cluster_id)
+        """,
         "docs_simhash": _SIMHASH_SQL,
         "docs_pii_scan": f"""
             WITH aug AS (

@@ -8,6 +8,9 @@ from nvimagecodec_spark.operators.multimodal import (
     resize_images,
     sample_frames,
 )
+from nvimagecodec_spark.operators.dedup import neardup_clusters
+from nvimagecodec_spark.operators.packing import pack_sequences
+from nvimagecodec_spark.operators.sampling import hash_split, stratified_sample
 from nvimagecodec_spark.operators.text import contamination, pii_scan
 from nvimagecodec_spark.operators.skew import hot_keys, with_salt
 
@@ -26,4 +29,8 @@ __all__ = [
     "audio_windowed_stats",
     "pii_scan",
     "contamination",
+    "neardup_clusters",
+    "stratified_sample",
+    "hash_split",
+    "pack_sequences",
 ]

@@ -182,3 +182,126 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
         term = F.when(F.col(f"_b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else (sig + term)
     return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → cluster labels.
+
+    Pair detectors (LSH banding, gated Jaccard, SimHash radius) emit
+    PAIRS; a dedupe pipeline needs CLUSTERS — transitively-connected
+    groups with one canonical keeper each (A~B and B~C must collapse to
+    one group even when A~C was never emitted). Output: one row per doc
+    in ``docs`` (or per doc appearing in ``pairs`` if ``docs`` is None)
+    with ``cluster_id`` = the smallest doc id in its component,
+    ``is_canonical`` = this doc IS that keeper, and ``cluster_size``.
+
+    Algorithm: min-label propagation with POINTER JUMPING. Each round
+    runs (1) a neighbor-min step — every node takes the smallest label
+    among itself and its neighbors (one |E|-sized equi-join + map-side-
+    combinable min agg) — and (2) a pointer-jump step — every node then
+    takes its label's label (one |V|-sized self-join), which doubles the
+    distance a label travels per round. Convergence is therefore
+    O(log(diameter)) rounds, not O(diameter); LSH near-dup components
+    are shallow (near-cliques per band bucket), so 3-4 rounds is
+    typical. Each round ends in ``localCheckpoint`` — the iterative plan
+    would otherwise grow without bound and re-execute from the source
+    every round (the standard Spark iterative-algorithm contract, same
+    reason GraphX materializes each superstep). The per-round
+    convergence check is one bounded count, not a collect of labels.
+
+    100-TB shape: every step shuffles on ids only (longs), never on
+    text/payloads; |E| from banded LSH is O(n·dups) not O(n²); rounds
+    are logarithmic. Raises RuntimeError if ``max_rounds`` is hit
+    without convergence rather than returning partial labels.
+
+    Reference analog: batched sample grouping before per-batch dispatch
+    (/root/reference/src/image_generic_codec.h:687-708) — group
+    membership is resolved once, downstream operators consume groups.
+    """
+    sym = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    edges = sym.localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_rounds):
+        # (1) neighbor min: smallest label visible across one hop
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("dlabel")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nlabel"))
+        )
+        stepped = labels.join(
+            nbr.select(F.col("src").alias("node"), "nlabel"), "node", "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # (2) pointer jump: follow my label's label (doubles reach/round)
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("node").alias("pnode"), F.col("label").alias("plabel")
+                ).alias("p"),
+                F.col("x.label") == F.col("p.pnode"),
+                "left",
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.least(
+                    F.col("x.label"), F.coalesce(F.col("p.plabel"), F.col("x.label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_rounds} rounds"
+        )
+
+    out = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    if docs is not None:
+        # singletons: docs untouched by any pair form their own cluster
+        out = (
+            docs.select(id_col)
+            .join(out, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+            )
+        )
+    sizes = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return out.join(sizes, "cluster_id").select(
+        F.col(id_col),
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+        "cluster_size",
+    )

@@ -1,0 +1,117 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+A 100-TB corpus is never trained on whole: pipelines draw per-stratum
+samples (language/source mixes) and carve train/val/test splits. Both
+must be DETERMINISTIC — re-running the pipeline, or running it on two
+clusters, must select the same rows (seeded RNG sampling is partition-
+order-dependent in any distributed engine; hash-based selection is not).
+
+Mechanism: the first 8 hex chars of ``md5(id || ':' || seed)`` are a
+uniform 32-bit draw; a row is kept iff that hex string is
+lexicographically below ``hex_threshold(rate)``. Fixed-width lowercase
+hex compares identically to its numeric value, and md5 is bit-identical
+across Spark, DuckDB and Python — so the oracle replicates selection
+exactly, and the same row set is chosen at any scale, partitioning, or
+engine.
+
+Scale shape: both operators are pure narrow column maps — NO shuffle, no
+Python, nothing driver-side; they fuse into whatever scan precedes them
+and reduce downstream volume by the sample rate.
+
+Reference analog: deterministic sub-stream selection — a sub-code-stream
+view selects a byte range of the container without touching the rest
+(/root/reference/include/nvimgcodec.h:601-612).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hex_threshold(rate: float) -> str:
+    """8-hex-char cutoff such that P[draw < cutoff] == rate (32-bit
+    granularity). ``"g"`` is the ≥1.0 sentinel: every hex digit sorts
+    below 'g', so comparison keeps all rows."""
+    if rate >= 1.0:
+        return "g"
+    if rate <= 0.0:
+        return "00000000"
+    return format(int(rate * 2**32), "08x")
+
+
+def _draw(id_col: str, seed: int) -> Column:
+    return F.substring(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))), 1, 8
+    )
+
+
+def draw_sql(id_col: str, seed: int) -> str:
+    """DuckDB expression computing the identical 32-bit hex draw —
+    exported so oracle SQL is composed from the same definition."""
+    return f"substr(md5(CAST({id_col} AS VARCHAR) || ':{seed}'), 1, 8)"
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample: keep each row of
+    stratum s with probability ``rates[s]`` (``default_rate`` for
+    unlisted strata), selected by id hash — the training-mix primitive
+    (e.g. keep 50% of English, 10% of everything else)."""
+    thresh = F.lit(hex_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(hex_threshold(rate))
+        ).otherwise(thresh)
+    return df.where(_draw(id_col, seed) < thresh)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 7,
+    split_col: str = "split",
+) -> DataFrame:
+    """Disjoint, exhaustive, deterministic split assignment (e.g.
+    train/val/test): the [0,1) hash line is cut at the cumulative
+    weights, insertion order of ``weights`` fixes the segment order.
+    Every row gets exactly one label; the same id always lands in the
+    same split, on any cluster."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    draw = _draw(id_col, seed)
+    names = list(weights)
+    # forward WHEN chain: the FIRST matching cutoff wins, so each label
+    # owns exactly [prev_cum, cum) of the hash line; the last segment
+    # absorbs the rounding tail
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = draw < F.lit(hex_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def split_case_sql(
+    weights: dict[str, float], id_col: str = "doc_id", seed: int = 7
+) -> str:
+    """DuckDB CASE expression mirroring ``hash_split`` label assignment."""
+    draw = draw_sql(id_col, seed)
+    names = list(weights)
+    cum = 0.0
+    parts = ["CASE"]
+    for name in names[:-1]:
+        cum += weights[name]
+        parts.append(f"WHEN {draw} < '{hex_threshold(cum)}' THEN '{name}'")
+    parts.append(f"ELSE '{names[-1]}' END")
+    return " ".join(parts)
