@@ -767,6 +767,31 @@ def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"), bits=32)
 
 
+def q_docs_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full fuzzy-dedup pipeline, end to end: minhash → LSH banding →
+    gated Jaccard → connected components → keep one canonical doc per
+    cluster. Output is the DEDUPLICATED CORPUS (what actually ships to
+    training): canonical docs with their attributes and how many
+    near-dups each absorbed. Every stage is the bucketed/banded scale
+    path — nothing all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, n_hashes=8)
+    cand = D.minhash_lsh_pairs(sigs, bands=4, rows_per_band=2)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.2, candidates=cand)
+    keep = D.neardup_clusters(pairs, docs=docs).where(F.col("is_canonical"))
+    return keep.join(docs, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars", "cluster_size"
+    )
+
+
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition filters: top-bigram fraction +
+    duplicate-trigram fraction per document (boilerplate/SEO-spam gate).
+    JVM n-gram expressions, one (doc, gram)-keyed shuffle; every doc
+    appears (shingle-less docs carry NULL ratios, not silence)."""
+    return X.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def _docs_pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents + planted PII: every doc_id % 7 == 0 gets an email, an
     international phone number, and an IPv4 appended (identically in the
@@ -1139,6 +1164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_split": q_docs_hash_split,
         "docs_pack_sequences": q_docs_pack_sequences,
         "docs_simhash": q_docs_simhash,
+        "docs_dedup_keep": q_docs_dedup_keep,
+        "docs_repetition": q_docs_repetition,
         "docs_pii_scan": q_docs_pii_scan,
         "docs_contamination": q_docs_contamination,
         "mm_image_metadata": q_mm_image_metadata,
@@ -1668,6 +1695,70 @@ def oracle_sql() -> dict[str, str]:
             FROM alln a JOIN sizes s USING (cluster_id)
         """,
         "docs_simhash": _SIMHASH_SQL,
+        "docs_dedup_keep": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_LSH_GATED_SQL}),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            labels AS (
+              SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+              FROM reach GROUP BY src
+            ),
+            alln AS (
+              SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN labels l USING (doc_id)
+            ),
+            sizes AS (
+              SELECT cluster_id, COUNT(*) AS cluster_size FROM alln GROUP BY cluster_id
+            )
+            SELECT a.doc_id, d.lang, d.source, d.n_chars, s.cluster_size
+            FROM alln a
+            JOIN sizes s USING (cluster_id)
+            JOIN documents d USING (doc_id)
+            WHERE a.doc_id = a.cluster_id
+        """,
+        # n-grams via 1-indexed list_transform(range(...)): range(1, n)
+        # is EMPTY when n <= 1 (unlike Spark's sequence, which counts
+        # down), so the width guard is implicit here
+        "docs_repetition": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS gram
+              FROM t
+            ),
+            bgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY doc_id, gram),
+            bga AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_c
+                    FROM bgc GROUP BY doc_id),
+            tg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+              FROM t
+            ),
+            tgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM tg GROUP BY doc_id, gram),
+            tga AS (SELECT doc_id, SUM(c) AS n_tri, SUM(c) - COUNT(*) AS dup
+                    FROM tgc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   {sql_roundn("b.top_c * 1.0 / b.n_bigrams", 4)} AS top_bigram_frac,
+                   {sql_roundn("g.dup * 1.0 / g.n_tri", 4)} AS dup_trigram_frac
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN bga b USING (doc_id)
+            LEFT JOIN tga g USING (doc_id)
+        """,
         "docs_pii_scan": f"""
             WITH aug AS (
               SELECT doc_id,

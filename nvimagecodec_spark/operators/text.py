@@ -171,3 +171,77 @@ def contamination(
             F.coalesce(ratio >= threshold, F.lit(False)).alias("contaminated"),
         )
     )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition metrics (Gopher-style repetition filters):
+    the fraction of word bigrams taken by the single most frequent bigram
+    and the fraction of trigram occurrences that are duplicates. Documents
+    dominated by a repeated phrase (boilerplate, SEO spam, scraper loops)
+    score high on both and are filtered before training.
+
+    Shape: n-grams are built as array expressions from the tokenized text
+    (JVM-side `transform` over an index sequence — no Python), exploded,
+    and counted per (doc, gram). One shuffle keyed by (doc, gram) — far
+    finer than doc_id alone, so a single giant document cannot skew a
+    task. Every input doc appears in the output: docs with fewer tokens
+    than the n-gram width get zero counts and NULL ratios ('not
+    evaluable', not 'clean' — same contract as `contamination`).
+
+    Reference analog: ROI-overlap statistics computed per code stream
+    before dispatch (/root/reference/src/image_generic_codec.h:687-708) —
+    a cheap per-item statistic that gates which items continue down the
+    pipeline.
+    """
+
+    def grams(width: int) -> Column:
+        joined = F.expr(
+            # sequence(0, size-width) is DESCENDING when size < width
+            # (Spark generates down-counting sequences) — guard first
+            f"transform(sequence(0, size(_toks) - {width}), "
+            f"i -> concat_ws(' ', slice(_toks, i + 1, {width})))"
+        )
+        return F.when(F.size(F.col("_toks")) >= width, joined).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    def gram_counts(width: int, frac_expr):
+        exploded = (
+            docs.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks"))
+            .select(F.col(id_col), F.explode(grams(width)).alias("gram"))
+        )
+        per_gram = exploded.groupBy(id_col, "gram").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return per_gram.groupBy(id_col).agg(*frac_expr)
+
+    bi = gram_counts(
+        2,
+        [
+            F.sum("c").alias("n_bigrams"),
+            round4(F.max("c") / F.sum("c")).alias("top_bigram_frac"),
+        ],
+    )
+    tri = gram_counts(
+        3,
+        [
+            F.sum("c").alias("_n_tri"),
+            # duplicate occurrences = total - distinct grams
+            round4((F.sum("c") - F.count(F.lit(1))) / F.sum("c")).alias(
+                "dup_trigram_frac"
+            ),
+        ],
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(bi, id_col, "left")
+        .join(tri, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col("top_bigram_frac"),
+            F.col("dup_trigram_frac"),
+        )
+    )

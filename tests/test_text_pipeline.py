@@ -89,3 +89,32 @@ def test_contamination_benchmark_broadcasts(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
     assert df.count() == 50
+
+
+def test_repetition_stats_pins_semantics(spark):
+    """Gopher-style repetition metrics on hand-computable docs, including
+    the not-evaluable tiers: <2 tokens → no bigrams (NULL fracs), 2
+    tokens → bigram but no trigram (NULL dup frac). NULL means 'never
+    evaluated', zero means 'measured clean' — same contract as
+    contamination."""
+    docs = spark.createDataFrame(
+        [
+            (1, "one"),                    # no bigrams at all
+            (2, "two words"),              # 1 bigram, no trigrams
+            (3, "a a a a"),                # bigrams: 'a a' x3; trigrams: 'a a a' x2
+            (4, None),                     # null text
+            (5, "spam spam spam go spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in X.repetition_stats(docs).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert (got[1]["n_bigrams"], got[1]["top_bigram_frac"], got[1]["dup_trigram_frac"]) == (0, None, None)
+    assert (got[2]["n_bigrams"], got[2]["top_bigram_frac"], got[2]["dup_trigram_frac"]) == (1, 1.0, None)
+    assert (got[3]["n_bigrams"], got[3]["top_bigram_frac"], got[3]["dup_trigram_frac"]) == (3, 1.0, 0.5)
+    assert (got[4]["n_bigrams"], got[4]["top_bigram_frac"]) == (0, None)
+    # doc 5: 6 bigrams, 'spam spam' x4 → 4/6; 5 trigrams with 'spam spam spam'
+    # twice → dup = (5 - 4)/5
+    assert got[5]["n_bigrams"] == 6
+    assert got[5]["top_bigram_frac"] == round(4 / 6, 4)
+    assert got[5]["dup_trigram_frac"] == round(1 / 5, 4)
