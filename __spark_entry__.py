@@ -634,6 +634,81 @@ def q_orders_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regional_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: per-nation revenue inside one region for one order
+    year, counting only lineitems whose supplier sits in the customer's
+    nation. Plan shape: region→nation is driver-trivial; the filtered
+    orders stream joins customer on custkey (keyed shuffle), lineitem
+    joins that on orderkey (the one big-big join), and supplier —
+    the small dim — BROADCASTS into the final same-nation check. Dims
+    never force a fact shuffle; per-row cents rounding keeps the sum
+    integer-exact across engines."""
+    cut0, cut1 = "1996-01-01", "1997-01-01"
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(cut0).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(cut1).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum("rev_cents").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_docs_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank percentiles of document length per language —
+    the corpus-profiling stat behind length-filter thresholds. Scale
+    shape: histogram-first — count per (lang, n_chars) is map-side
+    combinable and collapses 10^10 rows to |distinct lengths| per lang
+    BEFORE any window; the cumulative sum then runs over tiny per-lang
+    value lists. Nearest-rank on integers is bit-exact across engines
+    (no interpolation arithmetic to drift)."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("lang").orderBy("n_chars"))
+    )
+    tot = hist.groupBy("lang").agg(F.sum("c").alias("n"))
+    j = cum.join(tot, "lang")
+
+    def pick(p: float, name: str):
+        rank = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.min(F.when(F.col("cum") >= rank, F.col("n_chars"))).alias(name)
+
+    return j.groupBy("lang", F.col("n").alias("n_docs")).agg(
+        pick(0.5, "p50_chars"),
+        pick(0.9, "p90_chars"),
+        pick(0.99, "p99_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def q_events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-day retention cohorts: per activity day, how many distinct
     users were active AND came back the next day. Integer day buckets
@@ -1149,7 +1224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customer_revenue": q_top_customer_revenue,
         "orders_shipping_priority": q_orders_shipping_priority,
+        "regional_nation_volume": q_regional_nation_volume,
         "events_daily_retention": q_events_daily_retention,
+        "docs_length_percentiles": q_docs_length_percentiles,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
@@ -1543,6 +1620,40 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1995-03-15'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
         """,
+        "regional_nation_volume": """
+            SELECT n_name AS nation,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                 JOIN nation ON c_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "docs_length_percentiles": """
+            WITH hist AS (
+              SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY lang, n_chars
+            ),
+            cum AS (
+              SELECT lang, n_chars, c,
+                     SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+              FROM hist
+            ),
+            tot AS (SELECT lang, SUM(c) AS n FROM hist GROUP BY lang)
+            SELECT lang, CAST(n AS BIGINT) AS n_docs,
+                   MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN n_chars END) AS p50_chars,
+                   MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN n_chars END) AS p90_chars,
+                   MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN n_chars END) AS p99_chars,
+                   MAX(n_chars) AS max_chars
+            FROM cum JOIN tot USING (lang)
+            GROUP BY lang, n
+        """,
         "events_daily_retention": """
             WITH du AS (
               SELECT DISTINCT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day, user_id
@@ -1567,12 +1678,16 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_stats": rf"""
             WITH t AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+                     len(regexp_extract_all(lower(text),
+                         '{X.BPE_PRETOKEN_PAT.replace("'", "''")}')) AS n_bpe,
                      length(text) AS n_chars_computed
               FROM documents
             )
-            SELECT doc_id, len(toks) AS n_tokens, n_chars_computed,
+            SELECT doc_id, len(toks) AS n_tokens, n_bpe AS n_bpe_tokens,
+                   n_chars_computed,
                    len(list_distinct(toks)) AS n_unique_tokens,
-                   {sql_roundn("n_chars_computed * 1.0 / len(toks)", 4)} AS chars_per_token
+                   {sql_roundn("n_chars_computed * 1.0 / len(toks)", 4)} AS chars_per_token,
+                   {sql_roundn("n_bpe * 1.0 / GREATEST(len(toks), 1)", 4)} AS bpe_per_word
             FROM t
         """,
         "docs_quality": rf"""

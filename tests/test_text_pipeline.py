@@ -118,3 +118,38 @@ def test_repetition_stats_pins_semantics(spark):
     assert got[5]["n_bigrams"] == 6
     assert got[5]["top_bigram_frac"] == round(4 / 6, 4)
     assert got[5]["dup_trigram_frac"] == round(1 / 5, 4)
+
+
+def test_bpe_pretokens_pins_segmentation(spark):
+    """The BPE pre-tokenizer must segment like the published GPT-2
+    pattern (contraction suffixes split, digit/punct runs are tokens,
+    leading space glued): these exact splits were verified identical
+    under DuckDB's RE2 — if this test starts failing after a pattern
+    edit, the oracle WILL hash-mismatch."""
+    rows = [
+        (1, "it's 2026! e-mail@foo.bar"),
+        (2, ""),
+        (3, "   "),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in df.select(
+            "doc_id", X.bpe_pretokens(F.col("text")).alias("toks")
+        ).collect()
+    }
+    assert got[1] == ["it", "'s", " 2026", "!", " e", "-", "mail", "@", "foo", ".", "bar"]
+    assert got[2] == []
+    assert got[3] == []
+    assert got[4] is None
+
+
+def test_token_stats_bpe_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "don't panic"), (2, "word")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in X.token_stats(df).collect()}
+    # "don't panic" → whitespace: 2 words; bpe: don|'t|' panic' → 3
+    assert (got[1]["n_tokens"], got[1]["n_bpe_tokens"], got[1]["bpe_per_word"]) == (2, 3, 1.5)
+    assert (got[2]["n_tokens"], got[2]["n_bpe_tokens"]) == (1, 1)
