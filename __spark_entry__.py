@@ -323,6 +323,66 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feeding the dedup tier INCREMENTALLY: a transcript table takes
+    two merge epochs; an IncrementalDedupIndex (a sibling LakeTable of
+    MinHash signatures) syncs after each via read_changes → signature
+    recompute over CHANGED KEYS ONLY → order-aware merge (deletes
+    tombstone their signatures). The oracle recomputes every signature
+    from the FINAL LWW state — so a stale signature surviving an update,
+    a deleted key's signature lingering, or the second sync touching the
+    wrong rows all break the hash match. This is the O(changed-rows)
+    index-maintenance path a 100-TB corpus under continuous ingest needs
+    (re-minhashing the world per batch is the anti-pattern)."""
+    from nvimagecodec_spark.operators.incremental_dedup import IncrementalDedupIndex
+
+    ch = _changes(spark, sf_dir)
+    text = F.lower(
+        F.concat_ws(
+            " ",
+            F.lit("conv"),
+            F.col("conv_id"),
+            F.lit("turn"),
+            F.col("turn_idx").cast("string"),
+            F.col("event_type"),
+            F.lit("val"),
+            (F.floor(F.abs(F.col("value")) * 10) % 7).cast("long").cast("string"),
+        )
+    )
+    ch = ch.withColumn(
+        "after",
+        F.to_json(
+            F.struct(
+                text.alias("text"),
+                F.date_format("commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            )
+        ),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nvics-dedupidx-")
+    _TEMP_DIRS.append(tmp)
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
+    )
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 0)))
+    idx = IncrementalDedupIndex.create(
+        spark, os.path.join(tmp, "idx"), table, n_hashes=8, shingle_n=3
+    )
+    idx.sync(table)
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 1)))
+    idx.sync(table)
+    return idx.signatures().select(
+        "conv_id", "turn_idx", *[f"mh{i}" for i in range(8)], "n_shingles"
+    )
+
+
 def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4 metrics aggregation: per-op event counts + distinct keys."""
     ch = _changes(spark, sf_dir)
@@ -1211,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_emit_roundtrip": q_cdc_emit_roundtrip,
         "cdc_incremental_apply": q_cdc_incremental_apply,
         "cdc_time_travel": q_cdc_time_travel,
+        "cdc_dedup_incremental": q_cdc_dedup_incremental,
         "stream_windowed_op_rates": q_stream_windowed_op_rates,
         "stream_conversation_progress": q_stream_conversation_progress,
         "cdc_op_stats": q_cdc_op_stats,
@@ -1433,6 +1494,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'head' AS version, conv_id, turn_idx, event_type,
                    round(value, 2) AS value, epoch_us(commit_ts) AS ts_us
             FROM head WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_dedup_incremental": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes),
+            final AS (
+              SELECT conv_id, turn_idx,
+                     lower('conv ' || conv_id || ' turn ' || CAST(turn_idx AS VARCHAR)
+                           || ' ' || event_type || ' val '
+                           || CAST(CAST(FLOOR(ABS(value) * 10) AS BIGINT) % 7 AS VARCHAR))
+                         AS text
+              FROM w WHERE rn = 1 AND op <> 'D'
+            ),
+            toks AS (
+              SELECT conv_id, turn_idx,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM final
+            ),
+            sh AS (
+              SELECT DISTINCT conv_id, turn_idx, array_to_string(t[i:i+2], ' ') AS shingle
+              FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+              WHERE len(t) >= 3
+            ),
+            sigs AS (
+              SELECT conv_id, turn_idx,
+                     {", ".join(f"min({_h32(s, 'shingle')}) AS mh{s}" for s in range(8))},
+                     CAST(COUNT(*) AS INTEGER) AS n_sh
+              FROM sh GROUP BY conv_id, turn_idx
+            )
+            SELECT f.conv_id, f.turn_idx,
+                   {", ".join(f"mh{s}" for s in range(8))},
+                   COALESCE(n_sh, 0) AS n_shingles
+            FROM final f LEFT JOIN sigs USING (conv_id, turn_idx)
         """,
         "cdc_emit_roundtrip": f"""
             WITH changes AS ({_CHANGES_SQL}),

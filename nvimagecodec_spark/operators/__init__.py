@@ -9,6 +9,7 @@ from nvimagecodec_spark.operators.multimodal import (
     sample_frames,
 )
 from nvimagecodec_spark.operators.dedup import neardup_clusters
+from nvimagecodec_spark.operators.incremental_dedup import IncrementalDedupIndex
 from nvimagecodec_spark.operators.packing import pack_sequences
 from nvimagecodec_spark.operators.sampling import hash_split, stratified_sample
 from nvimagecodec_spark.operators.text import contamination, pii_scan
@@ -30,6 +31,7 @@ __all__ = [
     "pii_scan",
     "contamination",
     "neardup_clusters",
+    "IncrementalDedupIndex",
     "stratified_sample",
     "hash_split",
     "pack_sequences",

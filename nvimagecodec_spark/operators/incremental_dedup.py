@@ -1,0 +1,246 @@
+"""CDC-fed incremental near-dup signature index.
+
+A 100-TB corpus under continuous CDC ingest cannot re-minhash the world
+every time a batch of transcripts lands: signature maintenance must be
+O(changed rows), not O(corpus). This operator closes the loop between the
+engine's two halves — the lakehouse changelog (axis A) FEEDS the
+training-data dedup tier (axis B):
+
+    base LakeTable ──read_changes──▶ changed keys only
+                                     │ minhash over changed texts
+                                     ▼
+    signature LakeTable ◀─merge_into── (I/U upserts, D tombstones)
+
+The signature store IS a LakeTable — maintained by the same order-aware
+MERGE operator as the data, so it inherits every engine guarantee for
+free: bucket-pruned copy-on-write (only buckets holding changed keys
+rewrite), LWW resolution on the base table's (lsn, commit_ts) order (a
+stale replayed sync can never clobber a newer signature), atomic
+snapshot commits, time travel, and EXACTLY-ONCE sync via commit tags
+keyed by the base snapshot id — ``sync()`` is idempotent and crash-safe
+(a re-run of a completed sync is a tagged no-op; a crashed sync left no
+partial commit to heal).
+
+Scale shape per sync: one bucket-pruned changelog scan (read_changes
+prunes to buckets whose file sets changed), one shingle-explode +
+partial-aggregated min over CHANGED rows only, one bucket-pruned merge.
+Nothing touches unchanged data; no driver-side loops.
+
+Reference analog: the reference keeps per-stream decode state cached and
+re-parses only streams whose underlying bytes changed
+(/root/reference/src/code_stream.cpp:106-142 parse-once caching;
+/root/reference/src/image_generic_codec.h:605-638 result visibility
+synchronized before publish).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nvimagecodec_spark.functions.hashing import md5_hash32
+from nvimagecodec_spark.lakehouse.incremental import read_changes
+from nvimagecodec_spark.lakehouse.table import LakeTable
+from nvimagecodec_spark.operators.dedup import minhash_lsh_pairs
+from nvimagecodec_spark.operators.merge import MergeResult, merge_into
+
+
+class IncrementalDedupIndex:
+    """MinHash signature index over a CDC-maintained base table.
+
+    Signatures live in a sibling LakeTable sharing the base's key
+    columns and bucket count (same xxhash64 bucket transform ⇒ a changed
+    base bucket maps to exactly one index bucket). Config is persisted
+    in table properties so re-opening needs only the path.
+    """
+
+    SOURCE_ID = "dedup-sync"
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.table = LakeTable(spark, path)
+        props = self.table.meta.get("properties", {})
+        self.n_hashes = int(props["dedup.n-hashes"])
+        self.shingle_n = int(props["dedup.shingle-n"])
+        self.text_col = props["dedup.text-col"]
+
+    # ----------------------------------------------------------- lifecycle
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        base: LakeTable,
+        n_hashes: int = 8,
+        shingle_n: int = 3,
+        text_col: str = "text",
+    ) -> "IncrementalDedupIndex":
+        if text_col not in [f.name for f in base.schema().fields]:
+            raise ValueError(f"base table has no column {text_col!r}")
+        fields = [f for f in base.schema().fields if f.name in base.key_cols]
+        fields += [T.StructField(f"mh{i}", T.LongType()) for i in range(n_hashes)]
+        fields += [T.StructField("n_shingles", T.IntegerType())]
+        LakeTable.create(
+            spark,
+            path,
+            T.StructType(fields),
+            list(base.key_cols),
+            bucket_count=base.bucket_count,
+            properties={
+                "dedup.n-hashes": str(n_hashes),
+                "dedup.shingle-n": str(shingle_n),
+                "dedup.text-col": text_col,
+            },
+        )
+        return cls(spark, path)
+
+    # ----------------------------------------------------------- sync
+    def last_synced_base_snapshot(self) -> int | None:
+        """Highest base snapshot id already folded in (from commit tags —
+        the tag log is the sync cursor, no sidecar state to drift)."""
+        ids = [
+            s["tag"]["batch_id"]
+            for s in self.table.meta["snapshots"]
+            if s.get("tag", {}) and s["tag"].get("source_id") == self.SOURCE_ID
+        ]
+        ids += [
+            b for (src, b) in self.table.meta.get("expired_tags", []) if src == self.SOURCE_ID
+        ]
+        return max(ids) if ids else None
+
+    def sync(self, base: LakeTable, to_id: int | None = None) -> MergeResult:
+        """Fold base-table changes since the last sync into the index.
+
+        First sync diffs from the base's CREATE snapshot (every live row
+        arrives as an I event — the initial build is just a big first
+        increment, one code path). Exactly-once: the merge is tagged
+        (SOURCE_ID, to_id); re-syncing an already-folded snapshot is a
+        no-op. LWW order: the base's (lsn, commit_ts) carries over, with
+        the target snapshot id as the tie-breaking offset so a text
+        change that kept its lsn/commit_ts still updates the signature.
+        """
+        head = base.current_snapshot().snapshot_id
+        to_id = head if to_id is None else to_id
+        from_id = self.last_synced_base_snapshot()
+        if from_id is not None:
+            if to_id == from_id:
+                return MergeResult(None, [], 0, 0, 0.0, "noop")
+            if to_id < from_id:
+                raise ValueError(
+                    f"sync target snapshot {to_id} is older than last synced {from_id}"
+                )
+            changes = read_changes(base, from_id, to_id)
+        else:
+            oldest = base.history()[0]
+            if oldest.operation == "create":
+                # empty create snapshot still retained → the initial build
+                # is just a big first increment (one code path)
+                changes = read_changes(base, oldest.snapshot_id, to_id)
+            else:
+                # the create snapshot was EXPIRED: diffing from the oldest
+                # retained snapshot would silently miss every row older
+                # than it — bootstrap from the full state instead
+                changes = self._full_state_changes(base, to_id)
+        batch = self._signature_batch(changes, to_id)
+        return merge_into(
+            self.table,
+            batch,
+            tag={"source_id": self.SOURCE_ID, "batch_id": to_id},
+        )
+
+    def _full_state_changes(self, base: LakeTable, to_id: int) -> DataFrame:
+        """Every live row of snapshot ``to_id`` as an I change event with
+        its stored LWW order (read_changes-shaped)."""
+        df = base.read(snapshot_id=to_id, with_system=True)
+        live = df.where(~F.coalesce(F.col("_sys_deleted"), F.lit(False)))
+        keys = list(self.table.key_cols)
+        payload = [
+            f.name for f in base.schema().fields if f.name not in keys
+        ]
+        return live.select(
+            F.lit("I").alias("op"),
+            *keys,
+            *payload,
+            F.col("_sys_lsn").alias("lsn"),
+            F.col("_sys_cts").alias("commit_ts"),
+        )
+
+    def _signature_batch(self, changes: DataFrame, to_id: int) -> DataFrame:
+        """Changed keys → signature change events (merge_into contract:
+        keys + op + after-JSON + the four order columns)."""
+        keys = list(self.table.key_cols)
+        n = self.shingle_n
+
+        live = changes.where(F.col("op") != "D")
+        toks = F.split(F.trim(F.lower(F.col(self.text_col))), r"\s+")
+        sh_expr = F.expr(
+            f"transform(sequence(0, size(_toks) - {n}), "
+            f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))"
+        )
+        sh = (
+            live.select(*keys, toks.alias("_toks"))
+            .where(F.size("_toks") >= n)
+            .select(*keys, F.explode(F.array_distinct(sh_expr)).alias("shingle"))
+        )
+        aggs = [
+            F.min(md5_hash32(F.col("shingle"), seed=s)).alias(f"mh{s}")
+            for s in range(self.n_hashes)
+        ] + [F.count(F.lit(1)).alias("n_shingles")]
+        sigs = sh.groupBy(*keys).agg(*aggs)
+
+        # EVERY live changed key gets a row — a doc updated from long to
+        # shingle-able-length-or-below must overwrite its stale signature
+        # with nulls, not silently keep it.
+        sig_cols = [f"mh{i}" for i in range(self.n_hashes)]
+        upserts = (
+            live.select(*keys, "op", "lsn", "commit_ts")
+            .join(sigs, keys, "left")
+            .select(
+                *keys,
+                "op",
+                "lsn",
+                "commit_ts",
+                F.to_json(
+                    F.struct(
+                        *[F.col(c) for c in sig_cols],
+                        F.coalesce(F.col("n_shingles"), F.lit(0)).cast("int").alias(
+                            "n_shingles"
+                        ),
+                    )
+                ).alias("after"),
+            )
+        )
+        deletes = changes.where(F.col("op") == "D").select(
+            *keys, "op", "lsn", "commit_ts", F.lit(None).cast("string").alias("after")
+        )
+        return (
+            upserts.unionByName(deletes)
+            .withColumn("src_file", F.lit(self.SOURCE_ID))
+            .withColumn("src_offset", F.lit(to_id).cast("long"))
+        )
+
+    # ----------------------------------------------------------- queries
+    def signatures(self) -> DataFrame:
+        """Live signature rows (keys + mh0.. + n_shingles)."""
+        return self.table.read_logical()
+
+    def pairs(self, bands: int | None = None, rows_per_band: int = 2) -> DataFrame:
+        """LSH candidate near-dup pairs over the CURRENT index state.
+
+        Keys are composited to one string id for the banding self-join
+        (pair output wants one column per side); shingle-less rows carry
+        null band keys and are excluded (null never equals null under
+        the banding join's `=`, and a no-content doc has no similarity
+        evidence)."""
+        if bands is None:
+            bands = self.n_hashes // rows_per_band
+        keys = list(self.table.key_cols)
+        sig = self.signatures().where(F.col("n_shingles") > 0)
+        composite = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+        return minhash_lsh_pairs(
+            sig.select(composite.alias("doc_key"), *[f"mh{i}" for i in range(self.n_hashes)]),
+            bands=bands,
+            rows_per_band=rows_per_band,
+            id_col="doc_key",
+        )
