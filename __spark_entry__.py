@@ -383,6 +383,82 @@ def q_cdc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from the change stream: one row per
+    (key, version) with validity bounds, where versions open on tracked-
+    attribute change (event_type) or rebirth after delete, unchanged
+    events collapse into the open version, and deletes close intervals
+    without emitting rows. The whole derivation is one shuffle (windows
+    + per-version collapse share the key exchange — pinned in
+    tests/test_scd2.py)."""
+    from nvimagecodec_spark.operators.scd2 import scd2_history
+
+    ch = _changes(spark, sf_dir).select(
+        "conv_id", "turn_idx", "op", "event_type", "lsn", "commit_ts",
+        "src_file", "src_offset",
+    )
+    hist = scd2_history(ch, track_cols=["event_type"])
+    return hist.select(
+        "conv_id",
+        "turn_idx",
+        "event_type",
+        "valid_from_lsn",
+        "valid_to_lsn",
+        ts_micros(F.col("valid_from")).alias("valid_from_us"),
+        ts_micros(F.col("valid_to")).alias("valid_to_us"),
+        "n_events",
+        "is_current",
+    )
+
+
+def q_cdc_agg_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate view (materialized GROUP BY):
+    a base table takes two merge epochs; an IncrementalAggView (its own
+    LakeTable) syncs after each via retraction deltas — before/after
+    images from read_changes(with_before=True), so an update that moved
+    a row between groups shrinks the old group and grows the new one,
+    and only the touched view buckets are read back. The oracle
+    recomputes the rollup from the FINAL LWW state, so a stale total, a
+    ghost zero-count group, or a missed retraction all break the hash.
+    Sums run on integer cents (long) so incremental +/- is exact."""
+    from nvimagecodec_spark.operators.agg_view import IncrementalAggView
+
+    ch = _changes(spark, sf_dir).withColumn(
+        "after",
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.floor(F.abs(F.col("value")) * 100).cast("long").alias("val_cents"),
+            )
+        ),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("val_cents", T.LongType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nvics-aggview-")
+    _TEMP_DIRS.append(tmp)
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
+    )
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 0)))
+    view = IncrementalAggView.create(
+        spark,
+        os.path.join(tmp, "v"),
+        table,
+        group_cols=["event_type"],
+        sum_cols=["val_cents"],
+    )
+    view.sync(table)
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 1)))
+    view.sync(table)
+    return view.totals().select("event_type", "n_rows", "sum_val_cents")
+
+
 def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4 metrics aggregation: per-op event counts + distinct keys."""
     ch = _changes(spark, sf_dir)
@@ -865,6 +941,18 @@ def q_docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs, _SPLIT_WEIGHTS, seed=7).select("doc_id", "lang", "split")
 
 
+def q_docs_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted domain mixture (alpha=0.5): per-source doc
+    and token mass, raw vs temperature share, and the sampling
+    multiplier a proportional sampler applies per domain — the standard
+    multi-domain training-mix recipe. One map-side-combinable groupBy;
+    shares are windows over the domain-cardinality aggregate."""
+    from nvimagecodec_spark.operators.sampling import domain_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_mixture(docs, domain_col="source", alpha=0.5)
+
+
 _PACK_BUDGET = 4096
 _PACK_SHARDS = 8
 
@@ -1272,6 +1360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_apply": q_cdc_incremental_apply,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_dedup_incremental": q_cdc_dedup_incremental,
+        "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_agg_view_incremental": q_cdc_agg_view_incremental,
         "stream_windowed_op_rates": q_stream_windowed_op_rates,
         "stream_conversation_progress": q_stream_conversation_progress,
         "cdc_op_stats": q_cdc_op_stats,
@@ -1300,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_neardup_clusters": q_docs_neardup_clusters,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_hash_split": q_docs_hash_split,
+        "docs_domain_mixture": q_docs_domain_mixture,
         "docs_pack_sequences": q_docs_pack_sequences,
         "docs_simhash": q_docs_simhash,
         "docs_dedup_keep": q_docs_dedup_keep,
@@ -1494,6 +1585,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'head' AS version, conv_id, turn_idx, event_type,
                    round(value, 2) AS value, epoch_us(commit_ts) AS ts_us
             FROM head WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_scd2_history": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            seq AS (
+              SELECT conv_id, turn_idx, op, event_type, lsn, commit_ts,
+                     LAG(op) OVER w AS prev_op,
+                     LAG(event_type) OVER w AS prev_et,
+                     LEAD(lsn) OVER w AS next_lsn,
+                     LEAD(commit_ts) OVER w AS next_ts,
+                     LEAD(1) OVER w AS next_exists
+              FROM changes
+              WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY lsn)
+            ),
+            b AS (
+              SELECT *,
+                     CASE WHEN prev_op IS NULL THEN 1
+                          WHEN prev_op = 'D' THEN 1
+                          WHEN op = 'D' THEN 1
+                          WHEN event_type IS DISTINCT FROM prev_et THEN 1
+                          ELSE 0 END AS boundary
+              FROM seq
+            ),
+            v AS (
+              SELECT *, SUM(boundary) OVER (
+                       PARTITION BY conv_id, turn_idx ORDER BY lsn) AS version
+              FROM b
+            ),
+            agg AS (
+              SELECT conv_id, turn_idx, version,
+                     MIN(event_type) AS event_type,
+                     MIN(lsn) AS valid_from_lsn,
+                     epoch_us(MIN(commit_ts)) AS valid_from_us,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM v WHERE op <> 'D'
+              GROUP BY conv_id, turn_idx, version
+            ),
+            last AS (
+              SELECT conv_id, turn_idx, version,
+                     next_lsn AS valid_to_lsn, epoch_us(next_ts) AS valid_to_us,
+                     next_exists
+              FROM v WHERE op <> 'D'
+              QUALIFY ROW_NUMBER() OVER (
+                  PARTITION BY conv_id, turn_idx, version ORDER BY lsn DESC) = 1
+            )
+            SELECT a.conv_id, a.turn_idx, a.event_type,
+                   a.valid_from_lsn, l.valid_to_lsn,
+                   a.valid_from_us, l.valid_to_us, a.n_events,
+                   l.next_exists IS NULL AS is_current
+            FROM agg a JOIN last l USING (conv_id, turn_idx, version)
+        """,
+        "cdc_agg_view_incremental": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes),
+            final AS (
+              SELECT event_type,
+                     CAST(FLOOR(ABS(value) * 100) AS BIGINT) AS val_cents
+              FROM w WHERE rn = 1 AND op <> 'D'
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(val_cents) AS BIGINT) AS sum_val_cents
+            FROM final GROUP BY event_type
         """,
         "cdc_dedup_incremental": f"""
             WITH changes AS ({_CHANGES_SQL}),
@@ -1851,6 +2006,27 @@ def oracle_sql() -> dict[str, str]:
         "docs_jaccard_lsh_gated": _JACCARD_LSH_GATED_SQL,
         "docs_stratified_sample": _stratified_sample_sql(),
         "docs_hash_split": _hash_split_sql(),
+        "docs_domain_mixture": rf"""
+            WITH per AS (
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                          AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source
+            ),
+            sh AS (
+              SELECT source, n_docs, n_tokens,
+                     n_tokens * 1.0 / SUM(n_tokens) OVER () AS raw_share_x,
+                     POWER(n_tokens, 0.5)
+                       / SUM(POWER(n_tokens, 0.5)) OVER () AS temp_share_x
+              FROM per
+            )
+            SELECT source, n_docs, n_tokens,
+                   {sql_roundn("raw_share_x", 4)} AS raw_share,
+                   {sql_roundn("temp_share_x", 4)} AS temp_share,
+                   {sql_roundn("temp_share_x / raw_share_x", 4)} AS multiplier
+            FROM sh
+        """,
         # the identical greedy recurrence, replayed as a recursive CTE
         # advancing every shard in lockstep by row_number
         "docs_pack_sequences": f"""

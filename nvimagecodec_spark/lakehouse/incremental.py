@@ -59,7 +59,9 @@ def read_changes_for_tags(
     return read_changes(table, lo.snapshot_id, hi.snapshot_id)
 
 
-def read_changes(table: LakeTable, from_id: int, to_id: int) -> DataFrame:
+def read_changes(
+    table: LakeTable, from_id: int, to_id: int, with_before: bool = False
+) -> DataFrame:
     """Row-level diff between two snapshots, as change events.
 
     Output: key columns + ``op`` (I/U/D) + the current payload columns
@@ -67,6 +69,13 @@ def read_changes(table: LakeTable, from_id: int, to_id: int) -> DataFrame:
     winning write. Keys identical in both snapshots are never emitted
     (and never shuffled — the bucket pruning drops untouched buckets
     before the scan).
+
+    ``with_before=True`` adds Debezium-style before-images: one
+    ``before_<col>`` per payload column, holding the OLD live row for
+    U/D and null for I (a rebirth over a tombstone counts as I — the key
+    held no live state before). This is what a retraction-based consumer
+    (incremental aggregate maintenance) needs: ``+after`` for I,
+    ``+after − before`` for U, ``−before`` for D.
     """
     buckets = changed_buckets(table, from_id, to_id)
     key_cols = table.key_cols
@@ -141,10 +150,20 @@ def read_changes(table: LakeTable, from_id: int, to_id: int) -> DataFrame:
     ]
     lsn = F.when(n_exists, F.col("n_lsn")).otherwise(F.col("o_lsn"))
     cts = F.when(n_exists, F.col("n_cts")).otherwise(F.col("o_cts"))
+    before = (
+        [
+            F.when(o_live, F.col(f"o_{c}")).alias(f"before_{c}")
+            for c in payload_cols
+        ]
+        if with_before
+        else []
+    )
     return (
         j.withColumn("op", op)
         .where(F.col("op").isNotNull())
-        .select("op", *key_out, *picked, lsn.alias("lsn"), cts.alias("commit_ts"))
+        .select(
+            "op", *key_out, *picked, *before, lsn.alias("lsn"), cts.alias("commit_ts")
+        )
     )
 
 

@@ -9,7 +9,9 @@ from nvimagecodec_spark.operators.multimodal import (
     sample_frames,
 )
 from nvimagecodec_spark.operators.dedup import neardup_clusters
+from nvimagecodec_spark.operators.agg_view import IncrementalAggView
 from nvimagecodec_spark.operators.incremental_dedup import IncrementalDedupIndex
+from nvimagecodec_spark.operators.scd2 import scd2_history
 from nvimagecodec_spark.operators.packing import pack_sequences
 from nvimagecodec_spark.operators.sampling import hash_split, stratified_sample
 from nvimagecodec_spark.operators.text import contamination, pii_scan
@@ -32,6 +34,8 @@ __all__ = [
     "contamination",
     "neardup_clusters",
     "IncrementalDedupIndex",
+    "IncrementalAggView",
+    "scd2_history",
     "stratified_sample",
     "hash_split",
     "pack_sequences",

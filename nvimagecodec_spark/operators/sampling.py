@@ -115,3 +115,46 @@ def split_case_sql(
         parts.append(f"WHEN {draw} < '{hex_threshold(cum)}' THEN '{name}'")
     parts.append(f"ELSE '{names[-1]}' END")
     return " ".join(parts)
+
+
+def domain_mixture(
+    df: DataFrame,
+    domain_col: str = "source",
+    alpha: float = 0.5,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Temperature-reweighted domain mixture — the standard multi-domain
+    training-mix recipe (sample domain d with probability ∝ mass_d^alpha,
+    alpha<1 upweights small domains; alpha=1 is proportional sampling).
+
+    ``weight`` is the per-row mass (default: whitespace token count of
+    ``text``). Output per domain: n_docs, n_tokens, raw_share,
+    temp_share, and the sampling ``multiplier`` (temp/raw — the factor a
+    per-domain sampler applies to proportional rates).
+
+    Scale shape: ONE map-side-combinable groupBy on the domain — the
+    shares are windows over the *aggregated* frame, whose cardinality is
+    the number of domains (tiny by construction), so the unpartitioned
+    window is driver-safe at any corpus size.
+    """
+    from nvimagecodec_spark.functions.compat import round4
+    from pyspark.sql.window import Window
+
+    if weight is None:
+        weight = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(weight).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    pw = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    raw_share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    temp_share = pw / F.sum(pw).over(w)
+    return per.select(
+        F.col(domain_col),
+        "n_docs",
+        "n_tokens",
+        round4(raw_share).alias("raw_share"),
+        round4(temp_share).alias("temp_share"),
+        round4(temp_share / raw_share).alias("multiplier"),
+    )
