@@ -845,6 +845,39 @@ def q_docs_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCIDENT_CUTOFF = 250.0
+_INCIDENT_LEN_US = 1_800_000_000  # 30 minutes
+
+
+def q_events_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join at scale: every high-value event
+    opens a 30-minute incident window; count the events (and distinct
+    users) landing inside each window. Windows OVERLAP, so this is a
+    true interval join — expressed through the banded equi-join
+    (operators/rangejoin.py), never BroadcastNestedLoop: intervals
+    explode to <= 2 bucket rows each and the match is a hash join on the
+    bucket + an exact BETWEEN filter. Bounds are epoch micros on both
+    engines, so the comparison is integer-exact."""
+    from nvimagecodec_spark.operators.rangejoin import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id", ts_micros(F.col("ts")).alias("p_us")
+    )
+    iv = e.where(F.col("value") > _INCIDENT_CUTOFF).select(
+        F.col("event_id").alias("incident_id"),
+        ts_micros(F.col("ts")).alias("s_us"),
+        (ts_micros(F.col("ts")) + F.lit(_INCIDENT_LEN_US)).alias("e_us"),
+    )
+    j = interval_join(pts, iv, "p_us", "s_us", "e_us", bucket_width=_INCIDENT_LEN_US)
+    return j.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("p_us").alias("first_us"),
+        F.max("p_us").alias("last_us"),
+    )
+
+
 def q_events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-day retention cohorts: per activity day, how many distinct
     users were active AND came back the next day. Integer day buckets
@@ -1377,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_shipping_priority": q_orders_shipping_priority,
         "regional_nation_volume": q_regional_nation_volume,
         "events_daily_retention": q_events_daily_retention,
+        "events_incident_windows": q_events_incident_windows,
         "docs_length_percentiles": q_docs_length_percentiles,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
@@ -1903,6 +1937,21 @@ def oracle_sql() -> dict[str, str]:
                    MAX(n_chars) AS max_chars
             FROM cum JOIN tot USING (lang)
             GROUP BY lang, n
+        """,
+        "events_incident_windows": f"""
+            WITH iv AS (
+              SELECT event_id AS incident_id, epoch_us(ts) AS s_us,
+                     epoch_us(ts) + {_INCIDENT_LEN_US} AS e_us
+              FROM events WHERE value > {_INCIDENT_CUTOFF}
+            )
+            SELECT iv.incident_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+                   MIN(epoch_us(e.ts)) AS first_us,
+                   MAX(epoch_us(e.ts)) AS last_us
+            FROM iv JOIN events e
+              ON epoch_us(e.ts) BETWEEN iv.s_us AND iv.e_us
+            GROUP BY iv.incident_id
         """,
         "events_daily_retention": """
             WITH du AS (

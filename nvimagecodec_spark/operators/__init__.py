@@ -13,6 +13,7 @@ from nvimagecodec_spark.operators.agg_view import IncrementalAggView
 from nvimagecodec_spark.operators.incremental_dedup import IncrementalDedupIndex
 from nvimagecodec_spark.operators.scd2 import scd2_history
 from nvimagecodec_spark.operators.packing import pack_sequences
+from nvimagecodec_spark.operators.rangejoin import interval_join
 from nvimagecodec_spark.operators.sampling import hash_split, stratified_sample
 from nvimagecodec_spark.operators.text import contamination, pii_scan
 from nvimagecodec_spark.operators.skew import hot_keys, with_salt
@@ -36,6 +37,7 @@ __all__ = [
     "IncrementalDedupIndex",
     "IncrementalAggView",
     "scd2_history",
+    "interval_join",
     "stratified_sample",
     "hash_split",
     "pack_sequences",
