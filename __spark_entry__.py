@@ -459,6 +459,67 @@ def q_cdc_agg_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.totals().select("event_type", "n_rows", "sum_val_cents")
 
 
+def q_cdc_scd2_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED SCD2 dimension (vs cdc_scd2_history's
+    from-scratch derivation): the base table takes three merge epochs
+    (lsn mod 3 slices); an Scd2View appends version rows after each from
+    read_changes before/after images — O(changed rows) per sync, never
+    reading the view back (versions close implicitly via the next
+    version's lead()). Snapshot ids are engine-internal, so the output
+    maps them to epoch ordinals 1..3; the oracle replays the three
+    epoch-grain LWW states and reconstructs the identical version log —
+    a missed retraction, a version opened for an untracked change, or a
+    delete marker that fails to close its predecessor all break the
+    hash."""
+    from nvimagecodec_spark.operators.scd2 import Scd2View
+
+    ch = _changes(spark, sf_dir).withColumn(
+        "after",
+        F.to_json(
+            F.struct(F.col("event_type"), F.round("value", 2).alias("val"))
+        ),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nvics-scd2view-")
+    _TEMP_DIRS.append(tmp)
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
+    )
+    view = Scd2View.create(
+        spark, os.path.join(tmp, "v"), table, track_cols=["event_type"]
+    )
+    sids = []
+    for m in range(3):
+        merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 3 == m)))
+        view.sync(table)
+        sids.append(table.current_snapshot().snapshot_id)
+    emap = spark.createDataFrame(
+        [(s, i + 1) for i, s in enumerate(sids)], "sid long, epoch int"
+    )
+    h = view.history()
+    em_from = emap.select(
+        F.col("sid").alias("valid_from_sid"), F.col("epoch").alias("from_epoch")
+    )
+    em_to = emap.select(
+        F.col("sid").alias("valid_to_sid"), F.col("epoch").alias("to_epoch")
+    )
+    return (
+        h.join(F.broadcast(em_from), "valid_from_sid")
+        .join(F.broadcast(em_to), "valid_to_sid", "left")
+        .select(
+            "conv_id", "turn_idx", "event_type", "from_epoch", "to_epoch",
+            "is_current",
+        )
+    )
+
+
 def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4 metrics aggregation: per-op event counts + distinct keys."""
     ch = _changes(spark, sf_dir)
@@ -1395,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup_incremental": q_cdc_dedup_incremental,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_agg_view_incremental": q_cdc_agg_view_incremental,
+        "cdc_scd2_view_incremental": q_cdc_scd2_view_incremental,
         "stream_windowed_op_rates": q_stream_windowed_op_rates,
         "stream_conversation_progress": q_stream_conversation_progress,
         "cdc_op_stats": q_cdc_op_stats,
@@ -1683,6 +1745,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(val_cents) AS BIGINT) AS sum_val_cents
             FROM final GROUP BY event_type
+        """,
+        "cdc_scd2_view_incremental": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            lww AS (
+              SELECT e.epoch, c.conv_id, c.turn_idx, c.op, c.event_type,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY e.epoch, c.conv_id, c.turn_idx
+                       ORDER BY c.lsn DESC) AS rn
+              FROM (VALUES (1), (2), (3)) AS e(epoch)
+              JOIN changes c ON c.lsn % 3 <= e.epoch - 1
+            ),
+            present AS (
+              SELECT epoch, conv_id, turn_idx, event_type
+              FROM lww WHERE rn = 1 AND op <> 'D'
+            ),
+            grid AS (
+              SELECT k.conv_id, k.turn_idx, e.epoch
+              FROM (SELECT DISTINCT conv_id, turn_idx FROM changes) k
+              CROSS JOIN (VALUES (1), (2), (3)) AS e(epoch)
+            ),
+            seq AS (
+              SELECT g.conv_id, g.turn_idx, g.epoch,
+                     p.epoch IS NOT NULL AS present, p.event_type AS val,
+                     COALESCE(LAG(p.epoch IS NOT NULL) OVER w, FALSE) AS prev_present,
+                     LAG(p.event_type) OVER w AS prev_val
+              FROM grid g LEFT JOIN present p
+                USING (conv_id, turn_idx, epoch)
+              WINDOW w AS (PARTITION BY g.conv_id, g.turn_idx ORDER BY g.epoch)
+            ),
+            log AS (
+              SELECT conv_id, turn_idx, epoch, 'v' AS kind, val
+              FROM seq
+              WHERE present AND (NOT prev_present OR val IS DISTINCT FROM prev_val)
+              UNION ALL
+              SELECT conv_id, turn_idx, epoch, 'd' AS kind, NULL AS val
+              FROM seq WHERE NOT present AND prev_present
+            ),
+            hist AS (
+              SELECT *, LEAD(epoch) OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY epoch) AS to_epoch
+              FROM log
+            )
+            SELECT conv_id, turn_idx, val AS event_type,
+                   CAST(epoch AS INTEGER) AS from_epoch,
+                   CAST(to_epoch AS INTEGER) AS to_epoch,
+                   to_epoch IS NULL AS is_current
+            FROM hist WHERE kind = 'v'
         """,
         "cdc_dedup_incremental": f"""
             WITH changes AS ({_CHANGES_SQL}),

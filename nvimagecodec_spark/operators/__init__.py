@@ -11,7 +11,7 @@ from nvimagecodec_spark.operators.multimodal import (
 from nvimagecodec_spark.operators.dedup import neardup_clusters
 from nvimagecodec_spark.operators.agg_view import IncrementalAggView
 from nvimagecodec_spark.operators.incremental_dedup import IncrementalDedupIndex
-from nvimagecodec_spark.operators.scd2 import scd2_history
+from nvimagecodec_spark.operators.scd2 import Scd2View, scd2_history
 from nvimagecodec_spark.operators.packing import pack_sequences
 from nvimagecodec_spark.operators.rangejoin import interval_join
 from nvimagecodec_spark.operators.sampling import hash_split, stratified_sample
@@ -37,6 +37,7 @@ __all__ = [
     "IncrementalDedupIndex",
     "IncrementalAggView",
     "scd2_history",
+    "Scd2View",
     "interval_join",
     "stratified_sample",
     "hash_split",

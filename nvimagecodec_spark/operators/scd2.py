@@ -31,8 +31,9 @@ of SURVEY §2 S7/U7).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from nvimagecodec_spark.operators.lww import KEY_COLS, ORDER_COLS, _ord_struct
@@ -146,3 +147,199 @@ def scd2_history(
         "n_events",
         F.col("_last._ne").isNull().alias("is_current"),
     )
+
+
+class Scd2View:
+    """Incrementally-maintained SCD2 dimension — an append-only version
+    log over a CDC-maintained base table, kept fresh with O(changed-rows)
+    work per sync.
+
+    ``scd2_history`` above derives history from a full change stream;
+    this class MAINTAINS it as the base table evolves, at SYNC grain:
+    each ``sync(base)`` folds ``read_changes(with_before=True)`` into new
+    version rows — a key whose tracked attributes changed (null-safely)
+    opens a version stamped with the target base snapshot id, a deleted
+    key appends a delete marker, everything else appends NOTHING. Changes
+    that cancel out between two syncs never produce a version (history is
+    as-of sync points, the standard warehouse-load semantics).
+
+    The log is its own LakeTable keyed by (base key..., valid_from_sid),
+    so maintenance is PURE APPEND through the same exactly-once tagged
+    ``merge_into`` as data — no view row is ever updated in place and the
+    sync never reads the view back. ``valid_to`` is not stored at all:
+    a version is closed implicitly by the NEXT version (or marker) of its
+    key, derived at read time by one lead() window in ``history()``.
+    This is what makes the write path O(changed rows): closing versions
+    in place would need a (key → open version) lookup join per sync.
+
+    Cursor, replay safety, and expired-create bootstrap are identical to
+    IncrementalAggView / IncrementalDedupIndex (commit-tag log keyed by
+    base snapshot id).
+
+    Reference analog: per-offset parsed-state views over an append-only
+    stream — superseded states stay addressable, current state = latest
+    entry (/root/reference/src/code_stream.cpp:47-95).
+    """
+
+    SOURCE_ID = "scd2-sync"
+    _KIND_VERSION = "v"
+    _KIND_DELETE = "d"
+
+    def __init__(self, spark: SparkSession, path: str):
+        from nvimagecodec_spark.lakehouse.table import LakeTable
+
+        self.spark = spark
+        self.table = LakeTable(spark, path)
+        props = self.table.meta.get("properties", {})
+        self.track_cols = props["scd2.track-cols"].split(",")
+        self.base_key_cols = props["scd2.base-key-cols"].split(",")
+
+    # ----------------------------------------------------------- lifecycle
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        base,
+        track_cols: list[str],
+        bucket_count: int | None = None,
+    ) -> "Scd2View":
+        from nvimagecodec_spark.lakehouse.table import LakeTable
+
+        base_fields = {f.name: f for f in base.schema().fields}
+        for c in track_cols:
+            if c not in base_fields:
+                raise ValueError(f"base table has no column {c!r}")
+            if c in base.key_cols:
+                raise ValueError(
+                    f"{c!r} is a base KEY column — keys cannot change, "
+                    "tracking one would never version"
+                )
+        if not track_cols:
+            raise ValueError("Scd2View needs at least one tracked column")
+        fields = [T.StructField(k, base_fields[k].dataType) for k in base.key_cols]
+        fields.append(T.StructField("valid_from_sid", T.LongType()))
+        fields.append(T.StructField("kind", T.StringType()))
+        fields += [T.StructField(c, base_fields[c].dataType) for c in track_cols]
+        LakeTable.create(
+            spark,
+            path,
+            T.StructType(fields),
+            list(base.key_cols) + ["valid_from_sid"],
+            bucket_count=bucket_count or base.bucket_count,
+            properties={
+                "scd2.track-cols": ",".join(track_cols),
+                "scd2.base-key-cols": ",".join(base.key_cols),
+            },
+        )
+        return cls(spark, path)
+
+    # ----------------------------------------------------------- sync
+    def last_synced_base_snapshot(self) -> int | None:
+        ids = [
+            s["tag"]["batch_id"]
+            for s in self.table.meta["snapshots"]
+            if s.get("tag", {}) and s["tag"].get("source_id") == self.SOURCE_ID
+        ]
+        ids += [
+            b
+            for (src, b) in self.table.meta.get("expired_tags", [])
+            if src == self.SOURCE_ID
+        ]
+        return max(ids) if ids else None
+
+    def sync(self, base, to_id: int | None = None):
+        """Fold base changes since the last sync into new version rows."""
+        from nvimagecodec_spark.operators.merge import MergeResult, merge_into
+
+        head = base.current_snapshot().snapshot_id
+        to_id = head if to_id is None else to_id
+        from_id = self.last_synced_base_snapshot()
+        if from_id is not None:
+            if to_id == from_id:
+                return MergeResult(None, [], 0, 0, 0.0, "noop")
+            if to_id < from_id:
+                raise ValueError(
+                    f"sync target snapshot {to_id} is older than last synced {from_id}"
+                )
+            rows = self._versions_from_changes(base, from_id, to_id)
+        else:
+            oldest = base.history()[0]
+            if oldest.operation == "create":
+                rows = self._versions_from_changes(base, oldest.snapshot_id, to_id)
+            else:
+                # base create snapshot EXPIRED → full-state bootstrap
+                live = base.read(snapshot_id=to_id, with_system=True).where(
+                    ~F.coalesce(F.col("_sys_deleted"), F.lit(False))
+                )
+                rows = live.select(
+                    *self.base_key_cols,
+                    F.lit(self._KIND_VERSION).alias("kind"),
+                    *self.track_cols,
+                )
+        return merge_into(
+            self.table,
+            self._merge_batch(rows, to_id),
+            tag={"source_id": self.SOURCE_ID, "batch_id": to_id},
+        )
+
+    def _versions_from_changes(self, base, from_id: int, to_id: int) -> DataFrame:
+        from nvimagecodec_spark.lakehouse.incremental import read_changes
+
+        ch = read_changes(base, from_id, to_id, with_before=True)
+        changed = F.lit(False)
+        for c in self.track_cols:
+            changed = changed | ~F.col(c).eqNullSafe(F.col(f"before_{c}"))
+        keep = (
+            (F.col("op") == "I")
+            | (F.col("op") == "D")
+            | ((F.col("op") == "U") & changed)
+        )
+        kind = F.when(F.col("op") == "D", self._KIND_DELETE).otherwise(
+            self._KIND_VERSION
+        )
+        tracked = [
+            F.when(F.col("op") != "D", F.col(c)).alias(c) for c in self.track_cols
+        ]
+        return ch.where(keep).select(
+            *self.base_key_cols, kind.alias("kind"), *tracked
+        )
+
+    def _merge_batch(self, rows: DataFrame, to_id: int) -> DataFrame:
+        """Version rows → pure-insert change batch. Every key is
+        (base key..., to_id) — brand new per sync, so the merge never
+        conflicts with existing view rows."""
+        after = F.to_json(F.struct(F.col("kind"), *[F.col(c) for c in self.track_cols]))
+        return rows.select(
+            *self.base_key_cols,
+            F.lit(to_id).cast("long").alias("valid_from_sid"),
+            F.lit("I").alias("op"),
+            after.alias("after"),
+            F.lit(to_id).cast("long").alias("lsn"),
+            F.lit(None).cast("timestamp").alias("commit_ts"),
+            F.lit(self.SOURCE_ID).alias("src_file"),
+            F.lit(to_id).cast("long").alias("src_offset"),
+        )
+
+    # ----------------------------------------------------------- queries
+    def history(self) -> DataFrame:
+        """The SCD2 table: one row per stored version with
+        ``valid_to_sid`` (null while open) and ``is_current``, derived
+        from the version log by one per-key lead() window. Delete
+        markers close their predecessor and emit no row."""
+        log = self.table.read_logical()
+        w = Window.partitionBy(*self.base_key_cols).orderBy("valid_from_sid")
+        closed = log.withColumn("valid_to_sid", F.lead("valid_from_sid").over(w))
+        return closed.where(F.col("kind") == self._KIND_VERSION).select(
+            *self.base_key_cols,
+            *self.track_cols,
+            "valid_from_sid",
+            "valid_to_sid",
+            F.col("valid_to_sid").isNull().alias("is_current"),
+        )
+
+    def current(self) -> DataFrame:
+        """Live dimension rows (open versions only)."""
+        return self.history().where(F.col("is_current")).drop(
+            "valid_to_sid", "is_current"
+        )
