@@ -520,6 +520,60 @@ def q_cdc_scd2_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-stats range read (U7 metadata-query tier): the table is
+    created with "write.stat-cols" so every commit records per-file
+    [min,max] for the payload timestamp, and read_logical(range_filters=)
+    prunes files against the predicate BEFORE any I/O (the Iceberg
+    column-stats recipe; tests/test_stat_cols.py pins the file skipping
+    and the MoR safety rule). The oracle recomputes the LWW state and
+    applies the same closed-interval BETWEEN."""
+    ch = _changes(spark, sf_dir).withColumn(
+        "after",
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.round("value", 2).alias("val"),
+                F.date_format(
+                    "commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+                ).alias("ts"),
+            )
+        ),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nvics-rangeread-")
+    _TEMP_DIRS.append(tmp)
+    table = LakeTable.create(
+        spark,
+        os.path.join(tmp, "t"),
+        schema,
+        ["conv_id", "turn_idx"],
+        bucket_count=8,
+        properties={"write.stat-cols": "ts", "write.max-records-per-file": "20000"},
+    )
+    merge_into(table, lww_dedupe(ch))
+    import datetime as _dt
+
+    out = table.read_logical(
+        range_filters={"ts": (_dt.datetime(2024, 1, 8), _dt.datetime(2024, 1, 22))}
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "event_type",
+        F.round("val", 2).alias("val"),
+        ts_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
 def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4 metrics aggregation: per-op event counts + distinct keys."""
     ch = _changes(spark, sf_dir)
@@ -971,6 +1025,33 @@ def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms (keyword extraction). Ranking runs on
+    the 4-dp-rounded score (round_to=4): Spark and DuckDB may compute
+    ln() a ulp apart, and an unrounded near-tie would rank differently
+    per engine. One explode, two combinable aggs, one per-doc window."""
+    from nvimagecodec_spark.operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_k=3, round_to=4).select(
+        "doc_id", "term", "tf", "df", round4(F.col("tfidf")).alias("tfidf"), "rank"
+    )
+
+
+def q_docs_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: per-doc mean negative log-likelihood
+    under the corpus's own unigram model — rare-token gibberish scores
+    high, common-token boilerplate low. Exact in SQL on both engines
+    (the real CCNet's KenLM replaced by its unigram form)."""
+    from nvimagecodec_spark.operators.text import unigram_logloss
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_logloss(docs)
+    return out.select(
+        "doc_id", "n_tokens", round4(F.col("mean_nll")).alias("mean_nll")
+    )
 
 
 def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1457,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_agg_view_incremental": q_cdc_agg_view_incremental,
         "cdc_scd2_view_incremental": q_cdc_scd2_view_incremental,
+        "cdc_range_read": q_cdc_range_read,
         "stream_windowed_op_rates": q_stream_windowed_op_rates,
         "stream_conversation_progress": q_stream_conversation_progress,
         "cdc_op_stats": q_cdc_op_stats,
@@ -1477,6 +1559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
+        "docs_tfidf_terms": q_docs_tfidf_terms,
+        "docs_unigram_ppl": q_docs_unigram_ppl,
         "docs_lang_id": q_docs_lang_id,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_minhash_signatures": q_docs_minhash_signatures,
@@ -1792,6 +1876,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(to_epoch AS INTEGER) AS to_epoch,
                    to_epoch IS NULL AS is_current
             FROM hist WHERE kind = 'v'
+        """,
+        "cdc_range_read": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes)
+            SELECT conv_id, turn_idx, event_type,
+                   round(value, 2) AS val, epoch_us(commit_ts) AS ts_us
+            FROM w
+            WHERE rn = 1 AND op <> 'D'
+              AND commit_ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                                AND TIMESTAMP '2024-01-22 00:00:00'
         """,
         "cdc_dedup_incremental": f"""
             WITH changes AS ({_CHANGES_SQL}),
@@ -2121,6 +2217,53 @@ def oracle_sql() -> dict[str, str]:
                        4,
                    )} AS quality
             FROM m
+        """,
+        "docs_tfidf_terms": rf"""
+            WITH toks AS (
+              SELECT doc_id, t.term
+              FROM documents,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(term)
+              WHERE t.term <> ''
+            ),
+            tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, term
+            ),
+            dfq AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+            scored AS (
+              SELECT doc_id, term, tf, df,
+                     round(tf * ln(n.n * 1.0 / df), 4) AS tfidf
+              FROM tf JOIN dfq USING (term) CROSS JOIN n
+            ),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 3
+        """,
+        "docs_unigram_ppl": rf"""
+            WITH toks AS (
+              SELECT doc_id, t.term
+              FROM documents,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(term)
+              WHERE t.term <> ''
+            ),
+            pdt AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, term
+            ),
+            model AS (SELECT term, SUM(tf) AS ctf FROM pdt GROUP BY term),
+            total AS (SELECT SUM(ctf) AS t FROM model)
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   round(SUM(-tf * ln(ctf * 1.0 / total.t)) / SUM(tf), 4)
+                     AS mean_nll
+            FROM pdt JOIN model USING (term) CROSS JOIN total
+            GROUP BY doc_id
         """,
         "docs_lang_id": rf"""
             WITH t AS (

@@ -100,12 +100,24 @@ class Snapshot:
     manifest_list: str | None = None
 
 
+def _stat_micros(dt) -> int:
+    """datetime → epoch micros, exactly (no float seconds round-trip).
+    Naive values are UTC — the engine writes with a UTC session TZ."""
+    import datetime as _dt
+
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return (dt - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+
+
 def _footer_key_stats(md, key_phys: list[str]) -> dict[str, list]:
-    """Per-file [min, max] for each key column, folded over the parquet
-    footer's row-group statistics. Only JSON-stable value types (str/int)
-    are recorded — anything else (timestamps, truncated/absent stats)
-    yields no entry for that column, which pruning treats as
-    'may contain anything' (conservative, never wrong)."""
+    """Per-file [min, max] for each named column, folded over the parquet
+    footer's row-group statistics. Only JSON-stable value types are
+    recorded — str and int directly, datetime as epoch-micros ints
+    (``_stat_micros``; pruning canonicalizes query bounds the same way).
+    Anything else (floats, truncated/absent stats) yields no entry for
+    that column, which pruning treats as 'may contain anything'
+    (conservative, never wrong)."""
     stats: dict[str, list] = {}
     if not key_phys or md.num_row_groups == 0:
         return stats
@@ -126,9 +138,14 @@ def _footer_key_stats(md, key_phys: list[str]) -> dict[str, list]:
                 lo = st.min
             if hi is None or st.max > hi:
                 hi = st.max
-        if (
-            ok
-            and isinstance(lo, (str, int))
+        if not ok:
+            continue
+        import datetime as _dt
+
+        if isinstance(lo, _dt.datetime) and isinstance(hi, _dt.datetime):
+            stats[phys] = [_stat_micros(lo), _stat_micros(hi)]
+        elif (
+            isinstance(lo, (str, int))
             and isinstance(hi, (str, int))
             and not isinstance(lo, bool)
         ):
@@ -221,6 +238,33 @@ def prune_files_by_key(
                 continue
         if keep and key_string is not None and f.get("bloom"):
             keep = bloom_might_contain(f["bloom"], key_string)
+        if keep:
+            out.append(f)
+    return out
+
+
+def prune_files_by_range(files: list[dict], phys_ranges: dict) -> list[dict]:
+    """Manifest-level FILE skipping for range predicates: keep only files
+    whose recorded [min, max] for every constrained column OVERLAPS the
+    queried [lo, hi] (either bound may be None = unbounded). Files
+    without stats for a column always survive (legacy manifests,
+    non-recordable types). Bounds must already be canonicalized to the
+    stats' stored form (epoch micros for timestamp columns)."""
+    out = []
+    for f in files:
+        st = f.get("stats") or {}
+        keep = True
+        for col, (lo, hi) in phys_ranges.items():
+            rng = st.get(col)
+            if rng is None:
+                continue
+            fmin, fmax = rng
+            try:
+                if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                    keep = False
+                    break
+            except TypeError:  # cross-type compare (schema drift) — keep
+                continue
         if keep:
             out.append(f)
     return out
@@ -543,6 +587,7 @@ class LakeTable:
         with_system: bool = False,
         schema_version: int | None = None,
         key_equals: dict | None = None,
+        range_filters: dict | None = None,
     ) -> DataFrame:
         """Read the table (optionally time-travel / bucket-pruned).
 
@@ -590,6 +635,38 @@ class LakeTable:
             ):
                 key_string = canonical_key([key_equals[c.name] for c in key_defs])
             files = prune_files_by_key(files, phys, key_string)
+        range_cond = None
+        if range_filters:
+            # third pruning tier: per-file column ranges ("write.stat-cols"
+            # manifests) vs [lo, hi] predicates. Pruning is restricted to
+            # files of CLEAN (no-delta) buckets: a delta layer outside the
+            # range can still hold the NEWER version of a key whose stale
+            # in-range base row would otherwise win reconciliation —
+            # pruning it would resurrect deleted/superseded rows. Clean-
+            # bucket files hold final rows only, so dropping a file drops
+            # only rows the exact post-filter below would discard anyway.
+            import datetime as _dt
+
+            by_name = {c.name: c for c in tschema.live_columns}
+            unknown = [c for c in range_filters if c not in by_name]
+            if unknown:
+                raise ValueError(f"range_filters on unknown column(s) {unknown}")
+            phys_ranges = {}
+            for name, (lo, hi) in range_filters.items():
+                canon = [
+                    _stat_micros(v) if isinstance(v, _dt.datetime) else v
+                    for v in (lo, hi)
+                ]
+                phys_ranges[by_name[name].physical_name] = tuple(canon)
+                col = F.col(name)
+                for bound, op in ((lo, col.__ge__), (hi, col.__le__)):
+                    if bound is not None:
+                        c = op(F.lit(bound))
+                        range_cond = c if range_cond is None else (range_cond & c)
+            dirty_b = {f["bucket"] for f in files if f.get("kind") == "delta"}
+            files = [f for f in files if f["bucket"] in dirty_b] + prune_files_by_range(
+                [f for f in files if f["bucket"] not in dirty_b], phys_ranges
+            )
 
         def scan(fl: list[dict], with_sys: bool) -> DataFrame:
             phys = tschema.to_spark_physical().add(BUCKET_COL, T.IntegerType())
@@ -612,7 +689,8 @@ class LakeTable:
         # with NO shuffle; only dirty buckets pay the reconcile exchange.
         dirty = {f["bucket"] for f in files if f.get("kind") == "delta"}
         if not dirty:
-            return scan(files, with_system)
+            out = scan(files, with_system)
+            return out if range_cond is None else out.where(range_cond)
         clean_df = scan([f for f in files if f["bucket"] not in dirty], with_system)
         dirty_df = scan([f for f in files if f["bucket"] in dirty], True)
         cols = dirty_df.columns
@@ -623,7 +701,10 @@ class LakeTable:
         )
         if not with_system:
             recon = recon.drop(*SYSTEM_COLS)
-        return clean_df.unionByName(recon)
+        out = clean_df.unionByName(recon)
+        # the exact predicate runs AFTER reconciliation — a pruning miss
+        # (legacy stats, dirty buckets) costs I/O, never correctness
+        return out if range_cond is None else out.where(range_cond)
 
     def read_logical(self, **kw) -> DataFrame:
         """User-facing read: tombstones filtered, system/bucket cols hidden."""
@@ -727,9 +808,32 @@ class LakeTable:
         )
         if self.meta.get("properties", {}).get("write.sort-keys", True):
             staged = staged.sortWithinPartitions(_PART_DIR_COL, *key_phys)
+        # "write.stat-cols": comma-separated LOGICAL column names whose
+        # per-file [min,max] is recorded in the manifest alongside the key
+        # ranges — the Iceberg column-stats tier that lets
+        # read(range_filters=) skip files by predicate before any I/O.
+        # "write.max-records-per-file" caps file size so a bucket splits
+        # into several stat-disjoint files (default 5M rows).
+        props = self.meta.get("properties", {})
+        stat_logical = [
+            s for s in props.get("write.stat-cols", "").split(",") if s
+        ]
+        stat_phys = [
+            c.physical_name
+            for c in self.table_schema.live_columns
+            if c.name in stat_logical and c.physical_name not in key_phys
+        ]
+        max_rows_per_file = int(props.get("write.max-records-per-file", 5_000_000))
+        # Spark's default parquet timestamp encoding is legacy INT96,
+        # which carries NO footer min/max statistics — timestamp
+        # stat-cols would silently record nothing. TIMESTAMP_MICROS is
+        # the modern annotated int64 every reader (and DuckDB) handles.
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         (
             staged.write.partitionBy(_PART_DIR_COL)
-            .option("maxRecordsPerFile", 5_000_000)
+            .option("maxRecordsPerFile", max_rows_per_file)
             .parquet(out_dir, compression=codec)
         )
         import pyarrow.parquet as pq
@@ -755,7 +859,7 @@ class LakeTable:
                     # analog, /root/reference/include/nvimgcodec.h:564-574).
                     md = pq.ParquetFile(p).metadata
                     fentry = {"path": p, "bucket": bucket, "rows": md.num_rows}
-                    stats = _footer_key_stats(md, key_phys)
+                    stats = _footer_key_stats(md, key_phys + stat_phys)
                     if stats:
                         fentry["stats"] = stats
                     # key Bloom for SMALL files (delta layers): min/max

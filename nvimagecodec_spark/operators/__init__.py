@@ -15,7 +15,12 @@ from nvimagecodec_spark.operators.scd2 import Scd2View, scd2_history
 from nvimagecodec_spark.operators.packing import pack_sequences
 from nvimagecodec_spark.operators.rangejoin import interval_join
 from nvimagecodec_spark.operators.sampling import hash_split, stratified_sample
-from nvimagecodec_spark.operators.text import contamination, pii_scan
+from nvimagecodec_spark.operators.text import (
+    contamination,
+    pii_scan,
+    tfidf_top_terms,
+    unigram_logloss,
+)
 from nvimagecodec_spark.operators.skew import hot_keys, with_salt
 
 __all__ = [
@@ -33,6 +38,8 @@ __all__ = [
     "audio_windowed_stats",
     "pii_scan",
     "contamination",
+    "tfidf_top_terms",
+    "unigram_logloss",
     "neardup_clusters",
     "IncrementalDedupIndex",
     "IncrementalAggView",

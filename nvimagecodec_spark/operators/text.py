@@ -267,3 +267,97 @@ def repetition_stats(
             F.col("dup_trigram_frac"),
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword/topic
+    extraction pass of a corpus pipeline.
+
+    tf = term count within the doc; idf = ln(N / df) with df = number of
+    docs containing the term. Deterministic ranking: score DESC, then
+    term ASC (ties are common in short docs; an unordered tie would be
+    partition-order-dependent). ``round_to`` rounds the score BEFORE
+    ranking — two engines computing ln() a ulp apart would otherwise
+    rank near-ties differently (needed whenever the output is compared
+    across engines, e.g. the DuckDB oracle).
+
+    Scale shape: one explode → ONE (doc, term) count agg (map-side
+    combinable) → df via a second combinable agg over distinct docs per
+    term (derived from the first agg's output, so the corpus is read
+    once) → per-doc top-k window. N (corpus size) is a broadcast scalar
+    via a 1-row cross join, not a driver collect.
+
+    Reference analog: per-sample metadata extraction over a batch
+    (/root/reference/extensions/nvtiff/metadata_extractor.cpp:317-466).
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.countDistinct(id_col).alias("_n")
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf", F.col("tf") * F.log(F.col("_n") / F.col("df"))
+        )
+    )
+    if round_to is not None:
+        scored = scored.withColumn("tfidf", F.round("tfidf", round_to))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def unigram_logloss(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality proxy: per-document mean
+    negative log-likelihood under the corpus's OWN unigram model
+    (add-nothing MLE — every token in the corpus has mass). Documents
+    made of globally rare tokens score high (gibberish/noise candidates);
+    boilerplate made of the corpus's most common tokens scores low.
+    The real CCNet uses a 5-gram KenLM; the unigram form is the same
+    decision statistic computable exactly in SQL on both engines.
+
+    Scale shape: one explode feeding (doc, term) counts, a tiny term →
+    corpus-count model joined back (the model is vocabulary-sized), and
+    one combinable per-doc sum. The corpus total is a broadcast scalar.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).where(F.col("term") != "")
+    per_doc_term = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    model = per_doc_term.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = model.select(F.sum("ctf").alias("_total"))
+    scored = (
+        per_doc_term.join(model, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("nll", -F.col("tf") * F.log(F.col("ctf") / F.col("_total")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        (F.sum("nll") / F.sum("tf")).alias("mean_nll"),
+    )

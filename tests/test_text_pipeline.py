@@ -153,3 +153,51 @@ def test_token_stats_bpe_columns(spark):
     # "don't panic" → whitespace: 2 words; bpe: don|'t|' panic' → 3
     assert (got[1]["n_tokens"], got[1]["n_bpe_tokens"], got[1]["bpe_per_word"]) == (2, 3, 1.5)
     assert (got[2]["n_tokens"], got[2]["n_bpe_tokens"]) == (1, 1)
+
+
+def test_tfidf_top_terms_planted(spark):
+    """4-doc corpus with a hand-computable model: 'rare' appears in one
+    doc (idf = ln 4), 'mid' in two (ln 2), 'common' in all (idf 0 —
+    never a top term unless nothing else exists)."""
+    import math
+
+    rows = [
+        (1, "common rare rare mid"),
+        (2, "common mid"),
+        (3, "common zeta"),
+        (4, "common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["tfidf"])
+        for r in X.tfidf_top_terms(df, top_k=2).collect()
+    }
+    assert got[(1, 1)][:2] == ("rare", 2)
+    assert abs(got[(1, 1)][3] - 2 * math.log(4)) < 1e-9
+    assert got[(1, 2)] == ("mid", 1, 2, pytest.approx(math.log(2)))
+    # doc 4 has ONLY the zero-idf term; it still ranks (score 0)
+    assert got[(4, 1)] == ("common", 1, 4, pytest.approx(0.0))
+    # ties rank by term ascending, deterministically
+    tie = spark.createDataFrame(
+        [(1, "bb aa"), (2, "cc")], "doc_id long, text string"
+    )
+    t = {r["rank"]: r["term"] for r in X.tfidf_top_terms(tie, top_k=2).where("doc_id = 1").collect()}
+    assert t == {1: "aa", 2: "bb"}
+
+
+def test_unigram_logloss_rare_tokens_score_higher(spark):
+    import math
+
+    rows = [
+        (1, "the the the the"),   # most common token only
+        (2, "the weird"),         # half rare
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in X.unigram_logloss(df).collect()}
+    # model: the=5/6, weird=1/6 over 6 tokens
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["mean_nll"] == pytest.approx(-math.log(5 / 6))
+    assert got[2]["mean_nll"] == pytest.approx(
+        (-math.log(5 / 6) - math.log(1 / 6)) / 2
+    )
+    assert got[2]["mean_nll"] > got[1]["mean_nll"]
