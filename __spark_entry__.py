@@ -1229,6 +1229,31 @@ def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.contamination(docs, bench, n=3, threshold=0.1)
 
 
+def q_docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the planted-PII corpus: emails/IPs/phones
+    rewritten to typed placeholders, with per-doc counts taken before
+    rewriting. A pure narrow map — the redacted corpus is produced at
+    scan cost."""
+    return X.redact_pii(_docs_pii_augmented(spark, sf_dir))
+
+
+def q_docs_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document split into 64-token windows
+    with 16-token overlap; a short tail fully covered by its predecessor
+    is never re-emitted. Pure fan-out — zero shuffle."""
+    return X.chunk_tokens(
+        _t(spark, sf_dir, "documents"), chunk_size=64, overlap=16
+    )
+
+
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (FAISS-SQ8 shape):
+    per-vector [min,max] scale, floor(x+0.5) rounding so both engines
+    agree bit-for-bit; summary-shaped output (exact code sums) pins every
+    code without array hashing."""
+    return S.quantize_embeddings(_t(spark, sf_dir, "embeddings"), bits=8)
+
+
 # ---------------------------------------------------------------- streaming
 
 _STREAM_SEQ = [0]
@@ -1577,6 +1602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": q_docs_repetition,
         "docs_pii_scan": q_docs_pii_scan,
         "docs_contamination": q_docs_contamination,
+        "docs_pii_redact": q_docs_pii_redact,
+        "docs_chunk_tokens": q_docs_chunk_tokens,
         "mm_image_metadata": q_mm_image_metadata,
         "mm_image_decode": q_mm_image_decode,
         "mm_image_resize": q_mm_image_resize,
@@ -1590,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_persisted": q_emb_ivf_persisted,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_lsh_near_dup": q_emb_lsh_near_dup,
+        "emb_quantize": q_emb_quantize,
     }
 
 
@@ -2486,6 +2514,87 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE((COALESCE(h.n_hits, 0) * 1.0 / p.n_shingles) >= 0.1,
                             false) AS contaminated
             FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
+        """,
+        "docs_pii_redact": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.org +1415555'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                               || ' 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                          ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{X.PII_EMAIL}'))
+                        + len(regexp_extract_all(text, '{X.PII_IP}'))
+                        + len(regexp_extract_all(text, '{X.PII_PHONE}'))
+                        AS INTEGER) AS n_redactions,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '{X.PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{X.PII_IP}', '<IP>', 'g'),
+                     '{X.PII_PHONE}', '<PHONE>', 'g') AS text_redacted
+            FROM aug
+        """,
+        "docs_chunk_tokens": r"""
+            WITH tk AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents
+              WHERE length(trim(text)) > 0
+            ),
+            c AS (
+              SELECT doc_id, toks,
+                     CAST(1 + floor(greatest(len(toks) - 17, 0) / 48)
+                          AS INTEGER) AS n_chunks
+              FROM tk
+            ),
+            e AS (
+              SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i
+              FROM c
+            )
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS chunk_idx,
+                   CAST(len(list_slice(toks, i * 48 + 1, i * 48 + 64))
+                        AS INTEGER) AS n_chunk_tokens,
+                   array_to_string(
+                     list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')
+                       AS chunk_text
+            FROM e
+        """,
+        "emb_quantize": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings
+            ),
+            s AS (
+              SELECT vec_id, vv,
+                     list_min(vv) AS vmin, list_max(vv) AS vmax
+              FROM v
+            ),
+            q AS (
+              SELECT vec_id, vv, vmin, vmax,
+                     list_transform(vv, x -> CAST(
+                       CASE WHEN vmax - vmin > 0
+                            THEN floor((x - vmin) * 255.0 / (vmax - vmin) + 0.5)
+                            ELSE 0.0 END AS INTEGER)) AS codes
+              FROM s
+            )
+            SELECT vec_id,
+                   CAST(len(codes) AS INTEGER) AS n_dims,
+                   vmin, vmax,
+                   CAST(list_sum(codes) AS BIGINT) AS code_sum,
+                   list_min(codes) AS code_min,
+                   list_max(codes) AS code_max,
+                   FLOOR(list_sum(list_transform(
+                       range(1, len(vv) + 1),
+                       i -> abs(CAST(codes[i] AS DOUBLE)
+                                * ((vmax - vmin) / 255.0)
+                                + vmin - vv[i])))
+                     / len(codes) * 10000 + 0.5) / 10000.0 AS mean_abs_err
+            FROM q
         """,
         "mm_image_metadata": """
             SELECT doc_id, 'fimg' AS codec,

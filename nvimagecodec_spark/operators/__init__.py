@@ -15,9 +15,12 @@ from nvimagecodec_spark.operators.scd2 import Scd2View, scd2_history
 from nvimagecodec_spark.operators.packing import pack_sequences
 from nvimagecodec_spark.operators.rangejoin import interval_join
 from nvimagecodec_spark.operators.sampling import hash_split, stratified_sample
+from nvimagecodec_spark.operators.similarity import quantize_embeddings
 from nvimagecodec_spark.operators.text import (
+    chunk_tokens,
     contamination,
     pii_scan,
+    redact_pii,
     tfidf_top_terms,
     unigram_logloss,
 )
@@ -37,6 +40,9 @@ __all__ = [
     "audio_metadata",
     "audio_windowed_stats",
     "pii_scan",
+    "redact_pii",
+    "chunk_tokens",
+    "quantize_embeddings",
     "contamination",
     "tfidf_top_terms",
     "unigram_logloss",

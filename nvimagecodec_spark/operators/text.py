@@ -361,3 +361,89 @@ def unigram_logloss(
         F.sum("tf").alias("n_tokens"),
         (F.sum("nll") / F.sum("tf")).alias("mean_nll"),
     )
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII redaction: replace every email / IPv4 / phone match with a typed
+    placeholder token — the step AFTER `pii_scan` in a compliance pipeline
+    (scan reports, redact rewrites). Counts are taken BEFORE rewriting so
+    the report reflects the original text.
+
+    Replacement order is part of the contract (email → ip → phone), since a
+    replacement can in principle change later matches; the DuckDB oracle
+    applies the same order. Pure column expressions — one narrow map, the
+    same engine-portable patterns as `pii_scan`.
+
+    Reference analog: in-place sample rewriting during decode
+    (/root/reference/src/image_generic_codec.h:687-708 ROI processing) — a
+    per-item transform that must not change item count or ordering."""
+    t = F.col(text_col)
+    n_redactions = (
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+        + F.size(F.regexp_extract_all(t, F.lit(PII_IP), F.lit(0)))
+        + F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0)))
+    )
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IP, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        n_redactions.alias("n_redactions"),
+        red.alias("text_redacted"),
+    )
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the context-window
+    chunking pass that precedes embedding or training-sequence creation.
+
+    Chunk i covers tokens [i*stride+1, i*stride+chunk_size] (stride =
+    chunk_size - overlap). A chunk is emitted only if it contributes at
+    least one token beyond the previous chunk's coverage, so a short tail
+    fully contained in its predecessor is never duplicated:
+    n_chunks = 1 + floor(max(n_tokens - overlap - 1, 0) / stride).
+    Docs with no tokens (null/blank text) emit zero chunks by design —
+    chunking is a fan-out, not a report (contrast `contamination`).
+
+    Scale shape: a pure narrow fan-out (explode over a computed index
+    sequence; the token array is built once per doc) — no shuffle at all;
+    output partitioning follows the scan. At 100 TB this is the cheapest
+    possible shape: cost = scan + write.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    base = (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            tokens(F.col(text_col)).alias("_toks"),
+        )
+        .withColumn(
+            "_n_chunks",
+            (
+                F.lit(1)
+                + F.floor(
+                    F.greatest(F.size("_toks") - (overlap + 1), F.lit(0)) / stride
+                )
+            ).cast("int"),
+        )
+    )
+    exploded = base.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.explode(F.expr("sequence(0, _n_chunks - 1)")).alias("chunk_idx"),
+    )
+    sl = F.expr(f"slice(_toks, chunk_idx * {stride} + 1, {chunk_size})")
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(sl).alias("n_chunk_tokens"),
+        F.concat_ws(" ", sl).alias("chunk_text"),
+    )

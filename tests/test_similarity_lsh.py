@@ -93,3 +93,46 @@ def test_no_per_pair_norm_recompute(spark):
     assert join_pos != -1
     above_join = plan[:join_pos]
     assert "SQRT" not in above_join.upper(), "norm recomputed above the join"
+
+
+def test_quantize_embeddings_known_codes(spark):
+    from nvimagecodec_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 2.0, 4.0]),       # range 4: codes 0,64,128,255 (63.75->64)
+            (2, [3.5, 3.5, 3.5]),            # constant vector -> all zeros
+            (3, [-1.0, 1.0]),                # negative min
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    r1 = got[1]
+    assert (r1["vmin"], r1["vmax"], r1["n_dims"]) == (0.0, 4.0, 4)
+    # floor(x*255/4 + .5): 0, 64, 128 (127.5 rounds up), 255
+    assert r1["code_sum"] == 0 + 64 + 128 + 255
+    assert (r1["code_min"], r1["code_max"]) == (0, 255)
+    r2 = got[2]
+    assert r2["code_sum"] == 0 and r2["code_max"] == 0
+    assert r2["mean_abs_err"] == 0.0
+    r3 = got[3]
+    assert (r3["code_min"], r3["code_max"]) == (0, 255)
+    # endpoints reconstruct exactly
+    assert r3["mean_abs_err"] == 0.0
+
+
+def test_quantize_embeddings_error_bound(spark):
+    from nvimagecodec_spark.operators.similarity import quantize_embeddings
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for r in quantize_embeddings(df).collect():
+        # SQ8 worst-case error is half a quantization step
+        step = (r["vmax"] - r["vmin"]) / 255.0
+        assert 0.0 <= r["mean_abs_err"] <= step / 2 + 1e-9
+        assert 0 <= r["code_min"] <= r["code_max"] <= 255

@@ -201,3 +201,69 @@ def test_unigram_logloss_rare_tokens_score_higher(spark):
         (-math.log(5 / 6) - math.log(1 / 6)) / 2
     )
     assert got[2]["mean_nll"] > got[1]["mean_nll"]
+
+
+def test_redact_pii_rewrites_and_counts(spark, docs):
+    got = {r["doc_id"]: r for r in X.redact_pii(docs).collect()}
+    assert got[0]["n_redactions"] == 0
+    assert got[0]["text_redacted"] == "plain words only nothing sensitive here at all"
+    assert got[1]["n_redactions"] == 1
+    assert "<EMAIL>" in got[1]["text_redacted"]
+    assert "alice" not in got[1]["text_redacted"]
+    assert got[2]["text_redacted"].count("<IP>") == 2
+    assert got[3]["text_redacted"].count("<PHONE>") == 2
+    assert got[4]["n_redactions"] == 3
+    assert (
+        got[4]["text_redacted"]
+        == "<EMAIL> <IP> <PHONE> everything at once"
+    )
+
+
+def _chunks(spark, text, chunk_size=64, overlap=16):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = (
+        X.chunk_tokens(df, chunk_size=chunk_size, overlap=overlap)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    return rows
+
+
+def test_chunk_tokens_single_chunk_boundary(spark):
+    # exactly chunk_size tokens -> one chunk
+    rows = _chunks(spark, " ".join(f"t{i}" for i in range(64)))
+    assert len(rows) == 1 and rows[0]["n_chunk_tokens"] == 64
+
+
+def test_chunk_tokens_tail_containment(spark):
+    # 50 tokens with stride 48: a 2nd chunk would add NO new tokens
+    # beyond chunk 0's 64-token coverage -> exactly one chunk
+    rows = _chunks(spark, " ".join(f"t{i}" for i in range(50)))
+    assert len(rows) == 1
+    assert rows[0]["n_chunk_tokens"] == 50
+
+
+def test_chunk_tokens_overlap_and_coverage(spark):
+    toks = [f"t{i}" for i in range(100)]
+    rows = _chunks(spark, " ".join(toks))
+    assert len(rows) == 2
+    c0, c1 = rows[0]["chunk_text"].split(" "), rows[1]["chunk_text"].split(" ")
+    assert c0 == toks[0:64]
+    assert c1 == toks[48:100]  # 16-token overlap with chunk 0
+    # every token covered, in order
+    assert c0 + c1[16:] == toks
+
+
+def test_chunk_tokens_empty_and_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "one two")],
+        "doc_id long, text string",
+    )
+    rows = X.chunk_tokens(df).collect()
+    assert {r["doc_id"] for r in rows} == {4}
+
+
+def test_chunk_tokens_bad_overlap_raises(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        X.chunk_tokens(df, chunk_size=8, overlap=8)
