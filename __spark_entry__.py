@@ -1017,6 +1017,74 @@ def q_events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per activity day (DAU + WAU) —
+    the standard engagement rollup. Spark has no count(distinct) over a
+    range window, so the scale shape is the explode form: each distinct
+    (day, user) activity contributes to the 7 window-end days it falls
+    in, then one distinct + one combinable count per day. Fan-out is a
+    fixed 7×; every shuffle is keyed by (day, user) — no skew beyond the
+    data's own daily skew, no self-join range explosion."""
+    e = _t(spark, sf_dir, "events")
+    day_us = F.lit(86_400_000_000).cast("long")
+    du = e.select(
+        F.floor(ts_micros(F.col("ts")) / day_us).cast("long").alias("day"),
+        "user_id",
+    ).distinct()
+    contrib = (
+        du.select(
+            F.explode(F.expr("sequence(day, day + 6)")).alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    wau = (
+        contrib.join(days, "day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau7"))
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, "day")
+
+
+def q_customer_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer for
+    one quarter, with the customer's nation. Plan shape: lineitem is
+    filtered to returns BEFORE the join; orders filters to the quarter;
+    customer and nation are broadcast dims — the fact stream shuffles
+    once, on orderkey. Top 20 by integer cents with custkey tie-break
+    keeps the LIMIT deterministic across engines."""
+    cut0, cut1 = "1996-01-01", "1996-04-01"
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(cut0).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(cut1).cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(cents).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_returned_items"),
+    )
+    return (
+        agg.orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            "revenue_cents",
+            "n_returned_items",
+        )
+    )
+
+
 # --------------------------------------------------------------- documents
 
 def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1579,6 +1647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_shipping_priority": q_orders_shipping_priority,
         "regional_nation_volume": q_regional_nation_volume,
         "events_daily_retention": q_events_daily_retention,
+        "events_rolling_active": q_events_rolling_active,
+        "customer_returns": q_customer_returns,
         "events_incident_windows": q_events_incident_windows,
         "docs_length_percentiles": q_docs_length_percentiles,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -2201,6 +2271,48 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(MAX(ret.retained), 0) AS retained
             FROM du LEFT JOIN ret ON du.day = ret.day
             GROUP BY du.day
+        """,
+        "events_rolling_active": """
+            WITH du AS (
+              SELECT DISTINCT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                     user_id
+              FROM events
+            ),
+            contrib AS (
+              SELECT DISTINCT du.day + t.o AS day, user_id
+              FROM du CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS o) t
+            ),
+            days AS (SELECT DISTINCT day FROM du),
+            wau AS (
+              SELECT c.day, CAST(COUNT(*) AS BIGINT) AS wau7
+              FROM contrib c JOIN days d ON c.day = d.day
+              GROUP BY c.day
+            )
+            SELECT du.day AS day,
+                   CAST(COUNT(*) AS BIGINT) AS dau,
+                   MAX(wau.wau7) AS wau7
+            FROM du JOIN wau ON du.day = wau.day
+            GROUP BY du.day
+        """,
+        "customer_returns": """
+            SELECT custkey, name, nation, revenue_cents, n_returned_items
+            FROM (
+              SELECT c.c_custkey AS custkey, c.c_name AS name,
+                     n.n_name AS nation,
+                     CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                                   AS BIGINT)) AS BIGINT) AS revenue_cents,
+                     CAST(COUNT(*) AS BIGINT) AS n_returned_items
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1, 2, 3
+            )
+            ORDER BY revenue_cents DESC, custkey ASC
+            LIMIT 20
         """,
         "docs_exact_dedup": f"""
             SELECT md5({norm}) AS content_hash, MIN(doc_id) AS keeper_id,
