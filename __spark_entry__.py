@@ -104,7 +104,7 @@ def q_cdc_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cdc_table(spark: SparkSession, sf_dir: str, prefix: str):
+def _cdc_table(spark: SparkSession, sf_dir: str, prefix: str, extra_cols=None):
     """Shared shape of the apply-path queries: the deterministic change
     stream with JSON after-images + a fresh transcript-schema LakeTable.
     The table dir must outlive the returned (lazy) DataFrames — dirs are
@@ -128,6 +128,7 @@ def _cdc_table(spark: SparkSession, sf_dir: str, prefix: str):
             T.StructField("value", T.DoubleType()),
             T.StructField("ts", T.TimestampType()),
         ]
+        + list(extra_cols or [])
     )
     tmp = tempfile.mkdtemp(prefix=prefix)
     _TEMP_DIRS.append(tmp)
@@ -147,6 +148,44 @@ def q_cdc_engine_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "turn_idx",
         "event_type",
         F.round("value", 2).alias("value"),
+        ts_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
+def q_cdc_enriched_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-dim ENRICHMENT through the real apply path: the table carries
+    a `user_tier` column the wire payload doesn't — a broadcast dimension
+    join fills it inside the merge via the batch_transform hook (post-LWW,
+    so the dim is probed once per winning key, not per event; pre-commit,
+    so enriched values land atomically with the epoch). The classic CDC
+    pipeline stage: orders stream + customer dim."""
+    ch, table = _cdc_table(
+        spark,
+        sf_dir,
+        "nvics-enrich-",
+        extra_cols=[T.StructField("user_tier", T.StringType())],
+    )
+    tier = (
+        F.when(F.col("conv_id").cast("bigint") % 3 == 0, "gold")
+        .when(F.col("conv_id").cast("bigint") % 3 == 1, "silver")
+        .otherwise("bronze")
+    )
+    dim = ch.select("conv_id").distinct().select(F.col("conv_id"), tier.alias("tier"))
+
+    def enrich(batch: DataFrame) -> DataFrame:
+        return (
+            batch.join(F.broadcast(dim), "conv_id", "left")
+            .withColumn("user_tier", F.col("tier"))
+            .drop("tier")
+        )
+
+    merge_into(table, lww_dedupe(ch), batch_transform=enrich)
+    return table.read_logical().select(
+        "conv_id",
+        "turn_idx",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        "user_tier",
         ts_micros(F.col("ts")).alias("ts_us"),
     )
 
@@ -1622,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": q_cdc_lww_final_state,
         "cdc_engine_apply": q_cdc_engine_apply,
+        "cdc_enriched_apply": q_cdc_enriched_apply,
         "cdc_mor_apply": q_cdc_mor_apply,
         "cdc_schema_drop": q_cdc_schema_drop,
         "cdc_emit_roundtrip": q_cdc_emit_roundtrip,
@@ -1827,6 +1867,19 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
                   FROM changes)
             SELECT conv_id, turn_idx, event_type, round(value, 2) AS value,
+                   epoch_us(commit_ts) AS ts_us
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_enriched_apply": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes)
+            SELECT conv_id, turn_idx, event_type, round(value, 2) AS value,
+                   CASE CAST(conv_id AS BIGINT) % 3
+                        WHEN 0 THEN 'gold'
+                        WHEN 1 THEN 'silver'
+                        ELSE 'bronze' END AS user_tier,
                    epoch_us(commit_ts) AS ts_us
             FROM w WHERE rn = 1 AND op <> 'D'
         """,

@@ -126,6 +126,38 @@ def _batch_to_rows(table: LakeTable, deduped: DataFrame) -> DataFrame:
     return staged.select(*exprs)
 
 
+def _apply_batch_transform(batch: DataFrame, batch_transform) -> DataFrame:
+    """Enrichment hook: run a user transform over the TYPED batch rows.
+
+    Runs post-LWW (one row per winning key), so an enrichment join costs
+    one dimension probe per key per epoch — not per event — and pre-merge,
+    so the enriched values land atomically with the epoch's commit. The
+    canonical use is a broadcast join against a small dimension filling a
+    table column the wire payload doesn't carry (the classic CDC
+    stream-dim enrichment stage).
+
+    Contract: the transform may fill or rewrite non-key data columns; it
+    must keep every existing column (keys, ``_sys_*`` order/tombstone
+    bookkeeping). The result is re-projected to exactly the input columns,
+    so helper columns the transform leaves behind are dropped and column
+    order is restored; a transform that LOSES an engine column fails loud
+    here rather than corrupting the merge downstream.
+
+    Reference analog: per-sample post-processing applied between decode
+    and result publication (/root/reference/src/image_generic_codec.h:
+    687-708) — same batch, same ordering, values rewritten in place.
+    """
+    expected = batch.columns
+    out = batch_transform(batch)
+    missing = [c for c in expected if c not in out.columns]
+    if missing:
+        raise ValueError(
+            f"batch_transform dropped engine columns {missing}; it may only "
+            "add or rewrite non-key data columns"
+        )
+    return out.select(*[F.col(c) for c in expected])
+
+
 # the one LWW comparator, shared with the table's merge-on-read reconcile
 _ord = order_struct
 
@@ -139,6 +171,7 @@ def merge_into(
     split_light_buckets: bool = False,
     light_bucket_max_rows: int = 1_000,
     delta_auto_ratio: float | None = None,
+    batch_transform=None,
 ) -> MergeResult:
     """Apply a deduped change batch (one row/key, op ∈ I,U,D) to the table.
 
@@ -178,7 +211,10 @@ def merge_into(
     all_cols = data_cols + _SYS_ORDER + ["_sys_deleted", "_sys_raw", BUCKET_COL]
 
     bucketed_under = table.bucket_count  # layout with_bucket uses just below
-    batch = table.with_bucket(_batch_to_rows(table, deduped))
+    rows = _batch_to_rows(table, deduped)
+    if batch_transform is not None:
+        rows = _apply_batch_transform(rows, batch_transform)
+    batch = table.with_bucket(rows)
     # The batch drives bucket discovery AND the join/union side — persist so
     # the raw stream isn't re-read per use. DISK_ONLY, deliberately: the
     # batch carries full after-images; caching it deserialized in-heap at
@@ -377,6 +413,7 @@ def merge_into_delta(
     deduped: DataFrame,
     tag: dict | None = None,
     compact_max_delta_files: int | None = None,
+    batch_transform=None,
 ) -> MergeResult:
     """Merge-on-read apply: identical input contract and exactly-once
     semantics as :func:`merge_into`, but the resolved batch is LAYERED
@@ -410,9 +447,10 @@ def merge_into_delta(
     # steady-state path MoR exists to make O(batch). DISK_ONLY: see
     # merge_into's GC rationale.
     bucketed_under = table.bucket_count  # the layout with_bucket uses below
-    batch = table.with_bucket(_batch_to_rows(table, deduped)).persist(
-        StorageLevel.DISK_ONLY
-    )
+    rows = _batch_to_rows(table, deduped)
+    if batch_transform is not None:
+        rows = _apply_batch_transform(rows, batch_transform)
+    batch = table.with_bucket(rows).persist(StorageLevel.DISK_ONLY)
     try:
         stats = (
             batch.groupBy(BUCKET_COL)

@@ -59,11 +59,16 @@ class CdcEngine:
         source_id: str = "cdc",
         config: EngineConfig | None = None,
         checkpoint_dir: str | None = None,
+        batch_transform=None,
     ):
         self.spark = spark
         self.table = table
         self.source_id = source_id
         self.config = config or EngineConfig()
+        # stream-dim enrichment stage: a user transform over the typed,
+        # deduped batch rows, applied inside every epoch's merge (see
+        # operators/merge._apply_batch_transform for the contract)
+        self.batch_transform = batch_transform
         self.checkpoint_dir = checkpoint_dir or os.path.join(table.path, "_checkpoints")
         self.lineage_log = LineageLog(os.path.join(table.path, "_lineage", "lineage.jsonl"))
         self.rate = AdaptiveRateController(
@@ -339,6 +344,7 @@ class CdcEngine:
                 self.table,
                 deduped,
                 tag={"source_id": self.source_id, "batch_id": batch_id},
+                batch_transform=self.batch_transform,
             )
         else:
             # "auto" hands merge_into the write-amplification ratio: epochs
@@ -359,6 +365,7 @@ class CdcEngine:
                 split_light_buckets=do_split,
                 light_bucket_max_rows=light_max,
                 delta_auto_ratio=self.config.mor_auto_ratio if auto else None,
+                batch_transform=self.batch_transform,
             )
             if self.split_ctl is not None:
                 self.split_ctl.observe(
