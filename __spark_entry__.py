@@ -613,6 +613,64 @@ def q_cdc_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered range read: after the merge, compact(zorder_by=
+    ["ts","val"]) rewrites every bucket sorted by the Morton interleave of
+    the two payload columns (Delta OPTIMIZE ZORDER BY analog,
+    lakehouse/zorder.py), so per-file [min,max] boxes are selective on
+    BOTH — the same range_filters machinery as cdc_range_read then prunes
+    files for a 2-D predicate. The oracle recomputes the LWW state with
+    both BETWEENs; tests/test_zorder.py pins the actual file skipping."""
+    ch = _changes(spark, sf_dir).withColumn(
+        "after",
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.round("value", 2).alias("val"),
+                F.date_format(
+                    "commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+                ).alias("ts"),
+            )
+        ),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nvics-zorder-")
+    _TEMP_DIRS.append(tmp)
+    table = LakeTable.create(
+        spark,
+        os.path.join(tmp, "t"),
+        schema,
+        ["conv_id", "turn_idx"],
+        bucket_count=4,
+        properties={"write.max-records-per-file": "10000"},
+    )
+    merge_into(table, lww_dedupe(ch))
+    table.compact(zorder_by=["ts", "val"])
+    import datetime as _dt
+
+    out = table.read_logical(
+        range_filters={
+            "ts": (_dt.datetime(2024, 1, 8), _dt.datetime(2024, 1, 22)),
+            "val": (10.0, 60.0),
+        }
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "event_type",
+        F.round("val", 2).alias("val"),
+        ts_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
 def q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4 metrics aggregation: per-op event counts + distinct keys."""
     ch = _changes(spark, sf_dir)
@@ -1672,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_agg_view_incremental": q_cdc_agg_view_incremental,
         "cdc_scd2_view_incremental": q_cdc_scd2_view_incremental,
         "cdc_range_read": q_cdc_range_read,
+        "cdc_zorder_read": q_cdc_zorder_read,
         "stream_windowed_op_rates": q_stream_windowed_op_rates,
         "stream_conversation_progress": q_stream_conversation_progress,
         "cdc_op_stats": q_cdc_op_stats,
@@ -2039,6 +2098,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 AND op <> 'D'
               AND commit_ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
                                 AND TIMESTAMP '2024-01-22 00:00:00'
+        """,
+        "cdc_zorder_read": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes)
+            SELECT conv_id, turn_idx, event_type,
+                   round(value, 2) AS val, epoch_us(commit_ts) AS ts_us
+            FROM w
+            WHERE rn = 1 AND op <> 'D'
+              AND commit_ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                                AND TIMESTAMP '2024-01-22 00:00:00'
+              AND round(value, 2) BETWEEN 10.0 AND 60.0
         """,
         "cdc_dedup_incremental": f"""
             WITH changes AS ({_CHANGES_SQL}),

@@ -760,6 +760,7 @@ class LakeTable:
         snapshot_id: int,
         bucket_count: int | None = None,
         key_bloom: bool = False,
+        zorder_by: list[str] | None = None,
     ) -> list[dict]:
         """Write df (must carry BUCKET_COL) partitioned by bucket; return manifest entries.
 
@@ -806,7 +807,25 @@ class LakeTable:
             )
             and self.meta.get("properties", {}).get("write.key-bloom", True)
         )
-        if self.meta.get("properties", {}).get("write.sort-keys", True):
+        zorder_phys: list[str] = []
+        if zorder_by:
+            # Z-order clustering (maintenance rewrites only — see
+            # lakehouse/zorder.py): rows sort by the Morton interleave of
+            # the clustered columns instead of the key sort, so the files
+            # a bucket splits into get per-file min/max boxes selective
+            # on EVERY clustered column; range_filters then prunes on any
+            # of them, not just the leading sort key.
+            from nvimagecodec_spark.lakehouse.zorder import zvalue_expr
+
+            by_name = {c.name: c for c in self.table_schema.live_columns}
+            missing = [c for c in zorder_by if c not in by_name]
+            if missing:
+                raise ValueError(f"zorder_by on unknown column(s) {missing}")
+            zorder_phys = [by_name[c].physical_name for c in zorder_by]
+            staged = staged.sortWithinPartitions(
+                F.col(_PART_DIR_COL), zvalue_expr(staged, zorder_phys)
+            )
+        elif self.meta.get("properties", {}).get("write.sort-keys", True):
             staged = staged.sortWithinPartitions(_PART_DIR_COL, *key_phys)
         # "write.stat-cols": comma-separated LOGICAL column names whose
         # per-file [min,max] is recorded in the manifest alongside the key
@@ -822,6 +841,12 @@ class LakeTable:
             c.physical_name
             for c in self.table_schema.live_columns
             if c.name in stat_logical and c.physical_name not in key_phys
+        ]
+        # z-ordered rewrites record stats for the clustered columns even
+        # when the table property doesn't list them — the layout exists
+        # FOR those per-file ranges
+        stat_phys += [
+            p for p in zorder_phys if p not in stat_phys and p not in key_phys
         ]
         max_rows_per_file = int(props.get("write.max-records-per-file", 5_000_000))
         # Spark's default parquet timestamp encoding is legacy INT96,
@@ -995,6 +1020,7 @@ class LakeTable:
         tag: dict | None = None,
         summary: dict | None = None,
         assumed_files: set[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> Snapshot:
         """Copy-on-write commit: swap out all files of `touched_buckets` for
         the new data files. The merge operator builds `df` = new content of
@@ -1009,7 +1035,7 @@ class LakeTable:
         """
         self.refresh()
         next_id = self.current_snapshot().snapshot_id + 1
-        new_files = self._write_data_files(df, next_id)
+        new_files = self._write_data_files(df, next_id, zorder_by=zorder_by)
         bset = set(touched_buckets)
         extra = sorted({f["bucket"] for f in new_files} - bset)
         if extra:
@@ -1172,6 +1198,7 @@ class LakeTable:
         max_files_per_bucket: int = 1,
         keep_snapshots: int = 10,
         orphan_grace_seconds: int = 72 * 3600,
+        zorder_by: list[str] | None = None,
     ) -> dict:
         """One-call maintenance sweep, in dependency order: fold delta
         layers into base (read amplification), bin-pack fragmented
@@ -1184,7 +1211,9 @@ class LakeTable:
         out["delta_buckets_folded"] = (
             snap.summary.get("compacted_delta_buckets", 0) if snap else 0
         )
-        snap = self.compact(max_files_per_bucket=max_files_per_bucket)
+        snap = self.compact(
+            max_files_per_bucket=max_files_per_bucket, zorder_by=zorder_by
+        )
         out["buckets_compacted"] = (
             snap.summary.get("compacted_buckets", 0) if snap else 0
         )
@@ -1302,18 +1331,39 @@ class LakeTable:
         return self.update_schema(lambda s: s.widen_column(name, spark_type_from_name(type_name)))
 
     # ------------------------------------------------------------ maintenance
-    def compact(self, max_files_per_bucket: int = 1, tag: dict | None = None) -> Snapshot | None:
+    def compact(
+        self,
+        max_files_per_bucket: int = 1,
+        tag: dict | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> Snapshot | None:
         """Rewrite buckets holding more than ``max_files_per_bucket`` live
         files into one file each (Iceberg ``rewrite_data_files`` analog).
         Append-heavy histories fragment buckets; merge commits don't (they
         already replace whole buckets). Metadata + data of untouched
-        buckets carry over by reference; returns None if nothing to do."""
+        buckets carry over by reference; returns None if nothing to do.
+
+        ``zorder_by``: re-CLUSTER instead of just bin-packing — every
+        non-empty bucket is rewritten sorted by the Morton interleave of
+        the given columns (Delta ``OPTIMIZE ZORDER BY`` analog; see
+        lakehouse/zorder.py), and per-file [min,max] for those columns is
+        recorded so ``read(range_filters=)`` prunes on any of them. Set
+        ``write.max-records-per-file`` so buckets split into several
+        stat-disjoint files — one giant file per bucket has nothing to
+        skip."""
         self.refresh()
         snap0 = self.current_snapshot()
         per_bucket: dict[int, int] = {}
         for f in snap0.files:
             per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
-        fragmented = sorted(b for b, n in per_bucket.items() if n > max_files_per_bucket)
+        if zorder_by:
+            # a re-clustering pass rewrites every non-empty bucket: the
+            # point is the LAYOUT, not the file count
+            fragmented = sorted(per_bucket)
+        else:
+            fragmented = sorted(
+                b for b, n in per_bucket.items() if n > max_files_per_bucket
+            )
         if not fragmented:
             return None
         df = self.read(
@@ -1321,12 +1371,16 @@ class LakeTable:
         )
         fset = set(fragmented)
         assumed = {f["path"] for f in snap0.files if f["bucket"] in fset}
+        summary = {"compacted_buckets": len(fragmented)}
+        if zorder_by:
+            summary["zorder_by"] = list(zorder_by)
         return self.replace_buckets(
             fragmented,
             df,
             tag=tag,
-            summary={"compacted_buckets": len(fragmented)},
+            summary=summary,
             assumed_files=assumed,
+            zorder_by=zorder_by,
         )
 
     def export(
