@@ -613,6 +613,41 @@ def q_cdc_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_router_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table fan-out through the REAL router: one change stream
+    split across two lakehouse tables by an envelope predicate
+    (turn_idx parity), each behind its own engine + commit tags
+    (streaming/router.py — parse once, per-table exactly-once). Result =
+    union of both tables' final states labeled by route; the oracle
+    computes the same LWW windows with the parity predicate."""
+    from nvimagecodec_spark.streaming.router import CdcRouter
+
+    ch, t_even = _cdc_table(spark, sf_dir, "nvics-route-even-")
+    _, t_odd = _cdc_table(spark, sf_dir, "nvics-route-odd-")
+    ch = ch.withColumn("src_format", F.lit("fixture"))
+    router = CdcRouter(
+        spark,
+        routes={
+            "even": (t_even, F.col("turn_idx") % 2 == 0),
+            "odd": (t_odd, F.col("turn_idx") % 2 == 1),
+        },
+        source_id="gate-router",
+    )
+    router.apply_epoch(ch, 0)
+
+    def final(table: LakeTable, route: str) -> DataFrame:
+        return table.read_logical().select(
+            F.lit(route).alias("route"),
+            "conv_id",
+            "turn_idx",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            ts_micros(F.col("ts")).alias("ts_us"),
+        )
+
+    return final(t_even, "even").unionByName(final(t_odd, "odd"))
+
+
 def q_cdc_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered range read: after the merge, compact(zorder_by=
     ["ts","val"]) rewrites every bucket sorted by the Morton interleave of
@@ -1731,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_view_incremental": q_cdc_scd2_view_incremental,
         "cdc_range_read": q_cdc_range_read,
         "cdc_zorder_read": q_cdc_zorder_read,
+        "cdc_router_fanout": q_cdc_router_fanout,
         "stream_windowed_op_rates": q_stream_windowed_op_rates,
         "stream_conversation_progress": q_stream_conversation_progress,
         "cdc_op_stats": q_cdc_op_stats,
@@ -2111,6 +2147,16 @@ def oracle_sql() -> dict[str, str]:
               AND commit_ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
                                 AND TIMESTAMP '2024-01-22 00:00:00'
               AND round(value, 2) BETWEEN 10.0 AND 60.0
+        """,
+        "cdc_router_fanout": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes)
+            SELECT CASE WHEN turn_idx % 2 = 0 THEN 'even' ELSE 'odd' END AS route,
+                   conv_id, turn_idx, event_type, round(value, 2) AS value,
+                   epoch_us(commit_ts) AS ts_us
+            FROM w WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_dedup_incremental": f"""
             WITH changes AS ({_CHANGES_SQL}),

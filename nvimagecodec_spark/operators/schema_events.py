@@ -40,6 +40,11 @@ def split_schema_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def apply_schema_events(table: LakeTable, schema_events: DataFrame) -> SchemaApplyResult:
     """Apply S-events to the table in LSN order. Returns applied/rejected."""
+    if "schema_change" not in schema_events.columns:
+        # a parsed stream whose format carries no schema-event channel
+        # (e.g. a snapshot-diff or fixture stream) — nothing to apply,
+        # and selecting the absent column must not fail the epoch
+        return SchemaApplyResult(applied=[], rejected=[])
     rows = (
         schema_events.select("lsn", "schema_change")
         .where(F.col("schema_change").isNotNull())
