@@ -422,6 +422,68 @@ def q_cdc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feeding an INVERTED TEXT INDEX incrementally: the transcript
+    table takes two merge epochs; an IncrementalTextIndex (a posting-list
+    LakeTable keyed (term, conv_id, turn_idx) but BUCKETED ON TERM ALONE —
+    bucket_cols subset bucketing makes a term lookup a one-bucket read)
+    syncs after each epoch via read_changes(with_before=True): new-image
+    terms upsert, (old ∖ new) terms delete, a deleted doc retracts its
+    whole term set. The oracle recomputes term → document-frequency from
+    the FINAL LWW state, so a stale posting surviving a text update, a
+    deleted doc's postings lingering, or a missed new term all break the
+    hash. This is the O(changed-docs) secondary-index maintenance a
+    100-TB corpus under continuous ingest needs (re-tokenizing the world
+    per batch is the anti-pattern). Reference analog: the codec registry
+    index maintained incrementally as plugins register
+    (/root/reference/src/codec_registry.cpp)."""
+    from nvimagecodec_spark.operators.text_index import IncrementalTextIndex
+
+    ch = _changes(spark, sf_dir)
+    text = F.lower(
+        F.concat_ws(
+            " ",
+            F.lit("conv"),
+            F.col("conv_id"),
+            F.lit("turn"),
+            F.col("turn_idx").cast("string"),
+            F.col("event_type"),
+            F.lit("val"),
+            (F.floor(F.abs(F.col("value")) * 10) % 7).cast("long").cast("string"),
+        )
+    )
+    ch = ch.withColumn("after", F.to_json(F.struct(text.alias("text"))))
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nvics-textidx-")
+    _TEMP_DIRS.append(tmp)
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
+    )
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 0)))
+    idx = IncrementalTextIndex.create(
+        spark, os.path.join(tmp, "idx"), table, text_col="text", bucket_count=16
+    )
+    idx.sync(table)
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 1)))
+    idx.sync(table)
+    return (
+        idx.table.read_logical()
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("conv_id").alias("min_conv"),
+            F.max("conv_id").alias("max_conv"),
+            F.max("turn_idx").alias("max_turn"),
+        )
+    )
+
+
 def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension history from the change stream: one row per
     (key, version) with validity bounds, where versions open on tracked-
@@ -1761,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_apply": q_cdc_incremental_apply,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_dedup_incremental": q_cdc_dedup_incremental,
+        "cdc_text_index_incremental": q_cdc_text_index_incremental,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_agg_view_incremental": q_cdc_agg_view_incremental,
         "cdc_scd2_view_incremental": q_cdc_scd2_view_incremental,
@@ -2191,6 +2254,29 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"mh{s}" for s in range(8))},
                    COALESCE(n_sh, 0) AS n_shingles
             FROM final f LEFT JOIN sigs USING (conv_id, turn_idx)
+        """,
+        "cdc_text_index_incremental": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes),
+            final AS (
+              SELECT conv_id, turn_idx,
+                     lower('conv ' || conv_id || ' turn ' || CAST(turn_idx AS VARCHAR)
+                           || ' ' || event_type || ' val '
+                           || CAST(CAST(FLOOR(ABS(value) * 10) AS BIGINT) % 7 AS VARCHAR))
+                         AS text
+              FROM w WHERE rn = 1 AND op <> 'D'
+            ),
+            postings AS (
+              SELECT DISTINCT conv_id, turn_idx, t.term
+              FROM final, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(term)
+              WHERE t.term <> ''
+            )
+            SELECT term, COUNT(*) AS df,
+                   MIN(conv_id) AS min_conv, MAX(conv_id) AS max_conv,
+                   MAX(turn_idx) AS max_turn
+            FROM postings GROUP BY term
         """,
         "cdc_emit_roundtrip": f"""
             WITH changes AS ({_CHANGES_SQL}),

@@ -324,7 +324,20 @@ class LakeTable:
         key_cols: list[str],
         bucket_count: int = 16,
         properties: dict | None = None,
+        bucket_cols: list[str] | None = None,
     ) -> "LakeTable":
+        """``bucket_cols``: hash-bucket on a SUBSET of the key (Iceberg
+        bucket-partition-on-any-column analog). Default = the full key.
+        The use case is a secondary-index table whose uniqueness key is
+        (term, doc) but whose access path is term-only: bucketing on
+        ``term`` alone makes a term lookup a one-bucket read while the
+        merge still upserts per (term, doc)."""
+        if bucket_cols:
+            extra = [c for c in bucket_cols if c not in key_cols]
+            if extra:
+                raise ValueError(
+                    f"bucket_cols must be a subset of key_cols; got {extra}"
+                )
         t = cls(spark, path)
         os.makedirs(t._metadata_dir, exist_ok=False)
         os.makedirs(t._data_dir, exist_ok=True)
@@ -334,6 +347,7 @@ class LakeTable:
             "table_uuid": str(uuid.uuid4()),
             "location": t.path,
             "key_cols": key_cols,
+            "bucket_cols": list(bucket_cols) if bucket_cols else list(key_cols),
             "bucket_count": bucket_count,
             "properties": properties or {},
             "schemas": [tschema.to_dict()],
@@ -431,6 +445,11 @@ class LakeTable:
     @property
     def bucket_count(self) -> int:
         return int(self.meta["bucket_count"])
+
+    @property
+    def bucket_cols(self) -> list[str]:
+        # pre-bucket_cols metadata (older tables) bucketed on the full key
+        return list(self.meta.get("bucket_cols") or self.meta["key_cols"])
 
     @property
     def table_schema(self) -> TableSchema:
@@ -572,7 +591,7 @@ class LakeTable:
         here — a forked copy that drifts would silently read/write the
         wrong bucket."""
         return F.pmod(
-            F.xxhash64(*[F.col(c) for c in self.key_cols]),
+            F.xxhash64(*[F.col(c) for c in self.bucket_cols]),
             F.lit(count or self.bucket_count),
         ).cast("int")
 
