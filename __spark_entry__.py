@@ -152,6 +152,55 @@ def q_cdc_engine_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_patch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL after-image apply (Debezium/Mongo $set-style patches):
+    epoch 1 merges the full-image stream; epoch 2 sends ONE patch/delete
+    per key carrying only the touched fields — event_type-only patches,
+    an EXPLICIT-NULL value patch (absence != null; presence detected via
+    json_object_keys in both engines), a two-field patch, and deletes.
+    ``expand_patches`` resolves patches per FIELD with combinable max
+    aggregations and fills unspecified columns from a bucket-pruned read
+    of the live rows, so unpatched columns must survive verbatim — a
+    patch that clobbers a column it never named, or a resurrect of a
+    deleted key, breaks the hash. Reference analog: per-sample parameter
+    structs where unset fields keep their prior value
+    (/root/reference/include/nvimgcodec.h decode-params defaulting)."""
+    from nvimagecodec_spark.operators.patch import expand_patches
+
+    ch, table = _cdc_table(spark, sf_dir, "nvics-patch-")
+    merge_into(table, lww_dedupe(ch))
+    keys = ch.select("conv_id", "turn_idx").distinct()
+    g = F.pmod(F.col("conv_id").cast("long") * 7 + F.col("turn_idx"), F.lit(5))
+    patches = keys.select(
+        "conv_id",
+        "turn_idx",
+        F.when(g == 3, "D").otherwise("P").alias("op"),
+        F.when(g == 0, F.lit('{"event_type":"patched"}'))
+        .when(g == 1, F.lit('{"value":null}'))
+        .when(
+            g == 2,
+            F.concat(
+                F.lit('{"event_type":"both","value":'),
+                (F.col("turn_idx") / 10.0).cast("string"),
+                F.lit("}"),
+            ),
+        )
+        .alias("after"),
+        (F.lit(4_000_000_000_000_000) + F.col("turn_idx")).alias("lsn"),
+        F.lit("2026-02-01 00:00:00").cast("timestamp").alias("commit_ts"),
+        F.lit("patches").alias("src_file"),
+        F.col("turn_idx").cast("long").alias("src_offset"),
+    ).where(g != 4)
+    merge_into(table, expand_patches(table, patches))
+    return table.read_logical().select(
+        "conv_id",
+        "turn_idx",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        ts_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
 def q_cdc_enriched_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-dim ENRICHMENT through the real apply path: the table carries
     a `user_tier` column the wire payload doesn't — a broadcast dimension
@@ -1816,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": q_cdc_lww_final_state,
         "cdc_engine_apply": q_cdc_engine_apply,
+        "cdc_patch_apply": q_cdc_patch_apply,
         "cdc_enriched_apply": q_cdc_enriched_apply,
         "cdc_mor_apply": q_cdc_mor_apply,
         "cdc_schema_drop": q_cdc_schema_drop,
@@ -2027,6 +2077,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, event_type, round(value, 2) AS value,
                    epoch_us(commit_ts) AS ts_us
             FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_patch_apply": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes),
+            base AS (SELECT conv_id, turn_idx, event_type, value,
+                            epoch_us(commit_ts) AS ts_us
+                     FROM w WHERE rn = 1 AND op <> 'D'),
+            g AS (SELECT *, (CAST(conv_id AS BIGINT) * 7 + turn_idx) % 5 AS grp
+                  FROM base)
+            SELECT conv_id, turn_idx,
+                   CASE WHEN grp = 0 THEN 'patched'
+                        WHEN grp = 2 THEN 'both'
+                        ELSE event_type END AS event_type,
+                   ROUND(CASE WHEN grp = 1 THEN NULL
+                              WHEN grp = 2 THEN turn_idx / 10.0
+                              ELSE value END, 2) AS value,
+                   ts_us
+            FROM g WHERE grp <> 3
         """,
         "cdc_enriched_apply": f"""
             WITH changes AS ({_CHANGES_SQL}),
