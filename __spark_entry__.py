@@ -1418,6 +1418,39 @@ def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def q_docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language PREFIX sample to an exact char budget: docs taken in
+    md5-hash order while the running n_chars total stays ≤ 30k. The
+    banded implementation classifies 256 hash bands from a combinable
+    histogram and pays the running-sum window ONLY inside the single
+    cutoff band (~1/256 of each group) — the oracle is the naive global
+    window, so band classification must reproduce it row-for-row."""
+    from nvimagecodec_spark.operators.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs, 30_000, tokens_col="n_chars", group_col="lang", seed=7
+    ).select("doc_id", "lang", "n_chars")
+
+
+def _token_budget_sql() -> str:
+    from nvimagecodec_spark.operators.sampling import draw_sql
+
+    return f"""
+        WITH d AS (
+          SELECT doc_id, lang, n_chars, {draw_sql('doc_id', 7)} AS draw
+          FROM documents
+        ),
+        r AS (
+          SELECT *, SUM(COALESCE(n_chars, 0)) OVER (
+                   PARTITION BY lang ORDER BY draw, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS run
+          FROM d
+        )
+        SELECT doc_id, lang, n_chars FROM r WHERE run <= 30000
+    """
+
+
 def q_docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by hash-line segmentation:
     disjoint, exhaustive, stable under reruns and repartitioning."""
@@ -1912,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_lsh_gated": q_docs_jaccard_lsh_gated,
         "docs_neardup_clusters": q_docs_neardup_clusters,
         "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_token_budget": q_docs_token_budget,
         "docs_hash_split": q_docs_hash_split,
         "docs_domain_mixture": q_docs_domain_mixture,
         "docs_pack_sequences": q_docs_pack_sequences,
@@ -2773,6 +2807,7 @@ def oracle_sql() -> dict[str, str]:
         """.format(jx=sql_roundn("n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared)", 4)),
         "docs_jaccard_lsh_gated": _JACCARD_LSH_GATED_SQL,
         "docs_stratified_sample": _stratified_sample_sql(),
+        "docs_token_budget": _token_budget_sql(),
         "docs_hash_split": _hash_split_sql(),
         "docs_domain_mixture": rf"""
             WITH per AS (

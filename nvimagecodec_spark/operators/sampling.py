@@ -117,6 +117,87 @@ def split_case_sql(
     return " ".join(parts)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    band_chars: int = 2,
+) -> DataFrame:
+    """Deterministic PREFIX sample up to a token budget (per group):
+    order docs by their md5 draw, take them while the running token
+    total stays ≤ ``budget``; the first overflowing doc and everything
+    after it are dropped. This is how a training run takes "exactly 2B
+    tokens of code, 500M of forums" out of a 100-TB corpus — Bernoulli
+    rates only hit a budget in expectation; the prefix hits it exactly,
+    and the hash order makes the chosen set independent of partitioning.
+
+    Scale shape — the naive formulation is a running-sum window over
+    every row, which serializes each group into one task (a 10-TB
+    'web' domain = one sort on one executor). Instead:
+
+    1. Band each row by the first ``band_chars`` hex chars of its draw
+       (256 bands): fixed-width hex sorts numerically, so bands are
+       contiguous slices of the global hash order.
+    2. ONE combinable groupBy builds the (group, band) token histogram
+       — ≤ 256 rows per group — and a window over that tiny frame
+       classifies each band: fully inside the budget, fully beyond it,
+       or the single CUTOFF band where the budget crosses.
+    3. The histogram broadcast-joins back: full bands pass with no
+       sort at all, dropped bands vanish, and only the cutoff band
+       (~1/256 of the group) pays the exact running-sum window.
+
+    Null token counts cost 0 (kept for free). Ties in the 32-bit draw
+    break on ``id_col``. Reference analog: bounded batch admission —
+    items admitted in arrival order until the batch budget is reached
+    (/root/reference/src/image_generic_codec.h:1018-1049 batch sizing).
+    """
+    from pyspark.sql.window import Window
+
+    grp = group_col or "_tbs_all"
+    out_cols = [F.col(c) for c in df.columns]
+    base = df
+    if group_col is None:
+        base = base.withColumn(grp, F.lit("all"))
+    draw = _draw(id_col, seed)
+    toks = F.coalesce(F.col(tokens_col), F.lit(0)).cast("long")
+    base = base.withColumn("_tbs_draw", draw).withColumn(
+        "_tbs_band", F.substring(draw, 1, band_chars)
+    )
+    hist = base.groupBy(grp, "_tbs_band").agg(F.sum(toks).alias("_bsum"))
+    wb = (
+        Window.partitionBy(grp)
+        .orderBy("_tbs_band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.withColumn(
+        "_before", F.coalesce(F.sum("_bsum").over(wb), F.lit(0))
+    ).select(
+        grp,
+        "_tbs_band",
+        "_before",
+        F.when(F.col("_before") + F.col("_bsum") <= budget, F.lit("full"))
+        .when(F.col("_before") >= budget, F.lit("drop"))
+        .otherwise(F.lit("cut"))
+        .alias("_cls"),
+    )
+    tagged = base.join(F.broadcast(hist), [grp, "_tbs_band"])
+    full = tagged.where(F.col("_cls") == "full")
+    wr = (
+        Window.partitionBy(grp)
+        .orderBy("_tbs_draw", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cut = (
+        tagged.where(F.col("_cls") == "cut")
+        .withColumn("_run", F.col("_before") + F.sum(toks).over(wr))
+        .where(F.col("_run") <= budget)
+    )
+    return full.select(*out_cols).unionByName(cut.select(*out_cols))
+
+
 def domain_mixture(
     df: DataFrame,
     domain_col: str = "source",

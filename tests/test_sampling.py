@@ -70,3 +70,76 @@ def test_hex_threshold_edges():
     assert hex_threshold(0.5) == "80000000"
     # monotone
     assert hex_threshold(0.1) < hex_threshold(0.2) < hex_threshold(0.99) < "g"
+
+
+# ------------------------------------------------------- token_budget_sample
+
+def _naive_budget(spark_rows, budget, by_group=True):
+    """Reference: global hash-order prefix per group (driver replay)."""
+    import hashlib
+
+    def draw(doc_id):
+        return hashlib.md5(f"{doc_id}:7".encode()).hexdigest()[:8]
+
+    sel = set()
+    groups = {}
+    for r in spark_rows:
+        groups.setdefault(r["lang"] if by_group else "all", []).append(r)
+    for g, rows in groups.items():
+        run = 0
+        for r in sorted(rows, key=lambda r: (draw(r["doc_id"]), r["doc_id"])):
+            cost = r["n_chars"] or 0
+            if run + cost > budget:
+                break
+            run += cost
+            sel.add(r["doc_id"])
+    return sel
+
+
+@pytest.mark.parametrize("budget", [0, 1, 5_000, 40_000, 10**12])
+def test_token_budget_prefix_matches_naive(spark, budget):
+    from nvimagecodec_spark.operators.sampling import token_budget_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = docs.select("doc_id", "lang", "n_chars").collect()
+    got = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            docs, budget, tokens_col="n_chars", group_col="lang"
+        ).collect()
+    }
+    assert got == _naive_budget(rows, budget)
+
+
+def test_token_budget_invariant_to_partitioning_and_band_width(spark):
+    from nvimagecodec_spark.operators.sampling import token_budget_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {
+        r["doc_id"]
+        for r in token_budget_sample(docs, 30_000, "n_chars", "lang").collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            docs.repartition(13, "source"), 30_000, "n_chars", "lang", band_chars=1
+        ).collect()
+    }
+    assert a == b and a
+
+
+def test_token_budget_global_group_and_null_cost(spark):
+    from nvimagecodec_spark.operators.sampling import token_budget_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None)).otherwise(F.col("n_chars")),
+    )
+    rows = docs.select("doc_id", "lang", "n_chars").collect()
+    got = {
+        r["doc_id"]
+        for r in token_budget_sample(docs, 20_000, tokens_col="n_chars").collect()
+    }
+    assert got == _naive_budget(rows, 20_000, by_group=False)
+    # null-cost docs that land inside the prefix are kept for free
+    assert any(d % 11 == 0 for d in got)
