@@ -533,6 +533,84 @@ def q_cdc_text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS near-dup detection, fully incremental: documents flow
+    through CDC into a base table; an IncrementalDedupIndex keeps MinHash
+    signatures (O(changed docs) per sync); an LshBandIndex keeps the band
+    postings as a (band,bkey)-bucketed LakeTable (index-over-an-index —
+    both syncs are read_changes consumers). Epoch 2 rewrites every 17th
+    doc's text to its successor's (planting exact dups), deletes every
+    23rd-residue-5 doc, and the final candidate pairs are computed FROM
+    THE MAINTAINED POSTINGS — a stale band surviving a text update, a
+    deleted doc's postings lingering, or a missed new collision all break
+    the oracle, which recomputes MinHash banding from the final document
+    state in pure SQL. This is the 100-TB shape: nothing here ever
+    re-minhashes unchanged docs or self-joins the whole corpus per epoch.
+    Reference analog: incremental registry maintenance vs per-call rescan
+    (/root/reference/src/codec_registry.cpp)."""
+    from nvimagecodec_spark.operators.incremental_dedup import (
+        IncrementalDedupIndex,
+        LshBandIndex,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nvics-neardup-")
+    _TEMP_DIRS.append(tmp)
+    table = LakeTable.create(spark, os.path.join(tmp, "t"), schema, ["doc_id"], bucket_count=8)
+    env = {
+        "commit_ts": F.lit("2026-01-01 00:00:00").cast("timestamp"),
+        "src_file": F.lit("docs"),
+        "src_offset": F.col("lsn"),
+    }
+    ep1 = docs.select(
+        "doc_id",
+        F.lit("I").alias("op"),
+        F.to_json(F.struct(F.col("text"))).alias("after"),
+        F.col("doc_id").alias("lsn"),
+    ).withColumns(env)
+    merge_into(table, lww_dedupe(ep1, key_cols=["doc_id"]))
+    sig = IncrementalDedupIndex.create(
+        spark, os.path.join(tmp, "sig"), table, n_hashes=8, shingle_n=3
+    )
+    sig.sync(table)
+    band = LshBandIndex.create(
+        spark, os.path.join(tmp, "band"), sig, rows_per_band=2, bucket_count=16
+    )
+    band.sync(sig)
+    nxt = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_nt"))
+    upd = (
+        docs.join(nxt, "doc_id")
+        .where((F.col("doc_id") % 17 == 0) & (F.col("doc_id") % 23 != 5))
+        .select(
+            "doc_id",
+            F.lit("U").alias("op"),
+            F.to_json(F.struct(F.col("_nt").alias("text"))).alias("after"),
+            (F.col("doc_id") + 1_000_000).alias("lsn"),
+        )
+    )
+    dels = docs.where(F.col("doc_id") % 23 == 5).select(
+        "doc_id",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("after"),
+        (F.col("doc_id") + 1_000_000).alias("lsn"),
+    )
+    merge_into(table, lww_dedupe(upd.unionByName(dels).withColumns(env), key_cols=["doc_id"]))
+    sig.sync(table)
+    band.sync(sig)
+    # doc_key pairs order LEXICOGRAPHICALLY ("10" < "9"); the oracle
+    # orders numerically — re-normalize the unordered pair after the cast
+    a, b = F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
+    return band.pairs().select(
+        F.least(a, b).alias("doc_a"), F.greatest(a, b).alias("doc_b"), "n_bands"
+    )
+
+
 def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension history from the change stream: one row per
     (key, version) with validity bounds, where versions open on tracked-
@@ -1906,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_apply": q_cdc_incremental_apply,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_dedup_incremental": q_cdc_dedup_incremental,
+        "cdc_neardup_incremental": q_cdc_neardup_incremental,
         "cdc_text_index_incremental": q_cdc_text_index_incremental,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_agg_view_incremental": q_cdc_agg_view_incremental,
@@ -2019,6 +2098,41 @@ _LSH_PAIRS_SQL = (
     + ", sigs AS (SELECT doc_id, "
     + ", ".join(f"min({_h32(s, 'shingle')}) AS mh{s}" for s in range(8))
     + " FROM sh GROUP BY doc_id), banded AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id AS doc, {b} AS band, "
+        f"CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR) AS bkey FROM sigs"
+        for b in range(4)
+    )
+    + ") SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_bands"
+    " FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc"
+    " GROUP BY a.doc, b.doc"
+)
+
+# cdc_neardup_incremental: MinHash banding recomputed from the FINAL doc
+# state after the update/delete epoch (every 17th doc takes its
+# successor's text unless deleted; every 23rd-residue-5 doc deleted)
+_NEARDUP_INCR_SQL = (
+    r"""
+WITH final AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 17 = 0 AND d.doc_id % 23 <> 5
+                   AND n.text IS NOT NULL
+              THEN n.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 23 <> 5
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM final
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 3
+),
+sigs AS (SELECT doc_id, """
+    + ", ".join(f"min({_h32(s, 'shingle')}) AS mh{s}" for s in range(8))
+    + "  FROM sh GROUP BY doc_id), banded AS ("
     + " UNION ALL ".join(
         f"SELECT doc_id AS doc, {b} AS band, "
         f"CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR) AS bkey FROM sigs"
@@ -2789,6 +2903,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_minhash_signatures": _MINHASH_SIG_SQL,
         "docs_minhash_lsh_pairs": _LSH_PAIRS_SQL,
+        "cdc_neardup_incremental": _NEARDUP_INCR_SQL,
         "docs_ngram_jaccard_pairs": "WITH "
         + _SHINGLES_SQL
         + """,

@@ -244,3 +244,258 @@ class IncrementalDedupIndex:
             rows_per_band=rows_per_band,
             id_col="doc_key",
         )
+
+
+class LshBandIndex:
+    """Persisted LSH band-bucket index over an IncrementalDedupIndex.
+
+    ``IncrementalDedupIndex.pairs()`` re-runs the banding self-join over
+    the WHOLE signature table — O(corpus) per call, the one remaining
+    full-scan in the continuous-dedup loop. This index persists the band
+    postings as a LakeTable keyed ``(band, bkey, doc_key)`` but BUCKETED
+    ON ``(band, bkey)`` (subset bucketing), so asking "which existing
+    docs collide with THESE changed docs" reads only the buckets their
+    band keys hash to — O(changed × bucket) instead of O(corpus).
+
+    It is an index-over-an-index: the signature store is itself a
+    LakeTable, so band maintenance is just another ``read_changes``
+    consumer — before-image signatures retract their old band rows,
+    after-images insert new ones, a deleted doc drops its whole band set.
+    Every engine guarantee (exactly-once tags, LWW ordering, atomic
+    commits, time travel) carries over unchanged.
+
+    Reference analog: the codec registry's by-format lookup structure,
+    updated incrementally as plugins register rather than rescanned per
+    call (/root/reference/src/codec_registry.cpp + S9 directory scan).
+    """
+
+    SOURCE_ID = "lsh-band-sync"
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.table = LakeTable(spark, path)
+        props = self.table.meta.get("properties", {})
+        self.n_hashes = int(props["lsh.n-hashes"])
+        self.rows_per_band = int(props["lsh.rows-per-band"])
+        self.bands = self.n_hashes // self.rows_per_band
+        self.sig_keys = props["lsh.sig-keys"].split(",")
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        sig_index: IncrementalDedupIndex,
+        rows_per_band: int = 2,
+        bucket_count: int = 32,
+    ) -> "LshBandIndex":
+        schema = T.StructType(
+            [
+                T.StructField("band", T.IntegerType()),
+                T.StructField("bkey", T.StringType()),
+                T.StructField("doc_key", T.StringType()),
+            ]
+        )
+        LakeTable.create(
+            spark,
+            path,
+            schema,
+            key_cols=["band", "bkey", "doc_key"],
+            bucket_cols=["band", "bkey"],
+            bucket_count=bucket_count,
+            properties={
+                "lsh.n-hashes": str(sig_index.n_hashes),
+                "lsh.rows-per-band": str(rows_per_band),
+                "lsh.sig-keys": ",".join(sig_index.table.key_cols),
+            },
+        )
+        return cls(spark, path)
+
+    # ------------------------------------------------------------- helpers
+    def _band_array(self, prefix: str) -> F.Column:
+        """array<struct<band,bkey>> of a signature row read under column
+        prefix '' (after-image) or 'before_' (before-image). A row whose
+        ``n_shingles`` is 0/null has NULL minhashes — concat_ws would
+        silently skip them and collide every such doc on the empty bkey,
+        so shingle-less rows get an EMPTY band set instead."""
+        rpb = self.rows_per_band
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(f"{prefix}mh{b * rpb + r}").cast("string")
+                            for r in range(rpb)
+                        ],
+                    ).alias("bkey"),
+                )
+                for b in range(self.bands)
+            ]
+        )
+        gate = F.coalesce(F.col(f"{prefix}n_shingles"), F.lit(0)) > 0
+        empty = F.array().cast("array<struct<band:int,bkey:string>>")
+        return F.when(gate, arr).otherwise(empty)
+
+    def _doc_key(self, prefix: str = "") -> F.Column:
+        return F.concat_ws(
+            "|", *[F.col(f"{prefix}{k}").cast("string") for k in self.sig_keys]
+        )
+
+    # ---------------------------------------------------------------- sync
+    def last_synced_sig_snapshot(self) -> int | None:
+        ids = [
+            s["tag"]["batch_id"]
+            for s in self.table.meta["snapshots"]
+            if s.get("tag", {}) and s["tag"].get("source_id") == self.SOURCE_ID
+        ]
+        ids += [
+            b for (src, b) in self.table.meta.get("expired_tags", []) if src == self.SOURCE_ID
+        ]
+        return max(ids) if ids else None
+
+    def sync(self, sig_index: IncrementalDedupIndex, to_id: int | None = None) -> MergeResult:
+        """Fold signature-table changes since the last sync into the band
+        postings. Cursor, bootstrap, and replay rules mirror
+        ``IncrementalDedupIndex.sync`` (tag = sig-table snapshot id)."""
+        sig = sig_index.table
+        head = sig.current_snapshot().snapshot_id
+        to_id = head if to_id is None else to_id
+        from_id = self.last_synced_sig_snapshot()
+        if from_id is not None:
+            if to_id == from_id:
+                return MergeResult(None, [], 0, 0, 0.0, "noop")
+            if to_id < from_id:
+                raise ValueError(
+                    f"sync target snapshot {to_id} is older than last synced {from_id}"
+                )
+            changes = read_changes(sig, from_id, to_id, with_before=True)
+        else:
+            oldest = sig.history()[0]
+            if oldest.operation == "create":
+                changes = read_changes(sig, oldest.snapshot_id, to_id, with_before=True)
+            else:
+                df = sig.read(snapshot_id=to_id, with_system=True)
+                live = df.where(~F.coalesce(F.col("_sys_deleted"), F.lit(False)))
+                payload = [
+                    f.name for f in sig.schema().fields if f.name not in sig.key_cols
+                ]
+                changes = live.select(
+                    F.lit("I").alias("op"),
+                    *sig.key_cols,
+                    *payload,
+                    *[F.lit(None).cast("string").alias(f"before_{c}") for c in payload],
+                    F.col("_sys_lsn").alias("lsn"),
+                    F.col("_sys_cts").alias("commit_ts"),
+                )
+        new_bands = F.when(
+            F.col("op") != "D", self._band_array("")
+        ).otherwise(F.array().cast("array<struct<band:int,bkey:string>>"))
+        staged = changes.select(
+            self._doc_key().alias("doc_key"),
+            "lsn",
+            "commit_ts",
+            new_bands.alias("_new"),
+            self._band_array("before_").alias("_old"),
+        )
+        inserts = staged.select(
+            "doc_key", "lsn", "commit_ts", F.explode("_new").alias("bb"), F.lit("I").alias("op")
+        )
+        deletes = staged.select(
+            "doc_key",
+            "lsn",
+            "commit_ts",
+            F.explode(F.array_except(F.col("_old"), F.col("_new"))).alias("bb"),
+            F.lit("D").alias("op"),
+        )
+        batch = (
+            inserts.unionByName(deletes)
+            .select(
+                F.col("bb.band").alias("band"),
+                F.col("bb.bkey").alias("bkey"),
+                "doc_key",
+                "op",
+                "lsn",
+                "commit_ts",
+                F.when(F.col("op") != "D", F.lit("{}")).alias("after"),
+            )
+            .withColumn("src_file", F.lit(self.SOURCE_ID))
+            .withColumn("src_offset", F.lit(to_id).cast("long"))
+        )
+        return merge_into(
+            self.table, batch, tag={"source_id": self.SOURCE_ID, "batch_id": to_id}
+        )
+
+    # ------------------------------------------------------------- queries
+    def pairs(self) -> DataFrame:
+        """ALL candidate pairs from the persisted postings (parity
+        surface vs ``IncrementalDedupIndex.pairs()`` — tests only; the
+        scale path is ``candidates_for``)."""
+        rows = self.table.read_logical()
+        a, b = rows.alias("a"), rows.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_key") < F.col("b.doc_key")),
+            )
+            .groupBy(F.col("a.doc_key").alias("doc_a"), F.col("b.doc_key").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_bands"))
+        )
+
+    def candidates_for(
+        self, sig_index: IncrementalDedupIndex, probe_keys: DataFrame
+    ) -> DataFrame:
+        """Near-dup candidates TOUCHING the probe docs — the steady-state
+        question after each sync ("does anything just ingested duplicate
+        the corpus?").
+
+        Plan shape: the probes' signatures come from a bucket-pruned read
+        of the signature table (probe keys broadcast); their band rows
+        then prune the band table to ONLY the buckets those (band, bkey)
+        hash to — at 32 probe docs × 4 bands that is ≤128 of the corpus'
+        band buckets regardless of corpus size. Output: (doc_a, doc_b,
+        n_bands), doc_a < doc_b, at least one side a probe;
+        probe-vs-probe pairs are counted once (bands deduped, not
+        double-counted from both probe directions).
+        """
+        sig = sig_index.table
+        keys = list(sig.key_cols)
+        sbuckets = sorted(
+            r["b"]
+            for r in probe_keys.select(sig.bucket_expr(probe_keys).alias("b"))
+            .distinct()
+            .collect()
+        )
+        probes = sig.read_logical(buckets=sbuckets).join(
+            F.broadcast(probe_keys.select(*keys).distinct()), keys
+        )
+        probe_bands = (
+            probes.where(F.col("n_shingles") > 0)
+            .select(self._doc_key().alias("doc_key"), F.explode(self._band_array("")).alias("bb"))
+            .select("doc_key", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        )
+        bbuckets = sorted(
+            r["b"]
+            for r in probe_bands.select(self.table.bucket_expr(probe_bands).alias("b"))
+            .distinct()
+            .collect()
+        )
+        postings = self.table.read_logical(buckets=bbuckets)
+        p = F.broadcast(probe_bands).alias("p")
+        o = postings.alias("o")
+        hits = p.join(
+            o,
+            (F.col("p.band") == F.col("o.band"))
+            & (F.col("p.bkey") == F.col("o.bkey"))
+            & (F.col("p.doc_key") != F.col("o.doc_key")),
+        ).select(
+            F.least(F.col("p.doc_key"), F.col("o.doc_key")).alias("doc_a"),
+            F.greatest(F.col("p.doc_key"), F.col("o.doc_key")).alias("doc_b"),
+            F.col("p.band").alias("band"),
+        )
+        return hits.groupBy("doc_a", "doc_b").agg(
+            F.count_distinct(F.col("band")).alias("n_bands")
+        )
