@@ -201,6 +201,30 @@ def q_cdc_patch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_constraints_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints at the apply gate (ANSI semantics: NULL passes,
+    only explicit FALSE rejects; deletes bypass payload checks): winners
+    with value < 0.25 are withheld from the merge — on this single-epoch
+    load the key simply never materializes — and the oracle recomputes
+    the LWW final state with the same predicate. A constraint that
+    accidentally dropped deletes, rejected NULLs, or let one violating
+    winner through breaks the hash. Reference analog: per-sample status
+    latching — a failed sample never silently disappears
+    (/root/reference/src/processing_results.cpp:30-48)."""
+    from nvimagecodec_spark.operators.validate import validate_batch
+
+    ch, table = _cdc_table(spark, sf_dir, "nvics-check-")
+    ok, _bad = validate_batch(table, lww_dedupe(ch), {"value_min": "value >= 0.25"})
+    merge_into(table, ok)
+    return table.read_logical().select(
+        "conv_id",
+        "turn_idx",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        ts_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
 def q_cdc_enriched_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-dim ENRICHMENT through the real apply path: the table carries
     a `user_tier` column the wire payload doesn't — a broadcast dimension
@@ -1977,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_final_state": q_cdc_lww_final_state,
         "cdc_engine_apply": q_cdc_engine_apply,
         "cdc_patch_apply": q_cdc_patch_apply,
+        "cdc_constraints_apply": q_cdc_constraints_apply,
         "cdc_enriched_apply": q_cdc_enriched_apply,
         "cdc_mor_apply": q_cdc_mor_apply,
         "cdc_schema_drop": q_cdc_schema_drop,
@@ -2245,6 +2270,16 @@ def oracle_sql() -> dict[str, str]:
                               ELSE value END, 2) AS value,
                    ts_us
             FROM g WHERE grp <> 3
+        """,
+        "cdc_constraints_apply": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes)
+            SELECT conv_id, turn_idx, event_type, round(value, 2) AS value,
+                   epoch_us(commit_ts) AS ts_us
+            FROM w WHERE rn = 1 AND op <> 'D'
+              AND (value >= 0.25 OR value IS NULL)
         """,
         "cdc_enriched_apply": f"""
             WITH changes AS ({_CHANGES_SQL}),

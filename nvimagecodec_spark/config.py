@@ -76,6 +76,16 @@ class EngineConfig:
     max_batch_events: int = 50_000_000
     shuffle_partitions: int = 32
     dead_letter_dir: str | None = None
+    # CHECK constraints enforced at the apply gate: name -> SQL boolean
+    # over the table's logical columns, ANSI semantics (NULL passes;
+    # only explicit FALSE rejects). Violating POST-LWW winners are
+    # withheld from the merge — the table keeps its current value for
+    # that key — counted in lineage, and (when a sink dir is set)
+    # preserved under constraint_violation_dir partitioned by
+    # (source_id, batch_id) with dynamic overwrite, exactly-once like
+    # the dead-letter sink. See operators/validate.py.
+    constraints: dict | None = None
+    constraint_violation_dir: str | None = None
     # Merge-on-read mode: epochs layer delta files over the base instead
     # of copy-on-write rewriting every touched bucket — the write-
     # amplification answer for the steady-state regime of small batches

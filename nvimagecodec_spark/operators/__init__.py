@@ -10,11 +10,21 @@ from nvimagecodec_spark.operators.multimodal import (
 )
 from nvimagecodec_spark.operators.dedup import neardup_clusters
 from nvimagecodec_spark.operators.agg_view import IncrementalAggView
-from nvimagecodec_spark.operators.incremental_dedup import IncrementalDedupIndex
+from nvimagecodec_spark.operators.incremental_dedup import (
+    IncrementalDedupIndex,
+    LshBandIndex,
+)
+from nvimagecodec_spark.operators.text_index import IncrementalTextIndex
+from nvimagecodec_spark.operators.patch import expand_patches
+from nvimagecodec_spark.operators.validate import validate_batch
 from nvimagecodec_spark.operators.scd2 import Scd2View, scd2_history
 from nvimagecodec_spark.operators.packing import pack_sequences
 from nvimagecodec_spark.operators.rangejoin import interval_join
-from nvimagecodec_spark.operators.sampling import hash_split, stratified_sample
+from nvimagecodec_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
+    token_budget_sample,
+)
 from nvimagecodec_spark.operators.similarity import quantize_embeddings
 from nvimagecodec_spark.operators.text import (
     chunk_tokens,
@@ -48,6 +58,11 @@ __all__ = [
     "unigram_logloss",
     "neardup_clusters",
     "IncrementalDedupIndex",
+    "LshBandIndex",
+    "IncrementalTextIndex",
+    "expand_patches",
+    "validate_batch",
+    "token_budget_sample",
     "IncrementalAggView",
     "scd2_history",
     "Scd2View",

@@ -338,6 +338,35 @@ class CdcEngine:
         else:
             deduped = lww_dedupe(data)
 
+        n_violations = 0
+        if self.config.constraints:
+            from nvimagecodec_spark.operators.validate import validate_batch
+
+            deduped, violations = validate_batch(
+                self.table, deduped, self.config.constraints
+            )
+            # violations are the exception path: persist the (small) frame
+            # so the count and the sink write share one computation
+            violations = violations.persist()
+            try:
+                n_violations = violations.count()
+                if n_violations and self.config.constraint_violation_dir:
+                    (
+                        violations.withColumns(
+                            {
+                                "source_id": F.lit(self.source_id),
+                                "batch_id": F.lit(batch_id),
+                            }
+                        )
+                        .coalesce(1 if n_violations <= 50_000 else 8)
+                        .write.partitionBy("source_id", "batch_id")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .mode("overwrite")
+                        .parquet(self.config.constraint_violation_dir)
+                    )
+            finally:
+                violations.unpersist()
+
         if self.config.mor_deltas is True:
             # merge-on-read, unconditionally: O(batch) delta layering
             res = merge_into_delta(
@@ -440,6 +469,7 @@ class CdcEngine:
                 "schema_applied": schema_res.applied,
                 "schema_rejected": schema_res.rejected,
                 "dead_letters": n_dead,
+                "constraint_violations": n_violations,
                 "partitions": partitions,
                 "partitions_truncated": truncated,
                 "duration_sec": round(duration, 3),
