@@ -225,6 +225,34 @@ def q_cdc_constraints_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH through the gate: epoch 1 merges normally;
+    epoch 2 is STAGED (files written, zero reader visibility — asserted:
+    the pre-publish read must equal epoch 1's state), audited via
+    read_staged, then atomically published with an exactly-once tag. The
+    final state must equal plain LWW over both epochs — a publish that
+    dropped staged files, double-applied them, or leaked the stage early
+    breaks either the inline assert or the oracle hash. Reference analog:
+    results visible only after the explicit synchronize-and-publish step
+    (/root/reference/src/image_generic_codec.h:605-638)."""
+    ch, table = _cdc_table(spark, sf_dir, "nvics-wap-")
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 0)))
+    pre = table.current_snapshot().snapshot_id
+    r = merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 1)), staged=True)
+    assert r.staged_id is not None
+    if table.current_snapshot().snapshot_id != pre:  # staging must not commit
+        raise AssertionError("staging advanced the snapshot chain")
+    table.read_staged(r.staged_id).limit(1).collect()  # audit surface runs
+    table.publish_staged(r.staged_id, tag={"source_id": "wap", "batch_id": 2})
+    return table.read_logical().select(
+        "conv_id",
+        "turn_idx",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        ts_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
 def q_cdc_enriched_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-dim ENRICHMENT through the real apply path: the table carries
     a `user_tier` column the wire payload doesn't — a broadcast dimension
@@ -2002,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_apply": q_cdc_engine_apply,
         "cdc_patch_apply": q_cdc_patch_apply,
         "cdc_constraints_apply": q_cdc_constraints_apply,
+        "cdc_wap_publish": q_cdc_wap_publish,
         "cdc_enriched_apply": q_cdc_enriched_apply,
         "cdc_mor_apply": q_cdc_mor_apply,
         "cdc_schema_drop": q_cdc_schema_drop,
@@ -2270,6 +2299,15 @@ def oracle_sql() -> dict[str, str]:
                               ELSE value END, 2) AS value,
                    ts_us
             FROM g WHERE grp <> 3
+        """,
+        "cdc_wap_publish": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes)
+            SELECT conv_id, turn_idx, event_type, round(value, 2) AS value,
+                   epoch_us(commit_ts) AS ts_us
+            FROM w WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_constraints_apply": f"""
             WITH changes AS ({_CHANGES_SQL}),

@@ -1083,6 +1083,183 @@ class LakeTable:
 
         return self._commit("merge", files_fn, s, tag=tag)
 
+    # -------------------------------------------------- write-audit-publish
+    def _update_meta(self, mutate) -> dict:
+        """Optimistic METADATA-ONLY update (no snapshot added): ``mutate``
+        receives a fresh meta dict copy and edits it in place. Retries on
+        version races like _commit."""
+        last: Exception | None = None
+        for attempt in range(15):
+            self.refresh()
+            meta = dict(self.meta)
+            v = meta["_version"] + 1
+            mutate(meta)
+            try:
+                self._write_version(v, meta)
+                return meta
+            except CommitConflict as e:
+                last = e
+                time.sleep(min(0.05 * (attempt + 1), 0.5))
+        raise last  # type: ignore[misc]
+
+    def stage_buckets(
+        self,
+        touched_buckets: list[int],
+        df: DataFrame,
+        assumed_files: set[str],
+        summary: dict | None = None,
+    ) -> str:
+        """WRITE-AUDIT-PUBLISH step 1 (Iceberg audit-branch analog): write
+        the would-be content of ``touched_buckets`` WITHOUT committing a
+        snapshot. Readers are untouched; the staged entry records the
+        validation baseline so ``publish_staged`` gets the same
+        serializable guarantee as a direct ``replace_buckets``. Returns a
+        ``staged_id`` for read_staged / publish_staged / abort_staged.
+
+        Reference analog: results become visible only after the explicit
+        cross-stream synchronize-and-publish step
+        (/root/reference/src/image_generic_codec.h:605-638)."""
+        self.refresh()
+        base = self.current_snapshot()
+        new_files = self._write_data_files(df, base.snapshot_id + 1)
+        bset = set(touched_buckets)
+        extra = sorted({f["bucket"] for f in new_files} - bset)
+        if extra:
+            raise ValueError(f"stage wrote to undeclared buckets {extra}")
+        staged_id = uuid.uuid4().hex[:12]
+        entry = {
+            "staged_id": staged_id,
+            "base_snapshot_id": base.snapshot_id,
+            "timestamp_ms": int(time.time() * 1000),
+            "touched_buckets": sorted(bset),
+            "assumed_files": sorted(assumed_files),
+            "new_files": new_files,
+            "summary": summary or {},
+            "schema_version": self.meta["current_schema_version"],
+        }
+
+        def mutate(meta: dict) -> None:
+            meta["staged"] = list(meta.get("staged", [])) + [entry]
+
+        self._update_meta(mutate)
+        return staged_id
+
+    def staged(self) -> list[dict]:
+        return list(self.meta.get("staged", []))
+
+    def _staged_entry(self, staged_id: str) -> dict:
+        for e in self.meta.get("staged", []):
+            if e["staged_id"] == staged_id:
+                return e
+        raise KeyError(f"no staged changeset {staged_id!r}")
+
+    def read_staged(self, staged_id: str, with_system: bool = False) -> DataFrame:
+        """AUDIT read: the hypothetical post-publish state — current
+        snapshot's untouched buckets (delta layers reconciled as usual)
+        plus the staged files. Touched-bucket writes landing AFTER staging
+        are not reflected here; they surface as ConcurrentModification at
+        publish time."""
+        self.refresh()
+        e = self._staged_entry(staged_id)
+        bset = set(e["touched_buckets"])
+        others = sorted(
+            {f["bucket"] for f in self.current_snapshot().files} - bset
+        )
+        untouched = self.read(buckets=others, with_system=True)
+        tschema = self.table_schema
+        phys = tschema.to_spark_physical().add(BUCKET_COL, T.IntegerType())
+        for name, dtype in SYSTEM_COLS.items():
+            phys = phys.add(name, dtype)
+        paths = [f["path"] for f in e["new_files"]]
+        if paths:
+            st = self.spark.read.schema(phys).parquet(*paths)
+        else:
+            st = self.spark.createDataFrame([], phys)
+        st = tschema.project_physical_to_logical(
+            st, extra_cols=[BUCKET_COL] + list(SYSTEM_COLS)
+        )
+        out = untouched.unionByName(st)
+        out = out.where(~F.coalesce(F.col("_sys_deleted"), F.lit(False)))
+        if not with_system:
+            out = out.drop(BUCKET_COL, *SYSTEM_COLS)
+        return out
+
+    def publish_staged(self, staged_id: str, tag: dict | None = None) -> Snapshot:
+        """WAP step 3: atomically swap the staged files in. Validates the
+        staged baseline against the CURRENT touched-bucket file set — a
+        writer that touched those buckets since staging forces
+        ConcurrentModification (re-run the merge), exactly like a direct
+        replace_buckets race."""
+        self.refresh()
+        e = self._staged_entry(staged_id)
+        bset = set(e["touched_buckets"])
+        assumed = set(e["assumed_files"])
+        new_files = e["new_files"]
+
+        def files_fn(snap: Snapshot) -> list[dict]:
+            current = {f["path"] for f in snap.files if f["bucket"] in bset}
+            if current != assumed:
+                raise ConcurrentModification(
+                    f"buckets {sorted(bset)} changed since staging "
+                    f"({len(assumed)} -> {len(current)} files); re-stage the merge"
+                )
+            return [f for f in snap.files if f["bucket"] not in bset] + new_files
+
+        snap = self._commit(
+            "merge",
+            files_fn,
+            {**e["summary"], "published_from": staged_id},
+            tag=tag,
+        )
+        # entry removal is a SEPARATE idempotent metadata update (passing
+        # it through _commit's meta_updates would clobber entries staged
+        # concurrently by another writer, since the removal list would be
+        # computed against a pre-refresh meta). Crash window between the
+        # two writes: the published snapshot's summary carries
+        # published_from, which abort_staged checks before deleting files.
+        def mutate(meta: dict) -> None:
+            meta["staged"] = [
+                x for x in meta.get("staged", []) if x["staged_id"] != staged_id
+            ]
+
+        self._update_meta(mutate)
+        return snap
+
+    def abort_staged(self, staged_id: str) -> int:
+        """Discard a staged changeset and its files. Returns files removed.
+        If the changeset was already PUBLISHED (a crash between publish's
+        two metadata writes left the entry behind), only the stale entry
+        is removed — the files are live table data."""
+        e = self._staged_entry(staged_id)
+        published = any(
+            (s.get("summary") or {}).get("published_from") == staged_id
+            for s in self.meta["snapshots"]
+        )
+
+        def mutate(meta: dict) -> None:
+            meta["staged"] = [
+                x for x in meta.get("staged", []) if x["staged_id"] != staged_id
+            ]
+
+        self._update_meta(mutate)
+        if published:
+            return 0
+        removed = 0
+        for f in e["new_files"]:
+            try:
+                os.remove(f["path"])
+                removed += 1
+            except FileNotFoundError:
+                pass
+        for f in e["new_files"]:
+            d = os.path.dirname(f["path"])
+            try:
+                if os.path.isdir(d) and not os.listdir(d):
+                    os.rmdir(d)
+            except OSError:
+                pass
+        return removed
+
     def append_deltas(
         self,
         df: DataFrame,
@@ -1264,6 +1441,11 @@ class LakeTable:
         live: set[str] = set()
         for entry in self.meta["snapshots"]:
             for f in self._entry_to_snapshot(entry).files:
+                live.add(os.path.abspath(f["path"]))
+        # staged (write-audit-publish) changesets are unreferenced by any
+        # snapshot until published — their files are pending, not orphaned
+        for entry in self.meta.get("staged", []):
+            for f in entry["new_files"]:
                 live.add(os.path.abspath(f["path"]))
         removed = 0
         for root, _dirs, fns in os.walk(self._data_dir):

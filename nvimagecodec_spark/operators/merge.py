@@ -67,6 +67,7 @@ class MergeResult:
     deletes: int
     duration_sec: float
     strategy: str  # "broadcast" | "sort-merge" | "noop" | "skipped-duplicate"
+    staged_id: str | None = None  # set when merged with staged=True (WAP)
 
 
 _PX_COL = "_px"  # materialized parsed-payload struct column
@@ -172,6 +173,7 @@ def merge_into(
     light_bucket_max_rows: int = 1_000,
     delta_auto_ratio: float | None = None,
     batch_transform=None,
+    staged: bool = False,
 ) -> MergeResult:
     """Apply a deduped change batch (one row/key, op ∈ I,U,D) to the table.
 
@@ -202,6 +204,14 @@ def merge_into(
     unimodal epochs.
     """
     t0 = time.time()
+    if staged:
+        # write-audit-publish: the merge is computed and its files written,
+        # but visibility (and the exactly-once tag) belongs to
+        # table.publish_staged — staging is repeatable by design
+        if tag is not None:
+            raise ValueError("staged merges take their tag at publish_staged()")
+        if delta_auto_ratio:
+            raise ValueError("staged merges are copy-on-write only")
     if tag is not None and table.has_commit_tag(tag["source_id"], tag["batch_id"]):
         return MergeResult(None, [], 0, 0, time.time() - t0, "skipped-duplicate")
 
@@ -322,6 +332,15 @@ def merge_into(
         for strategy, impl in chain:
             try:
                 merged = impl(current, batch, key_cols, all_cols)
+                if staged:
+                    sid = table.stage_buckets(
+                        sorted(touched), merged, assumed_files=assumed,
+                        summary=summary,
+                    )
+                    return MergeResult(
+                        None, sorted(touched), n_upserts, n_deletes,
+                        time.time() - t0, f"staged-{strategy}", staged_id=sid,
+                    )
                 snap = table.replace_buckets(
                     sorted(touched), merged, tag=tag, summary=summary,
                     assumed_files=assumed,
