@@ -1366,6 +1366,30 @@ def q_events_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders in a 6-month
+    window having AT LEAST ONE lineitem shipped after the order date,
+    counted per priority. The EXISTS becomes a LEFT SEMI join — the
+    canonical Spark expression: no row multiplication from multi-line
+    orders (an inner join + distinct would shuffle every duplicate),
+    and Catalyst pushes the date window into the orders scan."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    win = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    hit = win.join(
+        l,
+        (win["o_orderkey"] == l["l_orderkey"])
+        & (l["l_shipdate"] > win["o_orderdate"]),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
 def q_events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-day retention cohorts: per activity day, how many distinct
     users were active AND came back the next day. Integer day buckets
@@ -2061,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_shipping_priority": q_orders_shipping_priority,
         "regional_nation_volume": q_regional_nation_volume,
         "events_daily_retention": q_events_daily_retention,
+        "orders_priority_exists": q_orders_priority_exists,
         "events_rolling_active": q_events_rolling_active,
         "customer_returns": q_customer_returns,
         "events_incident_windows": q_events_incident_windows,
@@ -2803,6 +2828,16 @@ def oracle_sql() -> dict[str, str]:
             FROM iv JOIN events e
               ON epoch_us(e.ts) BETWEEN iv.s_us AND iv.e_us
             GROUP BY iv.incident_id
+        """,
+        "orders_priority_exists": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
         """,
         "events_daily_retention": """
             WITH du AS (

@@ -1083,6 +1083,71 @@ class LakeTable:
 
         return self._commit("merge", files_fn, s, tag=tag)
 
+    # ------------------------------------------------- metadata tables (U7)
+    def files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """Iceberg ``table.files`` metadata-table analog: one row per live
+        data file of the (optionally time-traveled) snapshot, with bucket,
+        kind (base/delta), row count and key range — the inputs every
+        maintenance decision (compaction targeting, skew checks, delta
+        pressure) reads. Built from the manifests, which this design
+        already materializes driver-side; no data files are opened."""
+        snap = (
+            self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
+        )
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("kind", T.StringType()),
+                T.StructField("rows", T.LongType()),
+                T.StructField("key_min", T.StringType()),
+                T.StructField("key_max", T.StringType()),
+            ]
+        )
+        rows = [
+            (
+                f["path"],
+                int(f["bucket"]),
+                f.get("kind", "base"),
+                int(f["rows"]) if f.get("rows", -1) >= 0 else None,
+                str((f.get("key_stats") or {}).get("min")) if f.get("key_stats") else None,
+                str((f.get("key_stats") or {}).get("max")) if f.get("key_stats") else None,
+            )
+            for f in snap.files
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def snapshots_df(self) -> DataFrame:
+        """Iceberg ``table.snapshots`` analog: the commit log as a frame."""
+        schema = T.StructType(
+            [
+                T.StructField("snapshot_id", T.LongType()),
+                T.StructField("parent_id", T.LongType()),
+                T.StructField("timestamp_ms", T.LongType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("schema_version", T.IntegerType()),
+                T.StructField("source_id", T.StringType()),
+                T.StructField("batch_id", T.LongType()),
+                T.StructField("summary", T.MapType(T.StringType(), T.StringType())),
+            ]
+        )
+        rows = []
+        for s in self.history():
+            tag = s.tag or {}
+            rows.append(
+                (
+                    s.snapshot_id,
+                    s.parent_id,
+                    s.timestamp_ms,
+                    s.operation,
+                    s.schema_version,
+                    tag.get("source_id"),
+                    tag.get("batch_id"),
+                    {k: str(v) for k, v in (s.summary or {}).items()},
+                )
+            )
+        return self.spark.createDataFrame(rows, schema)
+
     # -------------------------------------------------- write-audit-publish
     def _update_meta(self, mutate) -> dict:
         """Optimistic METADATA-ONLY update (no snapshot added): ``mutate``

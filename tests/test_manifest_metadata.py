@@ -147,3 +147,53 @@ def test_time_travel_survives_manifest_indirection(spark, tmp_path):
     old_b0 = [f["path"] for f in old.files if f["bucket"] == 0]
     new_b0 = [f["path"] for f in new.files if f["bucket"] == 0]
     assert old_b0 == new_b0
+
+
+def test_metadata_tables(spark, tmp_dir):
+    """files_df / snapshots_df (Iceberg metadata-table analogs) agree with
+    the manifests and the commit log."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nvimagecodec_spark.operators.lww import lww_dedupe
+    from nvimagecodec_spark.operators.merge import merge_into
+
+    t = LakeTable.create(
+        spark,
+        os.path.join(tmp_dir, "meta_t"),
+        T.StructType(
+            [
+                T.StructField("conv_id", T.StringType()),
+                T.StructField("turn_idx", T.IntegerType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+        ["conv_id", "turn_idx"],
+        bucket_count=4,
+    )
+    import json
+
+    rows = [(f"c{i}", 0, "I", i, json.dumps({"text": f"t{i}"})) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, op string, lsn long, after string"
+    ).withColumns(
+        {
+            "commit_ts": F.lit("2026-01-01 00:00:00").cast("timestamp"),
+            "src_file": F.lit("x"),
+            "src_offset": F.col("lsn"),
+        }
+    )
+    merge_into(t, lww_dedupe(df), tag={"source_id": "meta", "batch_id": 1})
+    files = t.files_df().collect()
+    snap = t.current_snapshot()
+    assert {r.path for r in files} == {f["path"] for f in snap.files}
+    assert sum(r.rows for r in files) == 40
+    assert all(r.kind == "base" for r in files)
+    # files_df time-travels
+    assert t.files_df(snapshot_id=snap.parent_id).count() == 0
+    snaps = {r.snapshot_id: r for r in t.snapshots_df().collect()}
+    assert snaps[snap.snapshot_id].operation == "merge"
+    assert snaps[snap.snapshot_id].source_id == "meta"
+    assert snaps[snap.snapshot_id].batch_id == 1
+    assert snaps[snap.snapshot_id].summary["upserts"] == "40"
