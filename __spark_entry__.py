@@ -739,6 +739,59 @@ def q_cdc_agg_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.totals().select("event_type", "n_rows", "sum_val_cents")
 
 
+def q_cdc_agg_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX tier of the incremental aggregate view — the aggregates
+    retraction arithmetic CANNOT invert: epoch 2's updates and deletes
+    remove group extrema, forcing the equality-gated AFFECTED-GROUP
+    recompute (flagged groups re-aggregate from the base's pinned
+    snapshot, filtered by a broadcast group join; inserts still extend
+    min/max monotonically with no recompute). The oracle recomputes
+    COUNT/SUM/MIN/MAX from the final LWW state — a stale extremum
+    surviving the delete of its row is exactly what breaks the hash.
+    Sums report SQL semantics (NULL for all-null groups) via the
+    non-null contribution counters."""
+    from nvimagecodec_spark.operators.agg_view import IncrementalAggView
+
+    ch = _changes(spark, sf_dir).withColumn(
+        "after",
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.floor(F.abs(F.col("value")) * 100).cast("long").alias("val_cents"),
+            )
+        ),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("val_cents", T.LongType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nvics-aggmm-")
+    _TEMP_DIRS.append(tmp)
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
+    )
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 0)))
+    view = IncrementalAggView.create(
+        spark,
+        os.path.join(tmp, "v"),
+        table,
+        group_cols=["event_type"],
+        sum_cols=["val_cents"],
+        min_cols=["val_cents"],
+        max_cols=["val_cents"],
+    )
+    view.sync(table)
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 1)))
+    view.sync(table)
+    return view.totals().select(
+        "event_type", "n_rows", "sum_val_cents", "min_val_cents", "max_val_cents"
+    )
+
+
 def q_cdc_scd2_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-MAINTAINED SCD2 dimension (vs cdc_scd2_history's
     from-scratch derivation): the base table takes three merge epochs
@@ -2066,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_text_index_incremental": q_cdc_text_index_incremental,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_agg_view_incremental": q_cdc_agg_view_incremental,
+        "cdc_agg_view_minmax": q_cdc_agg_view_minmax,
         "cdc_scd2_view_incremental": q_cdc_scd2_view_incremental,
         "cdc_range_read": q_cdc_range_read,
         "cdc_zorder_read": q_cdc_zorder_read,
@@ -2453,6 +2507,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(val_cents) AS BIGINT) AS sum_val_cents
+            FROM final GROUP BY event_type
+        """,
+        "cdc_agg_view_minmax": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes),
+            final AS (
+              SELECT event_type,
+                     CAST(FLOOR(ABS(value) * 100) AS BIGINT) AS val_cents
+              FROM w WHERE rn = 1 AND op <> 'D'
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(val_cents) AS BIGINT) AS sum_val_cents,
+                   CAST(MIN(val_cents) AS BIGINT) AS min_val_cents,
+                   CAST(MAX(val_cents) AS BIGINT) AS max_val_cents
             FROM final GROUP BY event_type
         """,
         "cdc_scd2_view_incremental": f"""

@@ -219,3 +219,149 @@ def test_multi_epoch_stream_equals_recompute(spark, base_and_view):
         merge_into(base, _batch(spark, rows, lsn))
         view.sync(base)
         assert _rows(view.totals()) == _rows(_recompute(base))
+
+
+# ------------------------------------------------------------- min/max tier
+
+def _mm_recompute(base):
+    return (
+        base.read_logical()
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+    )
+
+
+def _mm_rows(df):
+    cols = ["grp", "n_rows", "sum_val", "min_val", "max_val"]
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.select(*cols).collect()),
+        key=str,
+    )
+
+
+@pytest.fixture()
+def mm_base_and_view(spark, tmp_dir):
+    base = LakeTable.create(
+        spark, os.path.join(tmp_dir, "mt"), SCHEMA, ["conv_id", "turn_idx"], bucket_count=4
+    )
+    view = IncrementalAggView.create(
+        spark,
+        os.path.join(tmp_dir, "mv"),
+        base,
+        group_cols=["grp"],
+        sum_cols=["val"],
+        min_cols=["val"],
+        max_cols=["val"],
+    )
+    merge_into(
+        base,
+        _batch(
+            spark,
+            [
+                ("a", 0, "I", "g1", 10),
+                ("a", 1, "I", "g1", 5),
+                ("a", 2, "I", "g1", 20),
+                ("b", 0, "I", "g2", 7),
+                ("c", 0, "I", "g2", None),  # null val: min/max ignore
+            ],
+            lsn0=0,
+        ),
+    )
+    view.sync(base)
+    return base, view
+
+
+def test_minmax_initial_and_insert_extend(spark, mm_base_and_view):
+    base, view = mm_base_and_view
+    assert _mm_rows(view.totals()) == _mm_rows(_mm_recompute(base))
+    # inserts extend monotonically (no recompute path needed)
+    merge_into(base, _batch(spark, [("d", 0, "I", "g1", 1), ("d", 1, "I", "g1", 99)], lsn0=100))
+    view.sync(base)
+    assert _mm_rows(view.totals()) == _mm_rows(_mm_recompute(base))
+
+
+def test_minmax_delete_of_extremum_recomputes(spark, mm_base_and_view):
+    base, view = mm_base_and_view
+    # delete the group min (a/1 val=5) AND the group max (a/2 val=20)
+    merge_into(base, _batch(spark, [("a", 1, "D", None, None), ("a", 2, "D", None, None)], lsn0=100))
+    view.sync(base)
+    assert _mm_rows(view.totals()) == _mm_rows(_mm_recompute(base))
+    row = {r.grp: r for r in view.totals().collect()}["g1"]
+    assert row.min_val == 10 and row.max_val == 10
+
+
+def test_minmax_update_moves_extremum_and_group(spark, mm_base_and_view):
+    base, view = mm_base_and_view
+    # update the stored min UP (forces recompute), migrate a row across
+    # groups, and null out a value
+    merge_into(
+        base,
+        _batch(
+            spark,
+            [
+                ("a", 1, "U", "g1", 50),   # was min=5 → recompute g1
+                ("b", 0, "U", "g1", 7),    # migrates g2 → g1
+                ("a", 0, "U", "g1", None), # value → null
+            ],
+            lsn0=100,
+        ),
+    )
+    view.sync(base)
+    assert _mm_rows(view.totals()) == _mm_rows(_mm_recompute(base))
+
+
+def test_minmax_all_null_group_and_zero_group(spark, mm_base_and_view):
+    base, view = mm_base_and_view
+    # g2 shrinks to only the null-val row → min/max null; then to zero
+    merge_into(base, _batch(spark, [("b", 0, "D", None, None)], lsn0=100))
+    view.sync(base)
+    assert _mm_rows(view.totals()) == _mm_rows(_mm_recompute(base))
+    row = {r.grp: r for r in view.totals().collect()}["g2"]
+    assert row.min_val is None and row.max_val is None and row.n_rows == 1
+    merge_into(base, _batch(spark, [("c", 0, "D", None, None)], lsn0=200))
+    view.sync(base)
+    assert not any(r.grp == "g2" for r in view.totals().collect())
+
+
+def test_minmax_replay_and_bootstrap(spark, tmp_dir, mm_base_and_view):
+    base, view = mm_base_and_view
+    head = base.current_snapshot().snapshot_id
+    r = view.sync(base)
+    assert r.strategy == "noop"
+    # bootstrap a second view after snapshot expiry → full-state path
+    merge_into(base, _batch(spark, [("z", 0, "I", "g3", -4)], lsn0=300))
+    base.expire_snapshots(keep_last=1)
+    v2 = IncrementalAggView.create(
+        spark,
+        os.path.join(tmp_dir, "mv2"),
+        base,
+        group_cols=["grp"],
+        sum_cols=["val"],
+        min_cols=["val"],
+        max_cols=["val"],
+    )
+    v2.sync(base)
+    assert _mm_rows(v2.totals()) == _mm_rows(_mm_recompute(base))
+
+
+def test_minmax_rejects_unsupported_type(spark, tmp_dir):
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    base = LakeTable.create(
+        spark, os.path.join(tmp_dir, "tt"), schema, ["conv_id", "turn_idx"]
+    )
+    with pytest.raises(ValueError, match="numeric or string"):
+        IncrementalAggView.create(
+            spark, os.path.join(tmp_dir, "tv"), base, ["grp"], min_cols=["ts"]
+        )
