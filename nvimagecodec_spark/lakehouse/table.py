@@ -1100,8 +1100,15 @@ class LakeTable:
                 T.StructField("bucket", T.IntegerType()),
                 T.StructField("kind", T.StringType()),
                 T.StructField("rows", T.LongType()),
-                T.StructField("key_min", T.StringType()),
-                T.StructField("key_max", T.StringType()),
+                # per-column [min, max] from the manifest footer stats
+                # (physical column name → stringified bounds; datetimes
+                # are epoch micros, the same canonical form pruning uses)
+                T.StructField(
+                    "col_mins", T.MapType(T.StringType(), T.StringType())
+                ),
+                T.StructField(
+                    "col_maxs", T.MapType(T.StringType(), T.StringType())
+                ),
             ]
         )
         rows = [
@@ -1110,8 +1117,8 @@ class LakeTable:
                 int(f["bucket"]),
                 f.get("kind", "base"),
                 int(f["rows"]) if f.get("rows", -1) >= 0 else None,
-                str((f.get("key_stats") or {}).get("min")) if f.get("key_stats") else None,
-                str((f.get("key_stats") or {}).get("max")) if f.get("key_stats") else None,
+                {k: str(v[0]) for k, v in (f.get("stats") or {}).items()},
+                {k: str(v[1]) for k, v in (f.get("stats") or {}).items()},
             )
             for f in snap.files
         ]

@@ -190,6 +190,12 @@ def test_metadata_tables(spark, tmp_dir):
     assert {r.path for r in files} == {f["path"] for f in snap.files}
     assert sum(r.rows for r in files) == 40
     assert all(r.kind == "base" for r in files)
+    # footer key stats surface as per-column bounds (key-sorted layout
+    # makes them tight); conv_id is a key col so every file carries them
+    phys_key = [c.physical_name for c in t.table_schema.live_columns
+                if c.name == "conv_id"][0]
+    assert all(phys_key in r.col_mins and r.col_mins[phys_key] <= r.col_maxs[phys_key]
+               for r in files)
     # files_df time-travels
     assert t.files_df(snapshot_id=snap.parent_id).count() == 0
     snaps = {r.snapshot_id: r for r in t.snapshots_df().collect()}
