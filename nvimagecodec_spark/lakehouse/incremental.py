@@ -24,6 +24,24 @@ from pyspark.sql import functions as F
 from nvimagecodec_spark.lakehouse.table import LakeTable
 
 
+def last_synced_batch_id(table: LakeTable, source_id: str) -> int | None:
+    """Sync cursor shared by every derived-table maintainer (dedup/band/
+    text indexes, agg view): the highest batch_id this ``source_id`` ever
+    committed to ``table``, recovered from the commit-tag log — including
+    tags whose snapshots were expired (``expired_tags``), so retention
+    can never rewind a cursor. One definition: a tag-expiry edge-case fix
+    lands in every index at once (review-caught 4-way copy)."""
+    ids = [
+        s["tag"]["batch_id"]
+        for s in table.meta["snapshots"]
+        if s.get("tag", {}) and s["tag"].get("source_id") == source_id
+    ]
+    ids += [
+        b for (src, b) in table.meta.get("expired_tags", []) if src == source_id
+    ]
+    return max(ids) if ids else None
+
+
 def changed_buckets(table: LakeTable, from_id: int, to_id: int) -> list[int]:
     """Buckets whose file sets differ between the two snapshots (manifest
     diff — no data read)."""

@@ -1269,6 +1269,17 @@ class LakeTable:
         new_files = e["new_files"]
 
         def files_fn(snap: Snapshot) -> list[dict]:
+            # the entry must still be pending at COMMIT time (_commit
+            # refreshes per attempt): a concurrent abort_staged may have
+            # removed it and already be deleting the staged files —
+            # committing a manifest that references them would corrupt
+            # the table (review-caught abort/publish race)
+            if not any(
+                x["staged_id"] == staged_id for x in self.meta.get("staged", [])
+            ):
+                raise ConcurrentModification(
+                    f"staged changeset {staged_id!r} was aborted concurrently"
+                )
             current = {f["path"] for f in snap.files if f["bucket"] in bset}
             if current != assumed:
                 raise ConcurrentModification(
@@ -1302,18 +1313,26 @@ class LakeTable:
         If the changeset was already PUBLISHED (a crash between publish's
         two metadata writes left the entry behind), only the stale entry
         is removed — the files are live table data."""
+        self.refresh()
         e = self._staged_entry(staged_id)
-        published = any(
-            (s.get("summary") or {}).get("published_from") == staged_id
-            for s in self.meta["snapshots"]
-        )
 
         def mutate(meta: dict) -> None:
             meta["staged"] = [
                 x for x in meta.get("staged", []) if x["staged_id"] != staged_id
             ]
 
-        self._update_meta(mutate)
+        # decide 'published' from the meta version THIS update wrote, not
+        # entry-time state: a publish_staged that committed concurrently
+        # (even from another process) is in that version's snapshot list,
+        # since _update_meta refreshes before writing — deciding from a
+        # stale handle could delete files the publish made live table
+        # data (review-caught). A publish still IN FLIGHT after our
+        # removal aborts at its own commit-time pending check above.
+        meta = self._update_meta(mutate)
+        published = any(
+            (s.get("summary") or {}).get("published_from") == staged_id
+            for s in meta["snapshots"]
+        )
         if published:
             return 0
         removed = 0

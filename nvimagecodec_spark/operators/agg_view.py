@@ -39,7 +39,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from nvimagecodec_spark.lakehouse.incremental import read_changes
+from nvimagecodec_spark.lakehouse.incremental import (
+    last_synced_batch_id,
+    read_changes,
+)
 from nvimagecodec_spark.lakehouse.table import LakeTable
 from nvimagecodec_spark.operators.merge import MergeResult, merge_into
 
@@ -59,6 +62,11 @@ class IncrementalAggView:
         self.sum_cols = [c for c in props["aggview.sum-cols"].split(",") if c]
         self.min_cols = [c for c in props.get("aggview.min-cols", "").split(",") if c]
         self.max_cols = [c for c in props.get("aggview.max-cols", "").split(",") if c]
+        # views created before the nn_ counters lack those columns —
+        # they keep the old sum semantics (all-null group sums to 0)
+        # instead of failing to read (same legacy rule as bucket_cols)
+        names = {f.name for f in self.table.schema().fields}
+        self._has_nn = all(f"nn_{c}" in names for c in self.sum_cols)
 
     @property
     def _mm_cols(self) -> list[str]:
@@ -131,15 +139,7 @@ class IncrementalAggView:
 
     # ----------------------------------------------------------- sync
     def last_synced_base_snapshot(self) -> int | None:
-        ids = [
-            s["tag"]["batch_id"]
-            for s in self.table.meta["snapshots"]
-            if s.get("tag", {}) and s["tag"].get("source_id") == self.SOURCE_ID
-        ]
-        ids += [
-            b for (src, b) in self.table.meta.get("expired_tags", []) if src == self.SOURCE_ID
-        ]
-        return max(ids) if ids else None
+        return last_synced_batch_id(self.table, self.SOURCE_ID)
 
     def sync(self, base: LakeTable, to_id: int | None = None) -> MergeResult:
         """Fold base changes since the last sync into the view."""
@@ -191,7 +191,7 @@ class IncrementalAggView:
         ]
         nn = [
             (F.lit(sign) * img(c).isNotNull().cast("long")).alias(f"nn_{c}")
-            for c in self.sum_cols
+            for c in (self.sum_cols if self._has_nn else [])
         ]
         mm = [img(c).alias(f"_mm_{c}") for c in self._mm_cols]
         return rows.select(
@@ -213,7 +213,10 @@ class IncrementalAggView:
         aggs = (
             [F.sum("n_rows").alias("n_rows")]
             + [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in self.sum_cols]
-            + [F.sum(f"nn_{c}").alias(f"nn_{c}") for c in self.sum_cols]
+            + [
+                F.sum(f"nn_{c}").alias(f"nn_{c}")
+                for c in (self.sum_cols if self._has_nn else [])
+            ]
         )
         # min/max bookkeeping: per group, the epoch's INSERTED candidates
         # (can only extend the stored extremum monotonically) and the
@@ -241,7 +244,8 @@ class IncrementalAggView:
             ).distinct().collect()
         ]
         sum_out = [f"sum_{c}" for c in self.sum_cols] + [
-            f"nn_{c}" for c in self.sum_cols  # additive like the sums
+        # additive like the sums; absent on pre-counter legacy views
+            f"nn_{c}" for c in (self.sum_cols if self._has_nn else [])
         ]
         mm_out = [f"min_{c}" for c in self.min_cols] + [
             f"max_{c}" for c in self.max_cols
@@ -388,9 +392,12 @@ class IncrementalAggView:
         df = self.table.read_logical()
         out = [F.col(g) for g in self.group_cols] + [F.col("n_rows")]
         for c in self.sum_cols:
-            out.append(
-                F.when(F.col(f"nn_{c}") > 0, F.col(f"sum_{c}")).alias(f"sum_{c}")
-            )
+            if self._has_nn:
+                out.append(
+                    F.when(F.col(f"nn_{c}") > 0, F.col(f"sum_{c}")).alias(f"sum_{c}")
+                )
+            else:  # legacy view without counters: old 0-sum semantics
+                out.append(F.col(f"sum_{c}"))
         out += [F.col(f"min_{c}") for c in self.min_cols]
         out += [F.col(f"max_{c}") for c in self.max_cols]
         return df.select(*out)

@@ -40,7 +40,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from nvimagecodec_spark.functions.hashing import md5_hash32
-from nvimagecodec_spark.lakehouse.incremental import read_changes
+from nvimagecodec_spark.lakehouse.incremental import (
+    last_synced_batch_id,
+    read_changes,
+)
 from nvimagecodec_spark.lakehouse.table import LakeTable
 from nvimagecodec_spark.operators.dedup import minhash_lsh_pairs
 from nvimagecodec_spark.operators.merge import MergeResult, merge_into
@@ -99,15 +102,7 @@ class IncrementalDedupIndex:
     def last_synced_base_snapshot(self) -> int | None:
         """Highest base snapshot id already folded in (from commit tags —
         the tag log is the sync cursor, no sidecar state to drift)."""
-        ids = [
-            s["tag"]["batch_id"]
-            for s in self.table.meta["snapshots"]
-            if s.get("tag", {}) and s["tag"].get("source_id") == self.SOURCE_ID
-        ]
-        ids += [
-            b for (src, b) in self.table.meta.get("expired_tags", []) if src == self.SOURCE_ID
-        ]
-        return max(ids) if ids else None
+        return last_synced_batch_id(self.table, self.SOURCE_ID)
 
     def sync(self, base: LakeTable, to_id: int | None = None) -> MergeResult:
         """Fold base-table changes since the last sync into the index.
@@ -345,15 +340,7 @@ class LshBandIndex:
 
     # ---------------------------------------------------------------- sync
     def last_synced_sig_snapshot(self) -> int | None:
-        ids = [
-            s["tag"]["batch_id"]
-            for s in self.table.meta["snapshots"]
-            if s.get("tag", {}) and s["tag"].get("source_id") == self.SOURCE_ID
-        ]
-        ids += [
-            b for (src, b) in self.table.meta.get("expired_tags", []) if src == self.SOURCE_ID
-        ]
-        return max(ids) if ids else None
+        return last_synced_batch_id(self.table, self.SOURCE_ID)
 
     def sync(self, sig_index: IncrementalDedupIndex, to_id: int | None = None) -> MergeResult:
         """Fold signature-table changes since the last sync into the band

@@ -157,7 +157,9 @@ def token_budget_sample(
     from pyspark.sql.window import Window
 
     grp = group_col or "_tbs_all"
-    reserved = {"_tbs_draw", "_tbs_band"} | ({grp} if group_col is None else set())
+    reserved = {"_tbs_draw", "_tbs_band", "_bsum", "_before", "_cls", "_run"} | (
+        {grp} if group_col is None else set()
+    )
     clash = sorted(reserved & set(df.columns))
     if clash:
         raise ValueError(f"input columns {clash} collide with helper names")

@@ -32,16 +32,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from nvimagecodec_spark.lakehouse.incremental import read_changes
+from nvimagecodec_spark.lakehouse.incremental import (
+    last_synced_batch_id,
+    read_changes,
+)
 from nvimagecodec_spark.lakehouse.table import LakeTable
 from nvimagecodec_spark.operators.merge import MergeResult, merge_into
+from nvimagecodec_spark.operators.text import tokens
 
 
 def _terms(col) -> F.Column:
-    """Distinct lowercase word terms of a text column (empty for null)."""
+    """Distinct lowercase word terms of a text column (empty for null) —
+    tokenization is the SHARED text.tokens rule, so the index's term
+    definition can never drift from the other text operators."""
     return F.array_distinct(
         F.filter(
-            F.split(F.trim(F.lower(F.coalesce(col, F.lit("")))), r"\s+"),
+            tokens(F.lower(F.coalesce(col, F.lit("")))),
             lambda t: t != "",
         )
     )
@@ -86,17 +92,7 @@ class IncrementalTextIndex:
 
     # ------------------------------------------------------------- cursor
     def last_synced_base_snapshot(self) -> int | None:
-        ids = [
-            s["tag"]["batch_id"]
-            for s in self.table.meta["snapshots"]
-            if s.get("tag", {}) and s["tag"].get("source_id") == self.SOURCE_ID
-        ]
-        ids += [
-            b
-            for (src, b) in self.table.meta.get("expired_tags", [])
-            if src == self.SOURCE_ID
-        ]
-        return max(ids) if ids else None
+        return last_synced_batch_id(self.table, self.SOURCE_ID)
 
     # --------------------------------------------------------------- sync
     def sync(self, base: LakeTable, to_id: int | None = None) -> MergeResult:
