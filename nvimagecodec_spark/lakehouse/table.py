@@ -607,7 +607,12 @@ class LakeTable:
         schema_version: int | None = None,
         key_equals: dict | None = None,
         range_filters: dict | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either ref or snapshot_id, not both")
+            snapshot_id = self.ref(ref)
         """Read the table (optionally time-travel / bucket-pruned).
 
         Bucket pruning is manifest-level: only the matching files are ever
@@ -1082,6 +1087,44 @@ class LakeTable:
             return [f for f in snap.files if f["bucket"] not in bset] + new_files
 
         return self._commit("merge", files_fn, s, tag=tag)
+
+    # ------------------------------------------------------- named refs/tags
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Name a snapshot (Iceberg tag analog): ``read(ref=name)`` time-
+        travels to it, and ``expire_snapshots`` NEVER drops a tagged
+        snapshot — the audit/rollback anchor retention cannot erode.
+        Defaults to the current head; returns the tagged id."""
+        self.refresh()
+        sid = self.current_snapshot().snapshot_id if snapshot_id is None else snapshot_id
+        self.snapshot(sid)  # raises if unknown/already expired
+
+        def mutate(meta: dict) -> None:
+            refs = dict(meta.get("refs", {}))
+            refs[name] = sid
+            meta["refs"] = refs
+
+        self._update_meta(mutate)
+        return sid
+
+    def drop_tag(self, name: str) -> None:
+        if name not in self.meta.get("refs", {}):
+            raise KeyError(f"no ref {name!r}")
+
+        def mutate(meta: dict) -> None:
+            refs = dict(meta.get("refs", {}))
+            refs.pop(name, None)
+            meta["refs"] = refs
+
+        self._update_meta(mutate)
+
+    def refs(self) -> dict[str, int]:
+        return dict(self.meta.get("refs", {}))
+
+    def ref(self, name: str) -> int:
+        refs = self.meta.get("refs", {})
+        if name not in refs:
+            raise KeyError(f"no ref {name!r}")
+        return int(refs[name])
 
     # ------------------------------------------------- metadata tables (U7)
     def files_df(self, snapshot_id: int | None = None) -> DataFrame:
@@ -1741,6 +1784,16 @@ class LakeTable:
             if len(snaps) <= keep_last:
                 return 0
             kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+            # tagged snapshots are retention-proof: a named rollback/audit
+            # anchor must survive every expiry sweep (Iceberg ref rule).
+            # The list stays in commit order; keeping a mid-chain entry is
+            # safe — every entry resolves through its own manifest list.
+            pinned = set(self.meta.get("refs", {}).values())
+            if pinned:
+                kept = [s for s in dropped if s["snapshot_id"] in pinned] + kept
+                dropped = [s for s in dropped if s["snapshot_id"] not in pinned]
+                if not dropped:
+                    return 0
             meta = dict(self.meta)
             meta["snapshots"] = kept
             # commit tags must outlive their snapshots: they are the
