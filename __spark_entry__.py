@@ -1443,6 +1443,59 @@ def q_orders_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): share of one quarter's revenue
+    from PROMO-type parts. The part dimension is explicitly BROADCAST —
+    the canonical small-dim join; lineitem never shuffles. Revenue runs
+    on integer cents (floor of the identical double expression in both
+    engines) so the sums are exact, and the share rounds to 4dp before
+    comparison."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+        cents.alias("cents"), (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    return j.agg(
+        F.sum(F.when(F.col("is_promo"), F.col("cents")).otherwise(F.lit(0))).alias(
+            "promo_cents"
+        ),
+        F.sum("cents").alias("total_cents"),
+        round4(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("is_promo"), F.col("cents")).otherwise(F.lit(0)))
+            / F.sum("cents")
+        ).alias("promo_pct"),
+    )
+
+
+def q_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): single-table filter
+    aggregate whose predicates must ALL reach the parquet scan
+    (PushedFilters) — discounted revenue on integer cents over a
+    shipdate window, a discount band, and a quantity cap."""
+    l = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def q_events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-day retention cohorts: per activity day, how many distinct
     users were active AND came back the next day. Integer day buckets
@@ -2140,6 +2193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_nation_volume": q_regional_nation_volume,
         "events_daily_retention": q_events_daily_retention,
         "orders_priority_exists": q_orders_priority_exists,
+        "promo_revenue_share": q_promo_revenue_share,
+        "revenue_window": q_revenue_window,
         "events_rolling_active": q_events_rolling_active,
         "customer_returns": q_customer_returns,
         "events_incident_windows": q_events_incident_windows,
@@ -2899,6 +2954,32 @@ def oracle_sql() -> dict[str, str]:
             FROM iv JOIN events e
               ON epoch_us(e.ts) BETWEEN iv.s_us AND iv.e_us
             GROUP BY iv.incident_id
+        """,
+        "promo_revenue_share": f"""
+            WITH j AS (
+              SELECT CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100)
+                          AS BIGINT) AS cents,
+                     p_type = 'PROMO' AS is_promo
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+            )
+            SELECT CAST(SUM(CASE WHEN is_promo THEN cents ELSE 0 END) AS BIGINT)
+                     AS promo_cents,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   {sql_roundn("100.0 * SUM(CASE WHEN is_promo THEN cents ELSE 0 END) / SUM(cents)", 4)}
+                     AS promo_pct
+            FROM j
+        """,
+        "revenue_window": """
+            SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         "orders_priority_exists": """
             SELECT o_orderpriority, COUNT(*) AS order_count
