@@ -942,6 +942,52 @@ def q_cdc_router_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final(t_even, "even").unionByName(final(t_odd, "odd"))
 
 
+def q_cdc_txn_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic multi-table fan-out (lakehouse/txn.py): the change stream
+    split across two tables by turn parity and applied in THREE staged
+    epochs, each published all-or-nothing through a TxnCatalog — per-route
+    merges stage with zero visibility, then one catalog-pointer flip lands
+    the whole epoch (Nessie-style single commit pointer over the existing
+    write-audit-publish). Result = union of the CATALOG-consistent reads;
+    the oracle computes the same per-parity LWW states, so it also proves
+    the three interleaved epochs converge to the global LWW answer."""
+    from nvimagecodec_spark.lakehouse.txn import TxnCatalog
+    from nvimagecodec_spark.streaming.router import CdcRouter
+
+    ch, t_even = _cdc_table(spark, sf_dir, "nvics-txn-even-")
+    _, t_odd = _cdc_table(spark, sf_dir, "nvics-txn-odd-")
+    ch = ch.withColumn("src_format", F.lit("fixture"))
+    tmp = tempfile.mkdtemp(prefix="nvics-txn-cat-")
+    _TEMP_DIRS.append(tmp)
+    catalog = TxnCatalog.create(
+        spark, os.path.join(tmp, "cat"), {"even": t_even, "odd": t_odd}
+    )
+    router = CdcRouter(
+        spark,
+        routes={
+            "even": (t_even, F.col("turn_idx") % 2 == 0),
+            "odd": (t_odd, F.col("turn_idx") % 2 == 1),
+        },
+        source_id="gate-txn",
+    )
+    # three lsn-sliced epochs — the tag/intent machinery runs three full
+    # stage→publish→flip cycles, and LWW disorder resolution still wins
+    for b in range(3):
+        router.apply_epoch_atomic(ch.where(F.col("lsn") % 3 == b), b, catalog)
+
+    def final(route: str) -> DataFrame:
+        return catalog.read(route).select(
+            F.lit(route).alias("route"),
+            "conv_id",
+            "turn_idx",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            ts_micros(F.col("ts")).alias("ts_us"),
+        )
+
+    return final("even").unionByName(final("odd"))
+
+
 def q_cdc_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered range read: after the merge, compact(zorder_by=
     ["ts","val"]) rewrites every bucket sorted by the Morton interleave of
@@ -2177,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_range_read": q_cdc_range_read,
         "cdc_zorder_read": q_cdc_zorder_read,
         "cdc_router_fanout": q_cdc_router_fanout,
+        "cdc_txn_atomic": q_cdc_txn_atomic,
         "stream_windowed_op_rates": q_stream_windowed_op_rates,
         "stream_conversation_progress": q_stream_conversation_progress,
         "cdc_op_stats": q_cdc_op_stats,
@@ -2652,6 +2699,16 @@ def oracle_sql() -> dict[str, str]:
               AND commit_ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
                                 AND TIMESTAMP '2024-01-22 00:00:00'
               AND round(value, 2) BETWEEN 10.0 AND 60.0
+        """,
+        "cdc_txn_atomic": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes)
+            SELECT CASE WHEN turn_idx % 2 = 0 THEN 'even' ELSE 'odd' END AS route,
+                   conv_id, turn_idx, event_type, round(value, 2) AS value,
+                   epoch_us(commit_ts) AS ts_us
+            FROM w WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_router_fanout": f"""
             WITH changes AS ({_CHANGES_SQL}),

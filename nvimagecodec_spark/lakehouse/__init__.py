@@ -1,3 +1,4 @@
 from nvimagecodec_spark.lakehouse.table import LakeTable, Snapshot
+from nvimagecodec_spark.lakehouse.txn import MultiTableTxn, TxnCatalog, TxnReplayNeeded
 
-__all__ = ["LakeTable", "Snapshot"]
+__all__ = ["LakeTable", "Snapshot", "MultiTableTxn", "TxnCatalog", "TxnReplayNeeded"]

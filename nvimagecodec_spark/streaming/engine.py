@@ -240,15 +240,38 @@ class CdcEngine:
         }
 
     # ------------------------------------------------------------- epoch core
-    def apply_epoch(self, events: DataFrame, batch_id: int, offset_range: dict | None = None) -> MergeResult:
+    def apply_epoch(
+        self,
+        events: DataFrame,
+        batch_id: int,
+        offset_range: dict | None = None,
+        staged: bool = False,
+    ) -> MergeResult:
         """Apply one epoch of parsed change events. Idempotent per batch_id.
 
         ``events`` may include dead rows (``src_format`` NULL, from
         ``parse_changes(keep_dead=True)``): they are split off here, routed
         to the dead-letter sink, and accounted per source file — the apply
         itself never sees them.
+
+        ``staged=True`` runs the full epoch (dead letters, schema events,
+        constraints, the merge computation) but STAGES the data instead of
+        committing it: the returned result carries ``staged_id`` for a
+        ``MultiTableTxn`` (lakehouse/txn.py) to publish under this
+        engine's exactly-once tag — the atomic-fan-out building block.
+        Schema events still commit immediately (metadata-only and
+        additive, Iceberg-WAP semantics). Requires copy-on-write mode.
         """
         t0 = time.time()
+        if staged:
+            if self.config.mor_deltas is True:
+                raise ValueError("staged epochs are copy-on-write only")
+            # in the atomic flow the PUBLISH lands through the txn
+            # catalog's own table handle — this engine's metadata view
+            # would stay pinned at the pre-publish version, so the next
+            # epoch would stage against a stale base (and miss the tag
+            # check below). One metadata read per epoch.
+            self.table.refresh()
         if self.table.has_commit_tag(self.source_id, batch_id):
             return MergeResult(None, [], 0, 0, 0.0, "skipped-duplicate")
 
@@ -261,10 +284,15 @@ class CdcEngine:
         # persisted — it's small and reused by every strategy). Inputs are
         # stable within an epoch: streaming hands us a pinned micro-batch,
         # and the file source treats files as immutable.
-        return self._apply_epoch_inner(events, batch_id, offset_range, t0)
+        return self._apply_epoch_inner(events, batch_id, offset_range, t0, staged)
 
     def _apply_epoch_inner(
-        self, events: DataFrame, batch_id: int, offset_range: dict | None, t0: float
+        self,
+        events: DataFrame,
+        batch_id: int,
+        offset_range: dict | None,
+        t0: float,
+        staged: bool = False,
     ) -> MergeResult:
         has_dead = "raw_value" in events.columns
         # dead = unclaimed (no format probe matched) OR claimed-but-
@@ -389,12 +417,18 @@ class CdcEngine:
             res = merge_into(
                 self.table,
                 deduped,
-                tag={"source_id": self.source_id, "batch_id": batch_id},
+                # staged epochs take their exactly-once tag at publish time
+                # (MultiTableTxn.commit); adaptive delta layering is off —
+                # staging is CoW by contract
+                tag=None if staged else {"source_id": self.source_id, "batch_id": batch_id},
                 broadcast_threshold_rows=self.config.broadcast_threshold_rows,
                 split_light_buckets=do_split,
                 light_bucket_max_rows=light_max,
-                delta_auto_ratio=self.config.mor_auto_ratio if auto else None,
+                delta_auto_ratio=(
+                    None if staged else (self.config.mor_auto_ratio if auto else None)
+                ),
                 batch_transform=self.batch_transform,
+                staged=staged,
             )
             if self.split_ctl is not None:
                 self.split_ctl.observe(
@@ -423,6 +457,10 @@ class CdcEngine:
         # the tagged commit; expiry never touches live files.
         if (
             self.config.expire_every_epochs
+            and not staged  # maintenance commits would invalidate the
+            # staged baseline (compaction rewrites the very buckets the
+            # pending publish validates against) — the txn owner publishes
+            # first; maintenance runs on later, non-staged epochs
             and batch_id > 0
             and batch_id % self.config.expire_every_epochs == 0
         ):
@@ -440,6 +478,7 @@ class CdcEngine:
         # just runs on a later sweep.
         if (
             self.config.optimize_every_epochs
+            and not staged  # same contract as the expiry gate above
             and batch_id > 0
             and batch_id % self.config.optimize_every_epochs == 0
         ):
@@ -470,6 +509,7 @@ class CdcEngine:
                 "schema_rejected": schema_res.rejected,
                 "dead_letters": n_dead,
                 "constraint_violations": n_violations,
+                "staged": staged,
                 "partitions": partitions,
                 "partitions_truncated": truncated,
                 "duration_sec": round(duration, 3),

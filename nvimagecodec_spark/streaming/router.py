@@ -115,14 +115,64 @@ class CdcRouter:
             )
         return results
 
+    def apply_epoch_atomic(self, events: DataFrame, batch_id: int, catalog):
+        """All-or-nothing fan-out: every route's epoch is STAGED (full
+        engine path — dead letters, schema events, constraints — but zero
+        reader visibility), then a ``MultiTableTxn`` publishes all of them
+        under the per-route exactly-once tags and flips the catalog
+        pointer in one step. Readers going through ``catalog.read`` never
+        see epoch N of one route next to epoch N-1 of another — the
+        upgrade over ``apply_epoch``'s per-table crash consistency.
+
+        ``catalog`` is a ``lakehouse.txn.TxnCatalog`` whose table names
+        are this router's route names. Returns {route: snapshot_id}.
+        Replays are safe end-to-end: committed routes skip on their tags,
+        and a crash anywhere re-resolves via the catalog's intent log
+        (rolled forward once any route published, rolled back otherwise).
+        """
+        usable = F.col("src_format").isNotNull() & F.col("op").isNotNull()
+        if self.unmatched == "error":
+            any_match = F.lit(False)
+            for name in self.route_names:
+                any_match = any_match | F.coalesce(
+                    self._pred_col(name, events), F.lit(False)
+                )
+            n_unmatched = events.where(usable & ~any_match).count()
+            if n_unmatched:
+                raise ValueError(
+                    f"{n_unmatched} events matched no route in epoch {batch_id}"
+                )
+        txn = catalog.begin(self.source_id, batch_id)
+        try:
+            for i, name in enumerate(self.route_names):
+                pred = F.coalesce(self._pred_col(name, events), F.lit(False))
+                if i == 0:
+                    pred = pred | ~usable
+                res = self.engines[name].apply_epoch(
+                    events.where(pred), batch_id, staged=True
+                )
+                # skipped-duplicate = this route's tag already committed
+                # (crash replay) — commit() re-pins its tagged snapshot
+                txn.stage(
+                    name,
+                    None if res.strategy == "skipped-duplicate" else res.staged_id,
+                )
+        except Exception:
+            txn.abort()
+            raise
+        return txn.commit()
+
     def run_stream(
         self,
         source_dir: str,
         max_files_per_trigger: int = 16,
         await_seconds: float | None = None,
+        catalog=None,
     ) -> int:
         """Structured Streaming tail over ``source_dir``, one PARSE per
-        epoch fanned out to every route (availableNow: drain + stop)."""
+        epoch fanned out to every route (availableNow: drain + stop).
+        With ``catalog`` (a TxnCatalog), epochs land atomically across
+        all routes via ``apply_epoch_atomic``."""
         raw = (
             self.spark.readStream.format("text")
             .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -132,7 +182,10 @@ class CdcRouter:
 
         def epoch_fn(batch_df: DataFrame, batch_id: int):
             events = parse_changes(with_lineage(batch_df), keep_dead=True)
-            self.apply_epoch(events, batch_id)
+            if catalog is not None:
+                self.apply_epoch_atomic(events, batch_id, catalog)
+            else:
+                self.apply_epoch(events, batch_id)
             applied["n"] += 1
 
         q = (
