@@ -988,6 +988,68 @@ def q_cdc_txn_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final("even").unionByName(final("odd"))
 
 
+def q_cdc_txn_view_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-consistent derived view (lakehouse/txn.py register_view):
+    the transcript table plus an inverted text index registered as a
+    TxnCatalog view, driven through THREE atomic staged epochs — each
+    commit publishes the base merge, syncs the index to the exact
+    published snapshot, and flips ONE pointer pinning both. The result is
+    computed from ``catalog.read("idx")``, i.e. the PINNED index state,
+    so any lag between base and index (a sync skipped, synced to the
+    wrong snapshot, or pinned before the flip) breaks the hash against
+    the oracle's recompute from the final LWW base state. Reference
+    analog: the codec registry index updated inside registration, never
+    stale vs the plugin set (/root/reference/src/codec_registry.cpp)."""
+    from nvimagecodec_spark.lakehouse.txn import TxnCatalog
+    from nvimagecodec_spark.operators.text_index import IncrementalTextIndex
+
+    ch = _changes(spark, sf_dir)
+    text = F.lower(
+        F.concat_ws(
+            " ",
+            F.lit("conv"),
+            F.col("conv_id"),
+            F.lit("turn"),
+            F.col("turn_idx").cast("string"),
+            F.col("event_type"),
+            F.lit("val"),
+            (F.floor(F.abs(F.col("value")) * 10) % 7).cast("long").cast("string"),
+        )
+    )
+    ch = ch.withColumn("after", F.to_json(F.struct(text.alias("text"))))
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nvics-txnview-")
+    _TEMP_DIRS.append(tmp)
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
+    )
+    catalog = TxnCatalog.create(spark, os.path.join(tmp, "cat"), {"t": table})
+    idx = IncrementalTextIndex.create(
+        spark, os.path.join(tmp, "idx"), table, text_col="text", bucket_count=16
+    )
+    catalog.register_view("idx", idx, "t")
+    for b in range(3):
+        txn = catalog.begin("gate-tv", b)
+        txn.merge("t", lww_dedupe(ch.where(F.col("lsn") % 3 == b)))
+        txn.commit()
+    return (
+        catalog.read("idx")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("conv_id").alias("min_conv"),
+            F.max("conv_id").alias("max_conv"),
+            F.max("turn_idx").alias("max_turn"),
+        )
+    )
+
+
 def q_cdc_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered range read: after the merge, compact(zorder_by=
     ["ts","val"]) rewrites every bucket sorted by the Morton interleave of
@@ -2224,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_zorder_read": q_cdc_zorder_read,
         "cdc_router_fanout": q_cdc_router_fanout,
         "cdc_txn_atomic": q_cdc_txn_atomic,
+        "cdc_txn_view_index": q_cdc_txn_view_index,
         "stream_windowed_op_rates": q_stream_windowed_op_rates,
         "stream_conversation_progress": q_stream_conversation_progress,
         "cdc_op_stats": q_cdc_op_stats,
@@ -2709,6 +2772,29 @@ def oracle_sql() -> dict[str, str]:
                    conv_id, turn_idx, event_type, round(value, 2) AS value,
                    epoch_us(commit_ts) AS ts_us
             FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_txn_view_index": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes),
+            final AS (
+              SELECT conv_id, turn_idx,
+                     lower('conv ' || conv_id || ' turn ' || CAST(turn_idx AS VARCHAR)
+                           || ' ' || event_type || ' val '
+                           || CAST(CAST(FLOOR(ABS(value) * 10) AS BIGINT) % 7 AS VARCHAR))
+                         AS text
+              FROM w WHERE rn = 1 AND op <> 'D'
+            ),
+            postings AS (
+              SELECT DISTINCT conv_id, turn_idx, t.term
+              FROM final, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(term)
+              WHERE t.term <> ''
+            )
+            SELECT term, COUNT(*) AS df,
+                   MIN(conv_id) AS min_conv, MAX(conv_id) AS max_conv,
+                   MAX(turn_idx) AS max_turn
+            FROM postings GROUP BY term
         """,
         "cdc_router_fanout": f"""
             WITH changes AS ({_CHANGES_SQL}),

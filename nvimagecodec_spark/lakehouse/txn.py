@@ -55,6 +55,21 @@ the same cost class as the per-table version hint. Staging/publishing do
 no extra data I/O over a direct merge (the files written at stage time
 ARE the published files).
 
+**Derived views** (``register_view``): incremental indexes/views
+(IncrementalTextIndex, IncrementalAggView, IncrementalDedupIndex,
+LshBandIndex — anything with ``.table`` and a cursor-idempotent
+``.sync(base, to_id=)``) can be registered against a catalog table (or
+against another view — chains sync in dependency order). After a
+transaction's base publishes succeed, the commit syncs every dependent
+view to the exact published snapshot, then ONE pointer flip pins bases
+and views together — ``catalog.read`` never shows an index lagging the
+base it claims to index. Crash anywhere re-derives: view syncs cursor on
+the view's own commit-tag log, so recovery's roll-forward re-runs them
+as no-ops or completions. A view's pin only moves when its base moved.
+Contract: don't ``sync()`` a registered view out-of-band — a manual sync
+past the txn's target raises at commit time instead of silently pinning
+a view that is AHEAD of its base.
+
 Reference analog: results become visible only after the explicit
 cross-stream synchronize-and-publish barrier
 (/root/reference/src/image_generic_codec.h:605-638); one status vector
@@ -64,6 +79,7 @@ latches per-sample completion so a replay can tell done from pending
 
 from __future__ import annotations
 
+import importlib
 import json
 import os
 import time
@@ -213,14 +229,115 @@ class TxnCatalog:
         return LakeTable(self.spark, self.state["tables"][name]["path"])
 
     def pinned_snapshot(self, name: str) -> int:
+        views = self.state.get("views", {})
+        if name in views:
+            return views[name]["snapshot_id"]
         return self.state["tables"][name]["snapshot_id"]
 
     def read(self, name: str, **kwargs) -> DataFrame:
         """Catalog-consistent read: the snapshot the last COMPLETED
-        transaction pinned — never a half-landed epoch."""
+        transaction pinned — never a half-landed epoch. Works for base
+        tables and registered views alike; a view read is guaranteed
+        consistent with the base read of the same catalog version."""
+        views = self.state.get("views", {})
+        if name in views:
+            vm = views[name]
+            return LakeTable(self.spark, vm["path"]).read_logical(
+                snapshot_id=vm["snapshot_id"], **kwargs
+            )
         return self.table(name).read_logical(
             snapshot_id=self.pinned_snapshot(name), **kwargs
         )
+
+    # ----------------------------------------------------------- views
+    def view(self, name: str):
+        """Reconstruct the registered view/index handle from its persisted
+        kind ("module:Class" — every view class rehydrates from
+        ``__init__(spark, path)`` + its table properties)."""
+        vm = self.state.get("views", {})[name]
+        mod, _, cls = vm["kind"].rpartition(":")
+        klass = getattr(importlib.import_module(mod), cls)
+        return klass(self.spark, vm["path"])
+
+    def register_view(self, name: str, view, base: str) -> None:
+        """Register a derived view/index of catalog member ``base`` (a
+        table or an already-registered view). ``view`` must expose
+        ``.table`` (a LakeTable) and ``.sync(base_handle, to_id=)`` with a
+        cursor in its own commit-tag log. The view is first synced to the
+        base's PINNED snapshot so the catalog starts consistent; from then
+        on every committed transaction that moves the base re-syncs and
+        re-pins it inside the same pointer flip."""
+        if not hasattr(view, "table") or not hasattr(view, "sync"):
+            raise TypeError("view must expose .table and .sync(base, to_id=)")
+        views = self.state.get("views", {})
+        if name in self.state["tables"] or name in views:
+            raise ValueError(f"name {name!r} already in catalog")
+        if base in self.state["tables"]:
+            base_handle = self.table(base)
+        elif base in views:
+            base_handle = self.view(base)
+        else:
+            raise KeyError(f"base {base!r} not in catalog")
+        view.sync(base_handle, to_id=self.pinned_snapshot(base))
+        entry = {
+            "path": view.table.path,
+            "kind": f"{type(view).__module__}:{type(view).__qualname__}",
+            "base": base,
+            "snapshot_id": view.table.current_snapshot().snapshot_id,
+        }
+
+        def mutate(state: dict) -> None:
+            views = {k: dict(v) for k, v in state.get("views", {}).items()}
+            if name in state["tables"] or name in views:
+                raise ValueError(f"name {name!r} already in catalog")
+            views[name] = entry
+            state["views"] = views
+
+        self._update_state(mutate)
+
+    def drop_view(self, name: str) -> None:
+        def mutate(state: dict) -> None:
+            views = {k: dict(v) for k, v in state.get("views", {}).items()}
+            views.pop(name)
+            state["views"] = views
+
+        self._update_state(mutate)
+
+    def _sync_views(self, updated: dict[str, int]) -> dict[str, int]:
+        """Sync every view whose base just moved, in dependency order
+        (a view's sync target is its base's NEW pin, so chains — index
+        over index — resolve bottom-up). Returns {view_name: new
+        snapshot_id} for the flip. Views over untouched bases keep their
+        existing pins. Idempotent: each sync cursors on the view's own
+        commit-tag log, so recovery re-runs are no-ops."""
+        views = self.state.get("views", {})
+        done = dict(updated)
+        out: dict[str, int] = {}
+        pending = dict(views)
+        progressed = True
+        while pending and progressed:
+            progressed = False
+            for vname in list(pending):
+                base = pending[vname]["base"]
+                if base not in done:
+                    if base in pending:
+                        continue  # chained view — wait for its parent
+                    del pending[vname]  # base untouched: pin stays
+                    progressed = True
+                    continue
+                vh = self.view(vname)
+                base_h = (
+                    self.table(base)
+                    if base in self.state["tables"]
+                    else self.view(base)
+                )
+                vh.sync(base_h, to_id=done[base])
+                sid = vh.table.current_snapshot().snapshot_id
+                out[vname] = sid
+                done[vname] = sid
+                del pending[vname]
+                progressed = True
+        return out
 
     # ---------------------------------------------------------- transacting
     def begin(self, source_id: str, batch_id: int) -> "MultiTableTxn":
@@ -248,16 +365,29 @@ class TxnCatalog:
         os.replace(tmp, p)
         return p
 
-    def _flip(self, source_id: str, batch_id: int, snapshots: dict[str, int]) -> None:
+    def _flip(
+        self,
+        source_id: str,
+        batch_id: int,
+        snapshots: dict[str, int],
+        view_snapshots: dict[str, int] | None = None,
+    ) -> None:
         def mutate(state: dict) -> None:
             for name, sid in snapshots.items():
                 state["tables"][name]["snapshot_id"] = sid
+            if view_snapshots:
+                views = {k: dict(v) for k, v in state.get("views", {}).items()}
+                for name, sid in view_snapshots.items():
+                    if name in views:  # dropped mid-txn: skip the pin
+                        views[name]["snapshot_id"] = sid
+                state["views"] = views
             log = list(state.get("txn_log", []))
             log.append(
                 {
                     "source_id": source_id,
                     "batch_id": batch_id,
                     "tables": snapshots,
+                    **({"views": view_snapshots} if view_snapshots else {}),
                     "timestamp_ms": int(time.time() * 1000),
                 }
             )
@@ -333,7 +463,19 @@ class TxnCatalog:
         if conflicted:
             os.remove(path)
             return {**rec, "action": "replay-needed", "conflicted": conflicted}
-        self._flip(source_id, batch_id, snapshots)
+        try:
+            view_snaps = self._sync_views(snapshots)
+        except ConcurrentModification as e:
+            # a concurrent writer on a VIEW table invalidated its sync
+            # merge. Bases are published (tagged); hand back for replay —
+            # the replay's view syncs cursor past whatever landed.
+            os.remove(path)
+            return {
+                **rec,
+                "action": "replay-needed",
+                "conflicted": [f"view:{e}"],
+            }
+        self._flip(source_id, batch_id, snapshots, view_snaps)
         os.remove(path)
         return {**rec, "action": "rolled-forward"}
 
@@ -355,6 +497,11 @@ class MultiTableTxn:
         self._done = False
 
     def _check_name(self, name: str) -> None:
+        if name in self.catalog.state.get("views", {}):
+            raise ValueError(
+                f"{name!r} is a derived view — it syncs automatically at "
+                f"commit; stage changes against its base table instead"
+            )
         if name not in self.catalog.state["tables"]:
             raise KeyError(f"table {name!r} not in catalog")
         if name in self._staged or name in self._skipped:
@@ -434,7 +581,18 @@ class MultiTableTxn:
                     f"published tables skip on their tags ({e})"
                 ) from e
             raise
-        cat._flip(sid, bid, snapshots)
+        try:
+            view_snaps = cat._sync_views(snapshots)
+        except ConcurrentModification as e:
+            # bases are in (tagged) but a registered view's sync merge hit
+            # a concurrent writer. Pointer stays put; on replay the base
+            # merges skip and the view syncs cursor past the interloper.
+            os.remove(intent)
+            raise TxnReplayNeeded(
+                f"batch {bid}: base tables published but a derived view "
+                f"sync conflicted; replay the epoch ({e})"
+            ) from e
+        cat._flip(sid, bid, snapshots, view_snaps)
         os.remove(intent)
         return snapshots
 

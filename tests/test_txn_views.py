@@ -1,0 +1,219 @@
+"""Catalog-registered derived views (lakehouse/txn.py register_view):
+after a transaction's base tables publish, the commit syncs every
+dependent view/index to the exact published snapshot and ONE pointer
+flip pins bases and views together — catalog readers never see an index
+lagging the base it claims to index. Chained views (index over index)
+sync in dependency order; crash recovery re-runs syncs idempotently.
+
+Reference analog: the codec registry's by-format lookup structure is
+updated inside plugin registration, never left stale relative to the
+plugin set (/root/reference/src/codec_registry.cpp)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nvimagecodec_spark.lakehouse.table import LakeTable
+from nvimagecodec_spark.lakehouse.txn import TxnCatalog
+from nvimagecodec_spark.operators.incremental_dedup import (
+    IncrementalDedupIndex,
+    LshBandIndex,
+)
+from nvimagecodec_spark.operators.merge import merge_into
+from nvimagecodec_spark.operators.text_index import IncrementalTextIndex, _terms
+
+from tests.test_txn import SCHEMA, _batch, _state
+
+
+def _recomputed_postings(base_df):
+    """(term, conv_id, turn_idx) set the index SHOULD hold for this
+    base state — the full-recompute oracle."""
+    rows = (
+        base_df.select(
+            F.explode(_terms(F.col("text"))).alias("term"), "conv_id", "turn_idx"
+        )
+        .distinct()
+        .collect()
+    )
+    return {(r.term, r.conv_id, r.turn_idx) for r in rows}
+
+
+def _postings(df):
+    return {(r.term, r.conv_id, r.turn_idx) for r in df.collect()}
+
+
+@pytest.fixture()
+def cat_idx(spark, tmp_dir):
+    docs = LakeTable.create(
+        spark,
+        os.path.join(tmp_dir, "docs"),
+        SCHEMA,
+        ["conv_id", "turn_idx"],
+        bucket_count=4,
+    )
+    merge_into(docs, _batch(spark, [("a", 0, "I", "red fox"), ("b", 0, "I", "blue")]))
+    catalog = TxnCatalog.create(spark, os.path.join(tmp_dir, "cat"), {"docs": docs})
+    idx = IncrementalTextIndex.create(
+        spark, os.path.join(tmp_dir, "idx"), docs, text_col="text", bucket_count=4
+    )
+    catalog.register_view("idx", idx, "docs")
+    return catalog, docs, idx
+
+
+def test_registered_view_consistent_through_commits(spark, cat_idx):
+    catalog, docs, idx = cat_idx
+    # registration synced to the pin: index == recompute of the pinned base
+    assert _postings(catalog.read("idx")) == _recomputed_postings(
+        catalog.read("docs")
+    )
+    # an epoch that updates, inserts, and deletes — committed atomically
+    txn = catalog.begin("tx", 1)
+    txn.merge(
+        "docs",
+        _batch(
+            spark,
+            [("a", 0, "U", "green fox"), ("c", 0, "I", "red car"), ("b", 0, "D", None)],
+            lsn0=100,
+        ),
+    )
+    snaps = txn.commit()
+    assert _postings(catalog.read("idx")) == _recomputed_postings(
+        catalog.read("docs")
+    )
+    # old term retracted, new ones present
+    got = _postings(catalog.read("idx"))
+    assert ("red", "a", 0) not in got and ("green", "a", 0) in got
+    assert not any(t[1] == "b" for t in got)
+    # the flip pinned the view at the synced snapshot and logged it
+    idx.table.refresh()
+    assert catalog.pinned_snapshot("idx") == idx.table.current_snapshot().snapshot_id
+    last = catalog.state["txn_log"][-1]
+    assert last["tables"] == snaps and "idx" in last["views"]
+
+
+def test_view_pin_never_precedes_flip_and_crash_recovers(
+    spark, cat_idx, monkeypatch
+):
+    catalog, docs, idx = cat_idx
+    before_docs = _state(catalog.read("docs"))
+    before_idx = _postings(catalog.read("idx"))
+
+    def boom(self, base, to_id=None):
+        raise RuntimeError("simulated crash during view sync")
+
+    monkeypatch.setattr(IncrementalTextIndex, "sync", boom)
+    txn = catalog.begin("tx", 2)
+    txn.merge("docs", _batch(spark, [("d", 0, "I", "new doc")], lsn0=200))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        txn.commit()
+    monkeypatch.undo()
+    # base published durably (tag present) but the catalog still shows the
+    # old CONSISTENT pair — pointer moves only after views sync
+    assert catalog.table("docs").has_commit_tag("tx.docs", 2)
+    assert _state(catalog.read("docs")) == before_docs
+    assert _postings(catalog.read("idx")) == before_idx
+    # recovery rolls forward: re-publish is a tag-skip, view sync re-runs
+    recat = TxnCatalog.load(spark, catalog.path)
+    assert _state(recat.read("docs"))[("d", 0)] == "new doc"
+    assert _postings(recat.read("idx")) == _recomputed_postings(
+        recat.read("docs")
+    )
+    assert os.listdir(os.path.join(recat.path, "txns")) == []
+
+
+def test_chained_views_sync_in_dependency_order(spark, tmp_dir):
+    docs = LakeTable.create(
+        spark,
+        os.path.join(tmp_dir, "docs"),
+        SCHEMA,
+        ["conv_id", "turn_idx"],
+        bucket_count=4,
+    )
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    merge_into(docs, _batch(spark, [("a", 0, "I", text)]))
+    catalog = TxnCatalog.create(spark, os.path.join(tmp_dir, "cat"), {"docs": docs})
+    sig = IncrementalDedupIndex.create(
+        spark, os.path.join(tmp_dir, "sig"), docs, n_hashes=4
+    )
+    band = LshBandIndex.create(
+        spark, os.path.join(tmp_dir, "band"), sig, rows_per_band=2, bucket_count=4
+    )
+    catalog.register_view("sig", sig, "docs")
+    catalog.register_view("band", band, "sig")  # view over a view
+    # a near-duplicate lands — one commit must move docs, sig, AND band
+    txn = catalog.begin("tx", 1)
+    txn.merge("docs", _batch(spark, [("z", 9, "I", text)], lsn0=100))
+    txn.commit()
+    # the whole chain pinned at post-sync heads
+    for name, handle in (("sig", sig), ("band", band)):
+        handle.table.refresh()
+        assert (
+            catalog.pinned_snapshot(name)
+            == handle.table.current_snapshot().snapshot_id
+        )
+    # band postings agree with the banding self-join over the signature
+    # table — the identical texts MUST collide
+    got = {(r.doc_a, r.doc_b) for r in band.pairs().collect()}
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in sig.pairs(rows_per_band=band.rows_per_band).collect()
+    }
+    assert got == want and got  # non-vacuous: the planted dup collided
+
+
+def test_view_over_untouched_base_keeps_pin(spark, tmp_dir):
+    docs = LakeTable.create(
+        spark, os.path.join(tmp_dir, "docs"), SCHEMA, ["conv_id", "turn_idx"],
+        bucket_count=4,
+    )
+    other = LakeTable.create(
+        spark, os.path.join(tmp_dir, "other"), SCHEMA, ["conv_id", "turn_idx"],
+        bucket_count=4,
+    )
+    merge_into(docs, _batch(spark, [("a", 0, "I", "hello world")]))
+    catalog = TxnCatalog.create(
+        spark, os.path.join(tmp_dir, "cat"), {"docs": docs, "other": other}
+    )
+    idx = IncrementalTextIndex.create(
+        spark, os.path.join(tmp_dir, "idx"), docs, text_col="text", bucket_count=4
+    )
+    catalog.register_view("idx", idx, "docs")
+    pin = catalog.pinned_snapshot("idx")
+    txn = catalog.begin("tx", 1)
+    txn.merge("other", _batch(spark, [("x", 0, "I", "elsewhere")], lsn0=50))
+    txn.commit()
+    assert catalog.pinned_snapshot("idx") == pin  # untouched base: no churn
+
+
+def test_staging_against_a_view_is_rejected(spark, cat_idx):
+    catalog, docs, idx = cat_idx
+    txn = catalog.begin("tx", 5)
+    with pytest.raises(ValueError, match="derived view"):
+        txn.merge("idx", _batch(spark, [("q", 0, "I", "nope")]))
+
+
+def test_register_view_syncs_to_pin_not_head(spark, tmp_dir):
+    docs = LakeTable.create(
+        spark, os.path.join(tmp_dir, "docs"), SCHEMA, ["conv_id", "turn_idx"],
+        bucket_count=4,
+    )
+    merge_into(docs, _batch(spark, [("a", 0, "I", "pinned words")]))
+    catalog = TxnCatalog.create(spark, os.path.join(tmp_dir, "cat"), {"docs": docs})
+    # out-of-band writer moves the base head PAST the catalog pin
+    merge_into(docs, _batch(spark, [("late", 0, "I", "straggler")], lsn0=10))
+    idx = IncrementalTextIndex.create(
+        spark, os.path.join(tmp_dir, "idx"), docs, text_col="text", bucket_count=4
+    )
+    catalog.register_view("idx", idx, "docs")
+    got = _postings(catalog.read("idx"))
+    assert got == _recomputed_postings(catalog.read("docs"))
+    assert not any(t[1] == "late" for t in got)  # head row not indexed yet
+    # the next committed epoch folds the straggler in (sync covers the
+    # full cursor→target window, not just this txn's rows)
+    txn = catalog.begin("tx", 1)
+    txn.merge("docs", _batch(spark, [("b", 0, "I", "fresh")], lsn0=100))
+    txn.commit()
+    got = _postings(catalog.read("idx"))
+    assert got == _recomputed_postings(catalog.read("docs"))
+    assert any(t[1] == "late" for t in got)
