@@ -206,11 +206,17 @@ class TxnCatalog:
             },
             "txn_log": [],
         }
+        state["catalog_id"] = uuid.uuid4().hex[:12]
         cat = cls.__new__(cls)
         cat.spark = spark
         cat.path = path
         cat.state = {}
         cat._write_state(1, state)
+        # pins are RETENTION-PROOF from birth: a catalog-owned tag rides
+        # every pinned snapshot, so table maintenance (expire_snapshots /
+        # optimize) can never reap a snapshot the pointer still serves
+        for name, t in tables.items():
+            cat._protect_pin(t, name, "init", cat.pinned_snapshot(name))
         return cat
 
     @classmethod
@@ -294,14 +300,19 @@ class TxnCatalog:
             state["views"] = views
 
         self._update_state(mutate)
+        self._protect_pin(view.table, name, "init", entry["snapshot_id"])
 
     def drop_view(self, name: str) -> None:
+        t = LakeTable(self.spark, self.state["views"][name]["path"])
+
         def mutate(state: dict) -> None:
             views = {k: dict(v) for k, v in state.get("views", {}).items()}
             views.pop(name)
             state["views"] = views
 
         self._update_state(mutate)
+        # release the retention pins this catalog held on the view table
+        self._drop_stale_pins(t, keep_label=None)
 
     def _sync_views(self, updated: dict[str, int]) -> dict[str, int]:
         """Sync every view whose base just moved, in dependency order
@@ -338,6 +349,57 @@ class TxnCatalog:
                 del pending[vname]
                 progressed = True
         return out
+
+    # ----------------------------------------------------- pin protection
+    @property
+    def _cid(self) -> str:
+        return self.state.get("catalog_id", "legacy")
+
+    def _pin_ref(self, label) -> str:
+        return f"txncat-{self._cid}-{label}"
+
+    def _protect_pin(self, t: LakeTable, name: str, label, sid: int) -> None:
+        """Tag a pinned snapshot so retention can't reap it while the
+        pointer (or a pointer about to flip) serves it. Superseded pin
+        tags are dropped in ``_drop_stale_pins`` AFTER the flip — between
+        the two, both old and new pins are protected, so a crash anywhere
+        in the window leaves extra tags (harmless, cleaned next epoch),
+        never an unprotected pin."""
+        t.tag(self._pin_ref(label), sid)
+
+    def _drop_stale_pins(self, t: LakeTable, keep_label) -> None:
+        prefix = self._pin_ref("")
+        keep = self._pin_ref(keep_label)
+        for ref in list(t.refs()):
+            if ref.startswith(prefix) and ref != keep:
+                try:
+                    t.drop_tag(ref)
+                except (KeyError, ValueError):
+                    pass  # another process already cleaned it
+
+    def _protect_new_pins(
+        self, label, snapshots: dict[str, int], view_snapshots: dict[str, int]
+    ) -> None:
+        views = self.state.get("views", {})
+        for name, sid in snapshots.items():
+            self._protect_pin(self.table(name), name, label, sid)
+        for name, sid in view_snapshots.items():
+            if name in views:
+                self._protect_pin(
+                    LakeTable(self.spark, views[name]["path"]), name, label, sid
+                )
+
+    def _cleanup_pins(
+        self, label, snapshots: dict[str, int], view_snapshots: dict[str, int]
+    ) -> None:
+        views = self.state.get("views", {})
+        for name in snapshots:
+            self._drop_stale_pins(self.table(name), label)
+        for name in view_snapshots:
+            if name in views:
+                self._drop_stale_pins(
+                    LakeTable(self.spark, views[name]["path"]), label
+                )
 
     # ---------------------------------------------------------- transacting
     def begin(self, source_id: str, batch_id: int) -> "MultiTableTxn":
@@ -475,7 +537,10 @@ class TxnCatalog:
                 "action": "replay-needed",
                 "conflicted": [f"view:{e}"],
             }
+        label = f"{source_id}-b{batch_id}"
+        self._protect_new_pins(label, snapshots, view_snaps)
         self._flip(source_id, batch_id, snapshots, view_snaps)
+        self._cleanup_pins(label, snapshots, view_snaps)
         os.remove(path)
         return {**rec, "action": "rolled-forward"}
 
@@ -592,7 +657,10 @@ class MultiTableTxn:
                 f"batch {bid}: base tables published but a derived view "
                 f"sync conflicted; replay the epoch ({e})"
             ) from e
+        label = f"{sid}-b{bid}"
+        cat._protect_new_pins(label, snapshots, view_snaps)
         cat._flip(sid, bid, snapshots, view_snaps)
+        cat._cleanup_pins(label, snapshots, view_snaps)
         os.remove(intent)
         return snapshots
 

@@ -193,6 +193,35 @@ def test_staging_against_a_view_is_rejected(spark, cat_idx):
         txn.merge("idx", _batch(spark, [("q", 0, "I", "nope")]))
 
 
+def test_catalog_pins_survive_retention(spark, cat_idx):
+    """Table maintenance must never reap a snapshot the catalog pointer
+    still serves: every pin rides a catalog-owned tag (retention-proof),
+    moved to the new pin on each flip."""
+    catalog, docs, idx = cat_idx
+    txn = catalog.begin("tx", 1)
+    txn.merge("docs", _batch(spark, [("c", 0, "I", "pinned row")], lsn0=100))
+    txn.commit()
+    pinned_docs = _state(catalog.read("docs"))
+    pinned_idx = _postings(catalog.read("idx"))
+    # out-of-band writers move BOTH heads well past the pins, then run
+    # the most aggressive retention possible
+    t = catalog.table("docs")
+    idx.table.refresh()  # the commit synced the view via its own handle
+    for i in range(3):
+        merge_into(t, _batch(spark, [("later", i, "I", f"head {i}")], lsn0=200 + i))
+        idx.sync(t)  # moves the view head past ITS pin too
+    t.expire_snapshots(keep_last=1)
+    idx.table.expire_snapshots(keep_last=1)
+    # the pinned snapshots survived — catalog reads are unbroken
+    assert _state(catalog.read("docs")) == pinned_docs
+    assert _postings(catalog.read("idx")) == pinned_idx
+    # exactly one catalog pin tag per table, naming the pinned snapshot
+    pin_refs = {
+        k: v for k, v in t.refs().items() if k.startswith("txncat-")
+    }
+    assert list(pin_refs.values()) == [catalog.pinned_snapshot("docs")]
+
+
 def test_register_view_syncs_to_pin_not_head(spark, tmp_dir):
     docs = LakeTable.create(
         spark, os.path.join(tmp_dir, "docs"), SCHEMA, ["conv_id", "turn_idx"],
