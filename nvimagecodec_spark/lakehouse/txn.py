@@ -278,28 +278,50 @@ class TxnCatalog:
         views = self.state.get("views", {})
         if name in self.state["tables"] or name in views:
             raise ValueError(f"name {name!r} already in catalog")
-        if base in self.state["tables"]:
-            base_handle = self.table(base)
-        elif base in views:
-            base_handle = self.view(base)
-        else:
+        if base not in self.state["tables"] and base not in views:
             raise KeyError(f"base {base!r} not in catalog")
-        view.sync(base_handle, to_id=self.pinned_snapshot(base))
-        entry = {
-            "path": view.table.path,
-            "kind": f"{type(view).__module__}:{type(view).__qualname__}",
-            "base": base,
-            "snapshot_id": view.table.current_snapshot().snapshot_id,
-        }
 
-        def mutate(state: dict) -> None:
-            views = {k: dict(v) for k, v in state.get("views", {}).items()}
-            if name in state["tables"] or name in views:
-                raise ValueError(f"name {name!r} already in catalog")
-            views[name] = entry
-            state["views"] = views
+        class _BasePinMoved(Exception):
+            pass
 
-        self._update_state(mutate)
+        # sync-then-CAS loop: a transaction committing between our sync
+        # and the pointer flip would re-pin the base WITHOUT re-syncing
+        # this not-yet-registered view — the catalog would be born
+        # inconsistent (view pinned behind its base). The mutate checks
+        # the base pin it synced against is still current; if not, re-sync
+        # to the new pin and retry.
+        while True:
+            base_handle = (
+                self.table(base) if base in self.state["tables"] else self.view(base)
+            )
+            synced_to = self.pinned_snapshot(base)
+            view.sync(base_handle, to_id=synced_to)
+            entry = {
+                "path": view.table.path,
+                "kind": f"{type(view).__module__}:{type(view).__qualname__}",
+                "base": base,
+                "snapshot_id": view.table.current_snapshot().snapshot_id,
+            }
+
+            def mutate(state: dict) -> None:
+                views = {k: dict(v) for k, v in state.get("views", {}).items()}
+                if name in state["tables"] or name in views:
+                    raise ValueError(f"name {name!r} already in catalog")
+                base_pin = (
+                    views[base]["snapshot_id"]
+                    if base in views
+                    else state["tables"][base]["snapshot_id"]
+                )
+                if base_pin != synced_to:
+                    raise _BasePinMoved()
+                views[name] = entry
+                state["views"] = views
+
+            try:
+                self._update_state(mutate)
+                break
+            except _BasePinMoved:
+                continue
         self._protect_pin(view.table, name, "init", entry["snapshot_id"])
 
     def drop_view(self, name: str) -> None:
@@ -408,7 +430,9 @@ class TxnCatalog:
     def _intent_path(self, source_id: str, batch_id: int) -> str:
         return os.path.join(self._txn_dir(), f"{source_id}.{batch_id}.json")
 
-    def _write_intent(self, source_id: str, batch_id: int, staged: dict) -> str:
+    def _write_intent(
+        self, source_id: str, batch_id: int, staged: dict, skipped: list[str]
+    ) -> str:
         p = self._intent_path(source_id, batch_id)
         tmp = p + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
@@ -417,6 +441,13 @@ class TxnCatalog:
                     "source_id": source_id,
                     "batch_id": batch_id,
                     "staged": staged,
+                    # replay-skipped tables (already published under this
+                    # batch's tag by a prior attempt) MUST ride the intent:
+                    # a roll-forward that flips only the staged tables
+                    # would leave a skipped table's pin one epoch behind —
+                    # exactly the torn cross-table view this module exists
+                    # to prevent.
+                    "skipped": skipped,
                     "timestamp_ms": int(time.time() * 1000),
                 },
                 f,
@@ -466,22 +497,28 @@ class TxnCatalog:
         tdir = self._txn_dir()
         if not os.path.isdir(tdir):
             return out
+        intents: list[tuple[str, dict]] = []
         for fn in sorted(os.listdir(tdir)):
             if not fn.endswith(".json") or ".tmp." in fn:
                 continue
             p = os.path.join(tdir, fn)
             try:
                 with open(p) as f:
-                    intent = json.load(f)
+                    intents.append((p, json.load(f)))
             except (OSError, json.JSONDecodeError):
                 continue
+        # resolve in batch order per source — the filename sort is
+        # lexicographic (batch 10 before batch 2), the epoch order is not
+        intents.sort(key=lambda pi: (str(pi[1]["source_id"]), int(pi[1]["batch_id"])))
+        for p, intent in intents:
             out.append(self._resolve_intent(p, intent))
         return out
 
     def _resolve_intent(self, path: str, intent: dict) -> dict:
         source_id, batch_id = intent["source_id"], intent["batch_id"]
         staged: dict[str, str] = intent["staged"]
-        tables = {name: self.table(name) for name in staged}
+        skipped: list[str] = intent.get("skipped", [])
+        tables = {name: self.table(name) for name in (*staged, *skipped)}
         published = {
             name: t.snapshot_for_tag(_tag_source(source_id, name), batch_id)
             for name, t in tables.items()
@@ -489,9 +526,11 @@ class TxnCatalog:
         rec = {"source_id": source_id, "batch_id": batch_id}
         if not any(published.values()):
             # nothing durable happened — roll back, let the stream replay
-            for name, t in tables.items():
+            # (an intent with a replay-skip but no tag cannot exist: the
+            # skip was DERIVED from the tag's presence)
+            for name in staged:
                 try:
-                    t.abort_staged(staged[name])
+                    tables[name].abort_staged(staged[name])
                 except KeyError:
                     pass  # never staged, or already aborted
             os.remove(path)
@@ -612,7 +651,9 @@ class MultiTableTxn:
             raise RuntimeError("transaction already completed")
         self._done = True
         cat, sid, bid = self.catalog, self.source_id, self.batch_id
-        intent = cat._write_intent(sid, bid, dict(self._staged))
+        # resolve replay-skips BEFORE the intent write: this can raise on a
+        # caller bug (skip without a tag), and nothing durable should exist
+        # yet when it does
         snapshots: dict[str, int] = {}
         for name in self._skipped:
             snap = cat.table(name).snapshot_for_tag(_tag_source(sid, name), bid)
@@ -622,6 +663,7 @@ class MultiTableTxn:
                     f"commit tag ({_tag_source(sid, name)}, {bid})"
                 )
             snapshots[name] = snap.snapshot_id
+        intent = cat._write_intent(sid, bid, dict(self._staged), list(self._skipped))
         pending = dict(self._staged)
         try:
             for name, staged_id in self._staged.items():

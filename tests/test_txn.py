@@ -253,3 +253,43 @@ def test_router_atomic_stream(spark, tmp_dir):
     for route, t in (("even", te), ("odd", to)):
         t.refresh()
         assert catalog.pinned_snapshot(route) == t.current_snapshot().snapshot_id
+
+
+def test_crash_before_flip_on_replay_carries_skipped_tables(
+    spark, cat, monkeypatch
+):
+    """A replayed epoch where some tables skip on their tags must record
+    the skips in the intent: a crash after the replay's publishes but
+    before the pointer flip rolls forward to a view where EVERY table —
+    skipped ones included — shows the batch. (Regression: skips were
+    absent from the intent, so recovery flipped only the re-staged
+    tables and left the skipped table's pin one epoch behind.)"""
+    catalog, tables = cat
+    txn = catalog.begin("tx", 9)
+    txn.merge("left", _batch(spark, [("left", 2, "I", "L2")], lsn0=200))
+    txn.merge("right", _batch(spark, [("right", 2, "I", "R2")], lsn0=200))
+    # out-of-band writer invalidates right's staged baseline
+    merge_into(
+        tables["right"], _batch(spark, [("right", 2, "I", "racer")], lsn0=50)
+    )
+    with pytest.raises(TxnReplayNeeded):
+        txn.commit()
+    # replay: left skips on its tag, right re-stages; crash BEFORE flip
+    txn2 = catalog.begin("tx", 9)
+    assert txn2.merge("left", _batch(spark, [("left", 2, "I", "L2")], lsn0=200)) is None
+    txn2.merge("right", _batch(spark, [("right", 2, "I", "R2")], lsn0=200))
+    monkeypatch.setattr(
+        TxnCatalog, "_flip", lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash"))
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        txn2.commit()
+    monkeypatch.undo()
+    # pointer never moved: the old consistent pair is still served
+    assert _state(catalog.read("left")) == {("left", 0): "seed-left"}
+    # recovery rolls forward and the flip covers BOTH tables
+    recat = TxnCatalog.load(spark, catalog.path)
+    left = _state(recat.read("left"))
+    right = _state(recat.read("right"))
+    assert left[("left", 2)] == "L2"  # the skipped table's pin moved too
+    assert right[("right", 2)] == "R2"
+    assert os.listdir(os.path.join(recat.path, "txns")) == []
