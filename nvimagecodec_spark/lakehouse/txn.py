@@ -624,6 +624,8 @@ class MultiTableTxn:
             self._skipped.append(name)
             return None
         res = merge_into(t, deduped, staged=True, **merge_kwargs)
+        if res.staged_id is None:  # empty batch — nothing staged, pin stays
+            return res
         self._staged[name] = res.staged_id
         return res
 
@@ -650,6 +652,11 @@ class MultiTableTxn:
         if self._done:
             raise RuntimeError("transaction already completed")
         self._done = True
+        if not self._staged and not self._skipped:
+            # an all-noop epoch (no route had events): nothing to publish,
+            # nothing to re-pin — don't churn a catalog version per idle
+            # trigger of a sparse stream
+            return {}
         cat, sid, bid = self.catalog, self.source_id, self.batch_id
         # resolve replay-skips BEFORE the intent write: this can raise on a
         # caller bug (skip without a tag), and nothing durable should exist

@@ -151,12 +151,17 @@ class CdcRouter:
                 res = self.engines[name].apply_epoch(
                     events.where(pred), batch_id, staged=True
                 )
-                # skipped-duplicate = this route's tag already committed
-                # (crash replay) — commit() re-pins its tagged snapshot
-                txn.stage(
-                    name,
-                    None if res.strategy == "skipped-duplicate" else res.staged_id,
-                )
+                if res.strategy == "skipped-duplicate":
+                    # this route's tag already committed (crash replay) —
+                    # commit() re-pins its tagged snapshot
+                    txn.stage(name, None)
+                elif res.staged_id is not None:
+                    txn.stage(name, res.staged_id)
+                # else "noop": zero usable events matched this route this
+                # epoch — nothing staged, no tag, its catalog pin simply
+                # stays. (Passing None here would declare a replay-skip
+                # and commit() would fail looking for a tag that never
+                # existed.)
         except Exception:
             txn.abort()
             raise

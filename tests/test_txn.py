@@ -293,3 +293,75 @@ def test_crash_before_flip_on_replay_carries_skipped_tables(
     assert left[("left", 2)] == "L2"  # the skipped table's pin moved too
     assert right[("right", 2)] == "R2"
     assert os.listdir(os.path.join(recat.path, "txns")) == []
+
+
+def test_atomic_commit_with_noop_route(spark, cat):
+    """A route with zero usable events in an epoch must not poison the
+    atomic commit (regression: its 'noop' merge result was staged as a
+    replay-skip, and commit() failed looking for a tag that never
+    existed). The noop table's pin stays; the active table's moves."""
+    catalog, tables = cat
+    txn = catalog.begin("tx", 11)
+    txn.merge("left", _batch(spark, [("left", 5, "I", "L5")], lsn0=500))
+    # right: empty deduped batch -> merge_into returns strategy "noop"
+    empty = _batch(spark, [("right", 9, "I", "x")], lsn0=1).where("1=0")
+    res = txn.merge("right", empty)
+    assert res.strategy == "noop" and res.staged_id is None
+    snaps = txn.commit()
+    assert "left" in snaps
+    assert _state(catalog.read("left"))[("left", 5)] == "L5"
+    assert _state(catalog.read("right")) == {("right", 0): "seed-right"}
+
+
+def test_all_noop_commit_does_not_churn_catalog_version(spark, cat):
+    catalog, tables = cat
+    v0 = catalog.state["_version"]
+    txn = catalog.begin("tx", 12)
+    snaps = txn.commit()
+    assert snaps == {}
+    catalog.refresh()
+    assert catalog.state["_version"] == v0
+    assert os.listdir(os.path.join(catalog.path, "txns")) == []
+
+
+def test_router_atomic_stream_with_empty_route(spark, tmp_dir):
+    """Atomic fan-out where one route's predicate never matches: every
+    epoch is a noop for it; the stream must drain cleanly and the dead
+    route's pin must never move."""
+    from nvimagecodec_spark.sources.generator import (
+        events_to_files,
+        generate_change_events,
+    )
+    from nvimagecodec_spark.streaming.router import CdcRouter
+    from tests.test_apply_end_to_end import TARGET_SCHEMA
+
+    events = generate_change_events(n_events=600, seed=31, with_schema_events=False)
+    stream_dir = os.path.join(tmp_dir, "stream")
+    events_to_files(events, stream_dir, files=4)
+    ta = LakeTable.create(
+        spark, os.path.join(tmp_dir, "all"), TARGET_SCHEMA,
+        ["conv_id", "turn_idx"], bucket_count=4,
+    )
+    tn = LakeTable.create(
+        spark, os.path.join(tmp_dir, "never"), TARGET_SCHEMA,
+        ["conv_id", "turn_idx"], bucket_count=4,
+    )
+    catalog = TxnCatalog.create(
+        spark, os.path.join(tmp_dir, "cat"), {"all": ta, "never": tn}
+    )
+    never_pin = catalog.pinned_snapshot("never")
+    router = CdcRouter(
+        spark,
+        routes={
+            "all": (ta, F.lit(True)),
+            "never": (tn, F.lit(False)),
+        },
+        source_id="rtn",
+    )
+    n = router.run_stream(stream_dir, max_files_per_trigger=2, catalog=catalog)
+    assert n >= 2
+    catalog.refresh()
+    assert catalog.pinned_snapshot("never") == never_pin
+    assert catalog.read("never").count() == 0
+    assert catalog.read("all").count() > 0
+    assert os.listdir(os.path.join(catalog.path, "txns")) == []
