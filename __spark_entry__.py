@@ -463,6 +463,39 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback through the gate: epoch A lands (v1), a bad
+    epoch B lands on top, ``table.rollback(v1)`` restores A's state with
+    a metadata-only commit, then epoch C lands on the RESTORED base. The
+    result returns both the post-rollback state (must equal A's LWW
+    exactly — any leak of B's rows breaks the hash) and the final head
+    (LWW of A∪C — proves writes compose on the restored lineage, not on
+    the rolled-back one). Reference analog: re-serving a cached parsed
+    state without re-decoding (/root/reference/src/code_stream.cpp:
+    106-142)."""
+    ch, table = _cdc_table(spark, sf_dir, "nvics-rb-")
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 0)))
+    v1 = table.current_snapshot().snapshot_id
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 1)))  # bad epoch
+    rb = table.rollback(v1)
+    restored = table.read_logical(snapshot_id=rb.snapshot_id)
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 3 == 0)))
+
+    def state(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("version"),
+            "conv_id",
+            "turn_idx",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            ts_micros(F.col("ts")).alias("ts_us"),
+        )
+
+    return state(restored, "restored").unionByName(
+        state(table.read_logical(), "head")
+    )
+
+
 def q_cdc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC feeding the dedup tier INCREMENTALLY: a transcript table takes
     two merge epochs; an IncrementalDedupIndex (a sibling LakeTable of
@@ -2275,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_emit_roundtrip": q_cdc_emit_roundtrip,
         "cdc_incremental_apply": q_cdc_incremental_apply,
         "cdc_time_travel": q_cdc_time_travel,
+        "cdc_rollback": q_cdc_rollback,
         "cdc_dedup_incremental": q_cdc_dedup_incremental,
         "cdc_neardup_incremental": q_cdc_neardup_incremental,
         "cdc_text_index_incremental": q_cdc_text_index_incremental,
@@ -2609,6 +2643,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'head' AS version, conv_id, turn_idx, event_type,
                    round(value, 2) AS value, epoch_us(commit_ts) AS ts_us
             FROM head WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_rollback": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            a AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes WHERE lsn % 2 = 0),
+            ac AS (SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                   FROM changes WHERE lsn % 2 = 0 OR lsn % 3 = 0)
+            SELECT 'restored' AS version, conv_id, turn_idx, event_type,
+                   round(value, 2) AS value, epoch_us(commit_ts) AS ts_us
+            FROM a WHERE rn = 1 AND op <> 'D'
+            UNION ALL
+            SELECT 'head' AS version, conv_id, turn_idx, event_type,
+                   round(value, 2) AS value, epoch_us(commit_ts) AS ts_us
+            FROM ac WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_scd2_history": f"""
             WITH changes AS ({_CHANGES_SQL}),

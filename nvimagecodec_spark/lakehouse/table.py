@@ -1088,6 +1088,50 @@ class LakeTable:
 
         return self._commit("merge", files_fn, s, tag=tag)
 
+    def rollback(self, snapshot_id: int, tag: dict | None = None) -> Snapshot:
+        """Restore the table to ``snapshot_id``'s state with a NEW commit.
+
+        Metadata-only (Iceberg ``rollback_to_snapshot`` semantics): the
+        target's data files are re-referenced, never rewritten, so the
+        cost is one manifest-list write regardless of table size. History
+        is preserved — the rolled-back-over snapshots stay time-travelable
+        until retention reaps them, and ``read_changes(bad_head,
+        rollback_snap)`` shows consumers the restore as ordinary change
+        events (the undo is itself CDC). The schema pointer returns to the
+        target's version; later schema events evolve from there (stable
+        field ids keep every file readable either way).
+
+        Refused across a ``rebucket``: the target's file bucket ids follow
+        the OLD bucket transform — re-referencing them under the new
+        layout would silently break bucket-pruned reads. Re-run
+        ``rebucket`` afterwards instead.
+        """
+        self.refresh()
+        target = self.snapshot(snapshot_id)  # raises if expired/unknown
+        if self.current_snapshot().snapshot_id == snapshot_id:
+            return self.current_snapshot()  # already there — no-op
+
+        def files_fn(cur: Snapshot) -> list[dict]:
+            for s in self.history():
+                if (
+                    target.snapshot_id < s.snapshot_id <= cur.snapshot_id
+                    and s.operation == "rebucket"
+                ):
+                    raise ValueError(
+                        f"cannot roll back across rebucket snapshot "
+                        f"{s.snapshot_id}: the target's files follow the "
+                        f"old bucket layout"
+                    )
+            return list(target.files)
+
+        return self._commit(
+            "rollback",
+            files_fn,
+            {"rollback_to": snapshot_id},
+            tag=tag,
+            current_schema_version=target.schema_version,
+        )
+
     # ------------------------------------------------------- named refs/tags
     def tag(self, name: str, snapshot_id: int | None = None) -> int:
         """Name a snapshot (Iceberg tag analog): ``read(ref=name)`` time-
