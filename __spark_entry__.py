@@ -1189,6 +1189,90 @@ def q_cdc_epoch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by the assembly queries: LWW-final turns → one row per
+    conversation with turns flattened in order. Deterministic text: role
+    = last event_type, text = value in integer cents (no float-format
+    divergence across engines)."""
+    from nvimagecodec_spark.operators.transcripts import assemble_conversations
+
+    won = lww_dedupe(_changes(spark, sf_dir)).where(F.col("op") != "D")
+    turns = won.select(
+        "conv_id",
+        "turn_idx",
+        F.col("event_type").alias("role"),
+        F.round(F.col("value") * 100).cast("bigint").cast("string").alias("text"),
+    )
+    return assemble_conversations(turns, line_cols=["role", "text"])
+
+
+def q_cdc_assembled_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-mile sample assembly (S8 container-pagination analog): the
+    CDC-final per-turn table collapsed to one training sample per
+    conversation — ONE combinable aggregation (sort happens per group
+    post-shuffle, never a global window), zero Python."""
+    return _assembled(spark, sf_dir)
+
+
+def q_cdc_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-tier JSONL training-shard export, verified as a ROUND TRIP: the
+    assembled conversations are hash-sharded to disk (deterministic
+    xxhash64 membership, one file per shard), read back as text, and
+    re-parsed with from_json — the oracle recomputes the assembly
+    directly, so any loss/corruption in the write/read/parse chain
+    hash-mismatches. Shard id is excluded from the compared columns
+    (xxhash64 has no DuckDB twin); content equality is the contract."""
+    from nvimagecodec_spark.operators.transcripts import export_jsonl
+
+    asm = _assembled(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="nvics-shards-")
+    _TEMP_DIRS.append(tmp)
+    out = os.path.join(tmp, "shards")
+    export_jsonl(asm, out, shards=8)
+    back = spark.read.text(out)
+    parsed = back.select(
+        F.from_json(
+            F.col("value"),
+            T.StructType(
+                [
+                    T.StructField("conv_id", T.StringType()),
+                    T.StructField("n_turns", T.LongType()),
+                    T.StructField("first_turn", T.IntegerType()),
+                    T.StructField("last_turn", T.IntegerType()),
+                    T.StructField("n_chars", T.IntegerType()),
+                    T.StructField("full_text", T.StringType()),
+                ]
+            ),
+        ).alias("r")
+    )
+    return parsed.select("r.*")
+
+
+_ASSEMBLED_SQL = f"""
+WITH changes AS ({_CHANGES_SQL}),
+w AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+),
+turns AS (
+  SELECT conv_id, turn_idx,
+         coalesce(event_type, '') || ': ' ||
+         coalesce(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), '')
+           AS line
+  FROM w WHERE rn = 1 AND op <> 'D'
+)
+SELECT conv_id,
+       count(*) AS n_turns,
+       min(turn_idx) AS first_turn,
+       max(turn_idx) AS last_turn,
+       CAST(length(string_agg(line, chr(10) ORDER BY turn_idx)) AS INTEGER)
+         AS n_chars,
+       string_agg(line, chr(10) ORDER BY turn_idx) AS full_text
+FROM turns GROUP BY conv_id
+"""
+
+
 def q_events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event picks the customer's latest order with
     o_orderdate <= event ts (union + running-last window — one shuffle,
@@ -2326,6 +2410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_op_stats": q_cdc_op_stats,
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_epoch_stats": q_cdc_epoch_stats,
+        "cdc_assembled_transcripts": q_cdc_assembled_transcripts,
+        "cdc_export_shards": q_cdc_export_shards,
         "cdc_mixed_encodings": q_cdc_mixed_encodings,
         "cdc_avro_roundtrip": q_cdc_avro_roundtrip,
         "events_asof_order": q_events_asof_order,
@@ -2957,6 +3043,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
             FROM changes GROUP BY 1
         """,
+        "cdc_assembled_transcripts": _ASSEMBLED_SQL,
+        "cdc_export_shards": _ASSEMBLED_SQL,
         "cdc_mixed_encodings": f"""
             WITH changes AS ({_CHANGES_SQL})
             SELECT conv_id, turn_idx, lsn, op,

@@ -19,6 +19,10 @@ from nvimagecodec_spark.operators.patch import expand_patches
 from nvimagecodec_spark.operators.validate import validate_batch
 from nvimagecodec_spark.operators.scd2 import Scd2View, scd2_history
 from nvimagecodec_spark.operators.packing import pack_sequences
+from nvimagecodec_spark.operators.transcripts import (
+    assemble_conversations,
+    export_jsonl,
+)
 from nvimagecodec_spark.operators.rangejoin import interval_join
 from nvimagecodec_spark.operators.sampling import (
     hash_split,
@@ -70,4 +74,6 @@ __all__ = [
     "stratified_sample",
     "hash_split",
     "pack_sequences",
+    "assemble_conversations",
+    "export_jsonl",
 ]
