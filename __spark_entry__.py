@@ -1248,6 +1248,144 @@ def q_cdc_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("r.*")
 
 
+def _assembled_view_synced(spark: SparkSession, sf_dir: str):
+    """Two merge epochs into a transcript table with an
+    AssembledTranscriptsView syncing after each — the O(changed-convs)
+    maintenance path (turn-array RMW, no base re-scan). Returns (view,
+    export_dir=None placeholder) for the two queries sharing the setup."""
+    from nvimagecodec_spark.operators.transcripts import AssembledTranscriptsView
+
+    ch = _changes(spark, sf_dir).withColumn(
+        "after",
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+        ),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nvics-asmview-")
+    _TEMP_DIRS.append(tmp)
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
+    )
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 0)))
+    view = AssembledTranscriptsView.create(
+        spark, os.path.join(tmp, "v"), table, line_cols=["event_type", "cents"]
+    )
+    view.sync(table)
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 1)))
+    view.sync(table)
+    return view, tmp
+
+
+def q_cdc_assembled_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED conversation assembly: epoch 2's updates,
+    deletes, and late turn inserts patch the stored turn arrays of only
+    the touched conversations (bucket-pruned view RMW — the base is never
+    re-scanned). The oracle recomputes assembly from the final LWW state,
+    so a stale line, a ghost turn surviving its delete, or a broken turn
+    order all hash-mismatch."""
+    view, _ = _assembled_view_synced(spark, sf_dir)
+    return view.conversations()
+
+
+def q_cdc_assembled_export_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the pipeline: the maintained view flows into a
+    ShardedJsonlExport whose sync() rewrites ONLY manifest-dirty shards
+    (shard = view bucket, so dirtiness is a metadata diff). The result is
+    parsed back FROM THE SHARD FILES — export staleness (a shard the
+    second sync should have rewritten but didn't) breaks the hash against
+    the direct SQL recompute."""
+    from nvimagecodec_spark.operators.transcripts import (
+        AssembledTranscriptsView,
+        ShardedJsonlExport,
+    )
+
+    ch = _changes(spark, sf_dir).withColumn(
+        "after",
+        F.to_json(
+            F.struct(
+                F.col("event_type"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+        ),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nvics-asmexp-")
+    _TEMP_DIRS.append(tmp)
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "t"), schema, ["conv_id", "turn_idx"], bucket_count=8
+    )
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 0)))
+    view = AssembledTranscriptsView.create(
+        spark, os.path.join(tmp, "v"), table, line_cols=["event_type", "cents"]
+    )
+    view.sync(table)
+    cols = ["conv_id", "n_turns", "first_turn", "last_turn", "n_chars", "full_text"]
+    exp = ShardedJsonlExport.create(spark, os.path.join(tmp, "e"), view.table, columns=cols)
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 1)))
+    view.sync(table)
+    exp.sync()
+    back = spark.read.text(os.path.join(tmp, "e"))
+    parsed = back.select(
+        F.from_json(
+            F.col("value"),
+            T.StructType(
+                [
+                    T.StructField("conv_id", T.StringType()),
+                    T.StructField("n_turns", T.IntegerType()),
+                    T.StructField("first_turn", T.IntegerType()),
+                    T.StructField("last_turn", T.IntegerType()),
+                    T.StructField("n_chars", T.IntegerType()),
+                    T.StructField("full_text", T.StringType()),
+                ]
+            ),
+        ).alias("r")
+    )
+    return parsed.select("r.*")
+
+
+_ASSEMBLED_CENTS_SQL = f"""
+WITH changes AS ({_CHANGES_SQL}),
+w AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+),
+turns AS (
+  SELECT conv_id, turn_idx,
+         coalesce(event_type, '') || ': ' ||
+         coalesce(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), '')
+           AS line
+  FROM w WHERE rn = 1 AND op <> 'D'
+)
+SELECT conv_id,
+       CAST(count(*) AS INTEGER) AS n_turns,
+       min(turn_idx) AS first_turn,
+       max(turn_idx) AS last_turn,
+       CAST(length(string_agg(line, chr(10) ORDER BY turn_idx)) AS INTEGER)
+         AS n_chars,
+       string_agg(line, chr(10) ORDER BY turn_idx) AS full_text
+FROM turns GROUP BY conv_id
+"""
+
+
 _ASSEMBLED_SQL = f"""
 WITH changes AS ({_CHANGES_SQL}),
 w AS (
@@ -2412,6 +2550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_epoch_stats": q_cdc_epoch_stats,
         "cdc_assembled_transcripts": q_cdc_assembled_transcripts,
         "cdc_export_shards": q_cdc_export_shards,
+        "cdc_assembled_view_incremental": q_cdc_assembled_view_incremental,
+        "cdc_assembled_export_sync": q_cdc_assembled_export_sync,
         "cdc_mixed_encodings": q_cdc_mixed_encodings,
         "cdc_avro_roundtrip": q_cdc_avro_roundtrip,
         "events_asof_order": q_events_asof_order,
@@ -3045,6 +3185,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_assembled_transcripts": _ASSEMBLED_SQL,
         "cdc_export_shards": _ASSEMBLED_SQL,
+        "cdc_assembled_view_incremental": _ASSEMBLED_CENTS_SQL,
+        "cdc_assembled_export_sync": _ASSEMBLED_CENTS_SQL,
         "cdc_mixed_encodings": f"""
             WITH changes AS ({_CHANGES_SQL})
             SELECT conv_id, turn_idx, lsn, op,

@@ -20,6 +20,8 @@ from nvimagecodec_spark.operators.validate import validate_batch
 from nvimagecodec_spark.operators.scd2 import Scd2View, scd2_history
 from nvimagecodec_spark.operators.packing import pack_sequences
 from nvimagecodec_spark.operators.transcripts import (
+    AssembledTranscriptsView,
+    ShardedJsonlExport,
     assemble_conversations,
     export_jsonl,
 )
@@ -76,4 +78,6 @@ __all__ = [
     "pack_sequences",
     "assemble_conversations",
     "export_jsonl",
+    "AssembledTranscriptsView",
+    "ShardedJsonlExport",
 ]

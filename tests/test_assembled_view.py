@@ -1,0 +1,271 @@
+"""Incrementally-maintained assembled-conversations view + sharded
+JSONL export maintenance.
+
+Invariants: after any sequence of base epochs and syncs, (a) the view
+equals ``assemble_conversations`` over the base's CURRENT logical state,
+with NO base re-scan during sync (the stored turn array is the prior
+state); (b) the export directory is byte-identical to a from-scratch
+export of the same snapshot, while only manifest-dirty shards rewrite.
+"""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nvimagecodec_spark.lakehouse.table import LakeTable
+from nvimagecodec_spark.operators.lww import lww_dedupe
+from nvimagecodec_spark.operators.merge import merge_into
+from nvimagecodec_spark.operators.transcripts import (
+    AssembledTranscriptsView,
+    ShardedJsonlExport,
+    assemble_conversations,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _batch(spark, rows, lsn0):
+    """[(conv, turn, op, role, text)] → deduped change batch."""
+    data = [
+        (
+            c,
+            t,
+            op,
+            lsn0 + i,
+            json.dumps({"role": role, "text": txt}) if op != "D" else None,
+        )
+        for i, (c, t, op, role, txt) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, op string, lsn long, after string"
+    ).withColumns(
+        {
+            "commit_ts": F.lit("2026-01-01 00:00:00").cast("timestamp"),
+            "src_file": F.lit("test"),
+            "src_offset": F.col("lsn"),
+        }
+    )
+    return lww_dedupe(df)
+
+
+def _expected(base):
+    live = base.read_logical().select("conv_id", "turn_idx", "role", "text")
+    return assemble_conversations(live, line_cols=["role", "text"])
+
+
+def _vrows(df):
+    cols = ["conv_id", "n_turns", "first_turn", "last_turn", "n_chars", "full_text"]
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.select(*cols).collect()),
+        key=lambda t: (t[0] is not None, t[0] or ""),
+    )
+
+
+@pytest.fixture()
+def base(spark, tmp_dir):
+    return LakeTable.create(
+        spark,
+        os.path.join(tmp_dir, "base"),
+        SCHEMA,
+        ["conv_id", "turn_idx"],
+        bucket_count=8,
+    )
+
+
+EPOCH1 = [
+    ("a", 0, "I", "user", "hello"),
+    ("a", 1, "I", "assistant", "hi"),
+    ("a", 2, "I", "user", "bye"),
+    ("b", 0, "I", "user", "solo"),
+    ("c", 0, "I", "user", "x"),
+    ("c", 1, "I", "assistant", None),  # null text renders empty
+    (None, 0, "I", "user", "nullconv"),  # null key is an ordinary key
+]
+
+EPOCH2 = [
+    ("a", 1, "U", "assistant", "hi EDITED"),  # update middle turn
+    ("a", 2, "D", None, None),  # delete last turn
+    ("a", 5, "I", "tool", "late add"),  # append new turn
+    ("b", 0, "D", None, None),  # conversation fully deleted
+    ("d", 0, "I", "user", "new conv"),  # brand-new conversation
+    (None, 1, "I", "assistant", "nullconv2"),
+]
+
+
+def test_view_matches_full_recompute_across_epochs(spark, base, tmp_dir):
+    merge_into(base, _batch(spark, EPOCH1, 100))
+    view = AssembledTranscriptsView.create(
+        spark, os.path.join(tmp_dir, "view"), base, line_cols=["role", "text"]
+    )
+    view.sync(base)
+    assert _vrows(view.conversations()) == _vrows(_expected(base))
+
+    merge_into(base, _batch(spark, EPOCH2, 200))
+    res = view.sync(base)
+    assert res.strategy != "noop"
+    got, want = _vrows(view.conversations()), _vrows(_expected(base))
+    assert got == want
+    # deleted conversation is gone, edits visible
+    convs = {r[0]: r for r in got}
+    assert "b" not in convs
+    assert "hi EDITED" in convs["a"][5] and "bye" not in convs["a"][5]
+    assert convs["a"][3] == 5  # last_turn moved to the appended turn
+    assert None in convs  # null conv assembled like any other
+
+    # replayed sync is a tagged no-op
+    assert view.sync(base).strategy in ("noop", "skipped-duplicate")
+
+
+def test_view_second_epoch_with_lower_lsns_still_applies(spark, base, tmp_dir):
+    # regression: per-conversation max(change lsn) is NOT monotone across
+    # epochs (interleaved streams) — epoch 2 inserts new turns whose lsns
+    # are all LOWER than epoch 1's; the view row must still update
+    # (sync order = base snapshot sequence, not event lsn)
+    merge_into(base, _batch(spark, EPOCH1, 1000))
+    view = AssembledTranscriptsView.create(
+        spark, os.path.join(tmp_dir, "view"), base, line_cols=["role", "text"]
+    )
+    view.sync(base)
+    late = [("a", 9, "I", "tool", "low-lsn add"), ("b", 1, "I", "user", "also")]
+    merge_into(base, _batch(spark, late, 10))
+    view.sync(base)
+    assert _vrows(view.conversations()) == _vrows(_expected(base))
+    a = {r["conv_id"]: r for r in view.conversations().collect()}["a"]
+    assert a["last_turn"] == 9 and "low-lsn add" in a["full_text"]
+
+
+def test_view_reopen_and_turn_order(spark, base, tmp_dir):
+    merge_into(base, _batch(spark, EPOCH1, 100))
+    path = os.path.join(tmp_dir, "view")
+    AssembledTranscriptsView.create(
+        spark, path, base, line_cols=["role", "text"]
+    ).sync(base)
+    # re-open from path alone (config persisted in table properties)
+    view = AssembledTranscriptsView(spark, path)
+    a = {r["conv_id"]: r for r in view.conversations().collect()}["a"]
+    assert a["full_text"] == "user: hello\nassistant: hi\nuser: bye"
+    assert (a["first_turn"], a["last_turn"], a["n_turns"]) == (0, 2, 3)
+
+
+def test_view_bootstrap_after_create_snapshot_expired(spark, base, tmp_dir):
+    merge_into(base, _batch(spark, EPOCH1, 100))
+    merge_into(base, _batch(spark, EPOCH2, 200))
+    # expire everything but the head — the create snapshot is gone, so the
+    # first sync must bootstrap from full live state, not a changelog
+    base.expire_snapshots(keep_last=1)
+    view = AssembledTranscriptsView.create(
+        spark, os.path.join(tmp_dir, "view"), base, line_cols=["role", "text"]
+    )
+    view.sync(base)
+    assert _vrows(view.conversations()) == _vrows(_expected(base))
+
+
+def _shard_contents(path):
+    out = {}
+    for d in sorted(glob.glob(os.path.join(path, "shard=*"))):
+        lines = []
+        for p in sorted(glob.glob(os.path.join(d, "part-*"))):
+            lines.extend(open(p, encoding="utf-8").read().splitlines())
+        out[os.path.basename(d)] = lines
+    return out
+
+
+def test_export_incremental_equals_full(spark, base, tmp_dir):
+    merge_into(base, _batch(spark, EPOCH1, 100))
+    view = AssembledTranscriptsView.create(
+        spark, os.path.join(tmp_dir, "view"), base, line_cols=["role", "text"]
+    )
+    view.sync(base)
+    cols = ["conv_id", "n_turns", "first_turn", "last_turn", "n_chars", "full_text"]
+    exp = ShardedJsonlExport.create(
+        spark, os.path.join(tmp_dir, "exp"), view.table, columns=cols
+    )
+    # no-op sync touches nothing
+    assert exp.sync()["dirty_shards"] == []
+
+    before = _shard_contents(exp.path)
+    merge_into(base, _batch(spark, EPOCH2, 200))
+    view.sync(base)
+    res = exp.sync()
+    assert res["dirty_shards"] and res["dirty_shards"] != ["*"]
+
+    # byte-identical to a from-scratch export of the same snapshot
+    full = ShardedJsonlExport.create(
+        spark, os.path.join(tmp_dir, "exp_full"), view.table, columns=cols
+    )
+    assert _shard_contents(exp.path) == _shard_contents(full.path)
+
+    # shards outside the dirty set kept their exact files (no rewrite)
+    dirty = {f"shard={b}" for b in res["dirty_shards"]}
+    after = _shard_contents(exp.path)
+    for shard, lines in before.items():
+        if shard not in dirty:
+            assert after[shard] == lines
+
+
+def test_export_emptied_shard_dir_removed(spark, tmp_dir):
+    t = LakeTable.create(
+        spark,
+        os.path.join(tmp_dir, "t"),
+        T.StructType(
+            [
+                T.StructField("conv_id", T.StringType()),
+                T.StructField("v", T.LongType()),
+            ]
+        ),
+        ["conv_id"],
+        bucket_count=4,
+    )
+
+    def b(rows, lsn0):
+        data = [
+            (c, op, lsn0 + i, json.dumps({"v": v}) if op != "D" else None)
+            for i, (c, op, v) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "conv_id string, op string, lsn long, after string"
+        ).withColumns(
+            {
+                "commit_ts": F.lit("2026-01-01 00:00:00").cast("timestamp"),
+                "src_file": F.lit("test"),
+                "src_offset": F.col("lsn"),
+            }
+        )
+        return lww_dedupe(df, key_cols=["conv_id"])
+
+    merge_into(t, b([("a", "I", 1), ("b", "I", 2)], 10))
+    exp = ShardedJsonlExport.create(spark, os.path.join(tmp_dir, "e"), t)
+    occupied = set(_shard_contents(exp.path))
+    assert occupied
+    # delete every row of one key → its shard dir must disappear
+    merge_into(t, b([("a", "D", None)], 20))
+    exp.sync()
+    want = {
+        f"shard={r['s']}"
+        for r in t.read_logical()
+        .select(t.bucket_expr(t.read_logical()).alias("s"))
+        .distinct()
+        .collect()
+    }
+    assert set(_shard_contents(exp.path)) == want
+
+
+def test_export_create_rejects_double_init_and_bad_cols(spark, base, tmp_dir):
+    merge_into(base, _batch(spark, EPOCH1, 100))
+    p = os.path.join(tmp_dir, "e")
+    ShardedJsonlExport.create(spark, p, base)
+    with pytest.raises(FileExistsError):
+        ShardedJsonlExport.create(spark, p, base)
+    with pytest.raises(ValueError):
+        ShardedJsonlExport.create(spark, os.path.join(tmp_dir, "e2"), base, columns=["nope"])
