@@ -269,3 +269,36 @@ def test_export_create_rejects_double_init_and_bad_cols(spark, base, tmp_dir):
         ShardedJsonlExport.create(spark, p, base)
     with pytest.raises(ValueError):
         ShardedJsonlExport.create(spark, os.path.join(tmp_dir, "e2"), base, columns=["nope"])
+
+
+def test_view_registers_in_txn_catalog(spark, tmp_dir):
+    """AssembledTranscriptsView satisfies the register_view contract:
+    after each committed transaction, catalog.read of the view is
+    consistent with catalog.read of its base (synced inside the flip)."""
+    from nvimagecodec_spark.lakehouse.txn import TxnCatalog
+
+    base = LakeTable.create(
+        spark,
+        os.path.join(tmp_dir, "base"),
+        SCHEMA,
+        ["conv_id", "turn_idx"],
+        bucket_count=4,
+    )
+    merge_into(base, _batch(spark, EPOCH1, 100))
+    cat = TxnCatalog.create(spark, os.path.join(tmp_dir, "cat"), {"t": base})
+    view = AssembledTranscriptsView.create(
+        spark, os.path.join(tmp_dir, "view"), base, line_cols=["role", "text"]
+    )
+    cat.register_view("asm", view, "t")
+
+    txn = cat.begin("tx", 1)
+    txn.merge("t", _batch(spark, EPOCH2, 200))
+    txn.commit()
+
+    got = {r["conv_id"]: r["full_text"] for r in cat.read("asm").collect()}
+    live = cat.read("t").select("conv_id", "turn_idx", "role", "text")
+    want = {
+        r["conv_id"]: r["full_text"]
+        for r in assemble_conversations(live, line_cols=["role", "text"]).collect()
+    }
+    assert got == want and "d" in got and "b" not in got
