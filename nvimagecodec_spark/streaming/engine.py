@@ -60,6 +60,7 @@ class CdcEngine:
         config: EngineConfig | None = None,
         checkpoint_dir: str | None = None,
         batch_transform=None,
+        post_epoch=None,
     ):
         self.spark = spark
         self.table = table
@@ -69,6 +70,16 @@ class CdcEngine:
         # deduped batch rows, applied inside every epoch's merge (see
         # operators/merge._apply_batch_transform for the contract)
         self.batch_transform = batch_transform
+        # post_epoch(engine, batch_id): driver-side hook fired after each
+        # COMMITTED epoch (skipped-duplicate replays included — hook
+        # implementations must be idempotent, which every derived-view
+        # sync() already is via its commit-tag cursor). This is how
+        # downstream materializations (AssembledTranscriptsView,
+        # ShardedJsonlExport, incremental indexes) ride the always-on
+        # tail without a second orchestrator. Reference analog: the
+        # per-batch completion callback chain on processing results
+        # (/root/reference/src/processing_results.h:51-89).
+        self.post_epoch = post_epoch
         self.checkpoint_dir = checkpoint_dir or os.path.join(table.path, "_checkpoints")
         self.lineage_log = LineageLog(os.path.join(table.path, "_lineage", "lineage.jsonl"))
         self.rate = AdaptiveRateController(
@@ -273,6 +284,11 @@ class CdcEngine:
             # check below). One metadata read per epoch.
             self.table.refresh()
         if self.table.has_commit_tag(self.source_id, batch_id):
+            # replays fire the hook too: a crash AFTER the commit but
+            # BEFORE the downstream syncs ran must heal on replay, and
+            # the syncs' own cursors make the re-fire a no-op otherwise
+            if self.post_epoch is not None:
+                self.post_epoch(self, batch_id)
             return MergeResult(None, [], 0, 0, 0.0, "skipped-duplicate")
 
         # Deliberately NOT persisted: the epoch makes ~3 passes (partition
@@ -284,7 +300,12 @@ class CdcEngine:
         # persisted — it's small and reused by every strategy). Inputs are
         # stable within an epoch: streaming hands us a pinned micro-batch,
         # and the file source treats files as immutable.
-        return self._apply_epoch_inner(events, batch_id, offset_range, t0, staged)
+        res = self._apply_epoch_inner(events, batch_id, offset_range, t0, staged)
+        # staged epochs haven't published — their downstream syncs belong
+        # to the transaction that publishes them (register_view), not here
+        if self.post_epoch is not None and not staged:
+            self.post_epoch(self, batch_id)
+        return res
 
     def _apply_epoch_inner(
         self,

@@ -302,3 +302,101 @@ def test_view_registers_in_txn_catalog(spark, tmp_dir):
         for r in assemble_conversations(live, line_cols=["role", "text"]).collect()
     }
     assert got == want and "d" in got and "b" not in got
+
+
+def test_export_crash_between_rewrite_and_state_flip_heals(spark, base, tmp_dir):
+    """A crash after rewriting dirty shards but BEFORE the state-file
+    flip leaves the old cursor; the re-run recomputes the same dirty set
+    and converges (sync is idempotent)."""
+    merge_into(base, _batch(spark, EPOCH1, 100))
+    exp = ShardedJsonlExport.create(spark, os.path.join(tmp_dir, "e"), base)
+    merge_into(base, _batch(spark, EPOCH2, 200))
+    head = base.current_snapshot().snapshot_id
+    # simulate the crash: do the rewrite, skip the state flip
+    from nvimagecodec_spark.lakehouse.incremental import changed_buckets
+
+    dirty = changed_buckets(base, exp.state["snapshot_id"], head)
+    exp._rewrite_buckets(dirty, head)
+    assert exp.state["snapshot_id"] != head  # cursor still old
+
+    res = exp.sync()  # healing run
+    assert res["snapshot_id"] == head
+    full = ShardedJsonlExport.create(spark, os.path.join(tmp_dir, "full"), base)
+    assert _shard_contents(exp.path) == _shard_contents(full.path)
+
+
+def test_engine_post_epoch_hook_drives_view_and_export(spark, tmp_dir):
+    """post_epoch wires the downstream materializations into the
+    streaming loop itself: after run_stream drains, the view and the
+    shard files are already at the table head — no second orchestrator.
+    A replayed epoch re-fires the hook (idempotent via sync cursors)."""
+    from nvimagecodec_spark.sources.generator import (
+        events_to_files,
+        generate_change_events,
+    )
+    from nvimagecodec_spark.streaming.engine import CdcEngine
+
+    stream_dir = os.path.join(tmp_dir, "stream")
+    events_to_files(
+        generate_change_events(n_events=800, seed=3), stream_dir, files=4
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(tmp_dir, "t"), schema, ["conv_id", "turn_idx"], bucket_count=4
+    )
+    view = AssembledTranscriptsView.create(
+        spark, os.path.join(tmp_dir, "v"), table, line_cols=["role", "text"]
+    )
+    exp = ShardedJsonlExport.create(
+        spark, os.path.join(tmp_dir, "e"), view.table, columns=["conv_id", "full_text"]
+    )
+    fired = []
+
+    def after(engine, batch_id):
+        fired.append(batch_id)
+        view.sync(engine.table)
+        exp.sync()
+
+    eng = CdcEngine(
+        spark,
+        table,
+        source_id="hooked",
+        checkpoint_dir=os.path.join(tmp_dir, "ck"),
+        post_epoch=after,
+    )
+    n = eng.run_stream(stream_dir, max_files_per_trigger=2)
+    assert n >= 2 and len(fired) == n
+
+    # view + files already match the head, no extra sync needed
+    assert _vrows(view.conversations()) == _vrows(_expected(table))
+    back = {}
+    for p in glob.glob(os.path.join(tmp_dir, "e", "shard=*", "part-*")):
+        for line in open(p, encoding="utf-8"):
+            rec = json.loads(line)
+            back[rec["conv_id"]] = rec["full_text"]
+    want = {r["conv_id"]: r["full_text"] for r in view.conversations().collect()}
+    assert back == want
+
+    # replay: same checkpoint, same files → epochs skip, hook re-fires,
+    # state unchanged
+    before = _shard_contents(os.path.join(tmp_dir, "e"))
+    fired.clear()
+    eng2 = CdcEngine(
+        spark,
+        table,
+        source_id="hooked",
+        checkpoint_dir=os.path.join(tmp_dir, "ck2"),
+        post_epoch=after,
+    )
+    eng2.run_stream(stream_dir, max_files_per_trigger=4)
+    assert fired  # re-fired on the replayed (skipped-duplicate) epochs
+    assert _shard_contents(os.path.join(tmp_dir, "e")) == before
