@@ -400,3 +400,96 @@ def test_engine_post_epoch_hook_drives_view_and_export(spark, tmp_dir):
     eng2.run_stream(stream_dir, max_files_per_trigger=4)
     assert fired  # re-fired on the replayed (skipped-duplicate) epochs
     assert _shard_contents(os.path.join(tmp_dir, "e")) == before
+
+
+def test_always_on_tail_with_downstream_syncs_kill_resume(spark, tmp_dir):
+    """Chaos tier: an ALWAYS-ON interval-trigger tail with post_epoch
+    view+export syncs, a writer thread appending mid-flight, and a kill +
+    resume on the same checkpoint. Final state must converge THREE deep:
+    table == pandas oracle, view == full reassembly, shard files == view.
+    The hook's replay firing is what heals a kill that lands between the
+    table commit and the downstream syncs."""
+    import shutil as _shutil
+    import threading
+    import time as _time
+
+    from nvimagecodec_spark.oracle.pandas_applier import apply_events_pandas
+    from nvimagecodec_spark.sources.generator import (
+        events_to_files,
+        generate_change_events,
+    )
+    from nvimagecodec_spark.streaming.engine import CdcEngine
+    from tests.test_apply_end_to_end import TARGET_SCHEMA
+    from tests.test_streaming import _assert_matches_oracle
+
+    events = generate_change_events(n_events=2400, seed=23, with_schema_events=False)
+    staged = os.path.join(tmp_dir, "staged")
+    events_to_files(events, staged, files=10)
+    stream_dir = os.path.join(tmp_dir, "stream")
+    os.makedirs(stream_dir)
+    table = LakeTable.create(
+        spark, os.path.join(tmp_dir, "t"), TARGET_SCHEMA, ["conv_id", "turn_idx"], bucket_count=8
+    )
+    view = AssembledTranscriptsView.create(
+        spark, os.path.join(tmp_dir, "v"), table, line_cols=["role", "text"]
+    )
+    exp = ShardedJsonlExport.create(
+        spark, os.path.join(tmp_dir, "e"), view.table, columns=["conv_id", "full_text"]
+    )
+
+    def after(engine, batch_id):
+        view.sync(engine.table)
+        exp.sync()
+
+    files = sorted(os.listdir(staged))
+
+    def writer():
+        for f in files:
+            _shutil.copy(os.path.join(staged, f), os.path.join(stream_dir, f + ".tmp"))
+            os.rename(os.path.join(stream_dir, f + ".tmp"), os.path.join(stream_dir, f))
+            _time.sleep(0.3)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    eng = CdcEngine(spark, table, source_id="soak2", post_epoch=after)
+    handle = eng.run_stream(stream_dir, max_files_per_trigger=2, trigger_interval="1 seconds")
+    deadline = _time.time() + 90
+    while _time.time() < deadline and len(eng.lineage()) < 2:
+        _time.sleep(0.2)
+    handle.stop()  # kill mid-flight, writer still appending
+    assert len(eng.lineage()) >= 1
+
+    eng2 = CdcEngine(
+        spark, table, source_id="soak2", checkpoint_dir=eng.checkpoint_dir, post_epoch=after
+    )
+    handle2 = eng2.run_stream(stream_dir, max_files_per_trigger=2, trigger_interval="1 seconds")
+    t.join()
+    deadline = _time.time() + 120
+    ok = False
+    while _time.time() < deadline:
+        try:
+            _assert_matches_oracle(table, events)
+            ok = True
+            break
+        except AssertionError:
+            _time.sleep(1.0)
+    handle2.stop()
+    assert ok, "tail never converged to the oracle state"
+
+    # downstream syncs may lag the last commit by one hook firing if the
+    # kill landed inside it — one explicit sync is the documented heal
+    view.sync(table)
+    exp.sync()
+    live = table.read_logical().select("conv_id", "turn_idx", "role", "text")
+    want = {
+        r["conv_id"]: r["full_text"]
+        for r in assemble_conversations(live, line_cols=["role", "text"]).collect()
+    }
+    got = {r["conv_id"]: r["full_text"] for r in view.conversations().collect()}
+    assert got == want
+    back = {}
+    for p in glob.glob(os.path.join(tmp_dir, "e", "shard=*", "part-*")):
+        for line in open(p, encoding="utf-8"):
+            rec = json.loads(line)
+            back[rec["conv_id"]] = rec["full_text"]
+    assert back == want
