@@ -267,7 +267,7 @@ class AssembledTranscriptsView:
             else:
                 # create snapshot expired → bootstrap from full live state
                 changes = self._full_state_changes(base, to_id)
-        batch = self._patched_batch(changes, to_id)
+        batch = self._patched_batch(changes, self._resolve_line_cols(base), to_id)
         return merge_into(
             self.table,
             batch,
@@ -277,7 +277,7 @@ class AssembledTranscriptsView:
     def _full_state_changes(self, base, to_id: int) -> DataFrame:
         df = base.read(snapshot_id=to_id, with_system=True)
         live = df.where(~F.coalesce(F.col("_sys_deleted"), F.lit(False)))
-        cols = [self.conv_col, self.turn_col] + self.line_cols
+        cols = [self.conv_col, self.turn_col] + self._resolve_line_cols(base)
         return live.select(
             F.lit("I").alias("op"),
             *cols,
@@ -285,11 +285,36 @@ class AssembledTranscriptsView:
             F.col("_sys_cts").alias("commit_ts"),
         )
 
-    def _patched_batch(self, changes: DataFrame, to_id: int) -> DataFrame:
+    def _resolve_line_cols(self, base) -> list[str]:
+        """Stored line-col names mapped through base schema evolution: a
+        column renamed since the view was created is found via its
+        ``prev_names`` history (field-id stable), so syncs keep working
+        across renames; a DROPPED line column raises rather than silently
+        rendering a hole in every future line."""
+        live = {c.name for c in base.table_schema.live_columns}
+        by_prev = {}
+        for c in base.table_schema.live_columns:
+            for p in c.prev_names:
+                by_prev.setdefault(p, c.name)
+        out = []
+        for name in self.line_cols:
+            if name in live:
+                out.append(name)
+            elif name in by_prev:
+                out.append(by_prev[name])
+            else:
+                raise ValueError(
+                    f"line column {name!r} no longer exists in the base "
+                    "table (dropped?) — recreate the view with current "
+                    "line columns"
+                )
+        return out
+
+    def _patched_batch(self, changes: DataFrame, line_cols: list[str], to_id: int) -> DataFrame:
         ck, tk = self.conv_col, self.turn_col
         line = F.concat_ws(
             ": ",
-            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in self.line_cols],
+            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in line_cols],
         )
         # per-conversation patch list; one net event per (conv, turn) is
         # the read_changes contract, so the list has no intra-turn dupes

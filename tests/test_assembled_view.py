@@ -493,3 +493,38 @@ def test_always_on_tail_with_downstream_syncs_kill_resume(spark, tmp_dir):
             rec = json.loads(line)
             back[rec["conv_id"]] = rec["full_text"]
     assert back == want
+
+
+def test_view_survives_base_line_column_rename(spark, base, tmp_dir):
+    """Schema evolution on the base: a line column renamed after the view
+    was created resolves through prev_names (field-id stable) — syncs
+    keep rendering it; a DROPPED line column raises explicitly."""
+    merge_into(base, _batch(spark, EPOCH1, 100))
+    view = AssembledTranscriptsView.create(
+        spark, os.path.join(tmp_dir, "view"), base, line_cols=["role", "text"]
+    )
+    view.sync(base)
+    base.rename_column("text", "body")
+    late = [("a", 7, "I", "user", "post-rename")]
+    data = [
+        (c, t, op, 500 + i, json.dumps({"role": r, "body": x}))
+        for i, (c, t, op, r, x) in enumerate(late)
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, op string, lsn long, after string"
+    ).withColumns(
+        {
+            "commit_ts": F.lit("2026-01-02 00:00:00").cast("timestamp"),
+            "src_file": F.lit("test"),
+            "src_offset": F.col("lsn"),
+        }
+    )
+    merge_into(base, lww_dedupe(df))
+    view.sync(base)
+    a = {r["conv_id"]: r for r in view.conversations().collect()}["a"]
+    assert "post-rename" in a["full_text"] and a["last_turn"] == 7
+
+    base.drop_column("body")
+    merge_into(base, _batch(spark, [("a", 8, "I", "user", None)], 600))
+    with pytest.raises(ValueError, match="no longer exists"):
+        view.sync(base)
