@@ -369,9 +369,6 @@ class AssembledTranscriptsView:
             lambda p: F.struct(p["o"].alias("o"), p["l"].alias("l")),
         )
         new_turns = F.sort_array(F.concat(kept, added))
-        full_text = F.array_join(
-            F.transform(new_turns, lambda t: t["l"]), self.sep, ""
-        )
         staged = j.select(
             F.col(ck),
             F.col("lsn"),
@@ -539,6 +536,11 @@ class ShardedJsonlExport:
             snapshot_id=snapshot_id, buckets=buckets, with_system=True
         )
         df = df.where(~F.coalesce(F.col("_sys_deleted"), F.lit(False)))
+        # NUL-joined stringified key is ALMOST unique per row (keys are
+        # table-unique) — but a null part and an empty-string part
+        # collide, so the serialized line itself breaks the tie; without
+        # it, tied rows could reorder between runs and break the
+        # byte-identical-to-full-export contract
         sort_key = F.concat_ws(
             "\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in self.table.key_cols]
         )
@@ -550,7 +552,7 @@ class ShardedJsonlExport:
         n_parts = len(buckets) if buckets is not None else self.table.bucket_count
         (
             staged.repartition(max(n_parts, 1), "shard")
-            .sortWithinPartitions("shard", "_k")
+            .sortWithinPartitions("shard", "_k", "line")
             .select("shard", "line")
             .write.partitionBy("shard")
             .mode("append")
