@@ -92,6 +92,12 @@ def export_jsonl(
 
     Returns the (shard, key, line) frame for callers that want to count
     or verify without re-reading the files.
+
+    Sizing note: one shard = one task = one file, so ``shards`` must be
+    chosen for roughly even hash-split volume (keys are hashed, so only
+    a pathological few-key corpus skews); at lake scale prefer
+    ``ShardedJsonlExport``, whose shards align with the table's buckets
+    and inherit the table's own skew management.
     """
     if shards < 1:
         raise ValueError("shards must be >= 1")
