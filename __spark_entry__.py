@@ -1251,8 +1251,8 @@ def q_cdc_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _assembled_view_synced(spark: SparkSession, sf_dir: str):
     """Two merge epochs into a transcript table with an
     AssembledTranscriptsView syncing after each — the O(changed-convs)
-    maintenance path (turn-array RMW, no base re-scan). Returns (view,
-    export_dir=None placeholder) for the two queries sharing the setup."""
+    maintenance path (turn-array RMW, no base re-scan). Returns
+    (view, tmp_root)."""
     from nvimagecodec_spark.operators.transcripts import AssembledTranscriptsView
 
     ch = _changes(spark, sf_dir).withColumn(
