@@ -152,6 +152,31 @@ def q_cdc_engine_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-to-lake replication (lakehouse/replica.py): the source takes
+    two merge epochs; a TableReplica syncs after each off the
+    snapshot-diff changelog with exactly-once cursor tags. The oracle
+    recomputes the final LWW state directly, so a lost delete, a stale
+    row, or a double-applied change in the replica breaks the hash."""
+    from nvimagecodec_spark.lakehouse.replica import TableReplica
+
+    ch, table = _cdc_table(spark, sf_dir, "nvics-replica-")
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 0)))
+    tmp = tempfile.mkdtemp(prefix="nvics-replica-dst-")
+    _TEMP_DIRS.append(tmp)
+    rep = TableReplica.create(spark, os.path.join(tmp, "rep"), table)
+    rep.sync(table)
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 1)))
+    rep.sync(table)
+    return rep.table.read_logical().select(
+        "conv_id",
+        "turn_idx",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        ts_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
 def q_cdc_patch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARTIAL after-image apply (Debezium/Mongo $set-style patches):
     epoch 1 merges the full-image stream; epoch 2 sends ONE patch/delete
@@ -2521,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": q_cdc_lww_final_state,
         "cdc_engine_apply": q_cdc_engine_apply,
+        "cdc_replica_sync": q_cdc_replica_sync,
         "cdc_patch_apply": q_cdc_patch_apply,
         "cdc_constraints_apply": q_cdc_constraints_apply,
         "cdc_wap_publish": q_cdc_wap_publish,
@@ -2776,6 +2802,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_final_state": _LWW_FINAL_SQL,
         "cdc_engine_apply": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes)
+            SELECT conv_id, turn_idx, event_type, round(value, 2) AS value,
+                   epoch_us(commit_ts) AS ts_us
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_replica_sync": f"""
             WITH changes AS ({_CHANGES_SQL}),
             w AS (SELECT *, ROW_NUMBER() OVER (
                     PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn

@@ -1,0 +1,189 @@
+"""Exactly-once lake-to-lake replication off the snapshot-diff changelog.
+
+A replica is the degenerate derived view: identity transform, same keys.
+``sync()`` folds the source's net row changes since the last sync into a
+sibling LakeTable through the standard order-aware merge, so the replica
+inherits every engine guarantee (atomic commits, tag-cursor idempotence,
+time travel, bucket-pruned writes) — and because it exposes the
+``.table`` + cursor-idempotent ``.sync(base, to_id=)`` contract, it can
+be registered in a ``TxnCatalog`` like any other view for
+transactionally-consistent fan-out (DR mirrors, region copies, dev
+snapshots that track prod).
+
+Schema evolution PROPAGATES: before each data fold, the replica diffs the
+source's live schema against its own and replays the implied operations —
+adds, widens, drops, and renames (a rename is inferred exactly, not
+guessed, because the source schema carries each column's ``prev_names``
+history under a stable field id). The one-way assumption is that the
+replica's schema history is a prefix of the source's — true by
+construction when all schema changes arrive through sync.
+
+Scale shape per sync: one manifest-diff-pruned changelog read + one
+bucket-pruned merge. No driver-side loops over data; schema diffing is
+metadata-only.
+
+Reference analog: transcode — decode one stream, re-encode into a sink
+with the same logical content (`nvimtrans` decode→encode pipeline,
+/root/reference/src/nvimtrans.cpp; SURVEY §3.2), plus the chained-engine
+replay test tier (tests/test_chained_engines.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nvimagecodec_spark.lakehouse.incremental import (
+    last_synced_batch_id,
+    read_changes,
+)
+from nvimagecodec_spark.lakehouse.table import LakeTable
+from nvimagecodec_spark.operators.merge import MergeResult, merge_into
+
+
+class TableReplica:
+    SOURCE_ID = "replica-sync"
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.table = LakeTable(spark, path)
+
+    # ----------------------------------------------------------- lifecycle
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        src: LakeTable,
+        bucket_count: int | None = None,
+        properties: dict | None = None,
+    ) -> "TableReplica":
+        """An empty replica of ``src``'s current schema and keys. The
+        bucket count may differ (e.g. a smaller dev mirror); the merge
+        re-buckets rows under the replica's own transform."""
+        LakeTable.create(
+            spark,
+            path,
+            src.schema(),
+            list(src.key_cols),
+            bucket_count=bucket_count or src.bucket_count,
+            properties=properties or {},
+        )
+        return cls(spark, path)
+
+    # ----------------------------------------------------------- schema
+    def _sync_schema(self, src: LakeTable) -> int:
+        """Replay source schema evolution onto the replica (metadata-only
+        commits). Renames resolve through the source column's prev_names
+        history; order is renames → adds → widens → drops so a renamed
+        column is never mistaken for a dropped one. Returns the number of
+        operations applied."""
+        ops = 0
+        src_cols = list(src.table_schema.live_columns)
+        src_names = {c.name for c in src_cols}
+        keys = set(self.table.key_cols)
+
+        rep_names = {c.name for c in self.table.table_schema.live_columns}
+        for c in src_cols:
+            if c.name in rep_names:
+                continue
+            prev_here = [p for p in c.prev_names if p in rep_names and p not in src_names]
+            if prev_here:
+                # the replica still holds an older name of this field
+                self.table.rename_column(prev_here[-1], c.name)
+            else:
+                self.table.add_column(c.name, c.type_name)
+            ops += 1
+            rep_names = {x.name for x in self.table.table_schema.live_columns}
+
+        for c in src_cols:
+            mine = next(
+                (x for x in self.table.table_schema.live_columns if x.name == c.name),
+                None,
+            )
+            if mine is not None and mine.type_name != c.type_name:
+                self.table.widen_column(c.name, c.type_name)
+                ops += 1
+
+        for x in list(self.table.table_schema.live_columns):
+            if x.name not in src_names and x.name not in keys:
+                self.table.drop_column(x.name)
+                ops += 1
+        return ops
+
+    # ----------------------------------------------------------- sync
+    def last_synced_src_snapshot(self) -> int | None:
+        return last_synced_batch_id(self.table, self.SOURCE_ID)
+
+    def sync(self, base: LakeTable, to_id: int | None = None) -> MergeResult:
+        """Fold source changes since the last sync. Idempotent under the
+        (SOURCE_ID, to_id) commit tag; schema evolution is propagated
+        first so the data fold lands under the evolved schema."""
+        head = base.current_snapshot().snapshot_id
+        to_id = head if to_id is None else to_id
+        from_id = self.last_synced_src_snapshot()
+        if from_id is not None and to_id == from_id:
+            return MergeResult(None, [], 0, 0, 0.0, "noop")
+        if from_id is not None and to_id < from_id:
+            raise ValueError(
+                f"sync target snapshot {to_id} is older than last synced {from_id}"
+            )
+        self._sync_schema(base)
+        if from_id is not None:
+            changes = read_changes(base, from_id, to_id)
+        else:
+            oldest = base.history()[0]
+            if oldest.operation == "create":
+                changes = read_changes(base, oldest.snapshot_id, to_id)
+            else:
+                changes = self._full_state_changes(base, to_id)
+        return merge_into(
+            self.table,
+            self._events(changes, to_id),
+            tag={"source_id": self.SOURCE_ID, "batch_id": to_id},
+        )
+
+    def _full_state_changes(self, base: LakeTable, to_id: int) -> DataFrame:
+        df = base.read(snapshot_id=to_id, with_system=True)
+        live = df.where(~F.coalesce(F.col("_sys_deleted"), F.lit(False)))
+        payload = [
+            f.name for f in base.schema().fields if f.name not in base.key_cols
+        ]
+        return live.select(
+            F.lit("I").alias("op"),
+            *base.key_cols,
+            *payload,
+            F.col("_sys_lsn").alias("lsn"),
+            F.col("_sys_cts").alias("commit_ts"),
+        )
+
+    def _events(self, changes: DataFrame, to_id: int) -> DataFrame:
+        """read_changes output → merge batch (already one net event per
+        key, so no dedupe pass). Timestamps serialize through the same
+        micros format the parse path uses."""
+        keys = list(self.table.key_cols)
+        payload = [
+            c.name
+            for c in self.table.table_schema.live_columns
+            if c.name not in keys and c.name in changes.columns
+        ]
+        def _field(c: str) -> F.Column:
+            # timestamps serialize through the micros format the parse
+            # path's from_json expects (same as the engine's after-images)
+            if changes.schema[c].dataType.simpleString() == "timestamp":
+                return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(c)
+            return F.col(c)
+
+        after = F.when(
+            F.col("op") != "D",
+            F.to_json(F.struct(*[_field(c) for c in payload])),
+        )
+        return changes.select(
+            *keys,
+            "op",
+            "lsn",
+            "commit_ts",
+            after.alias("after"),
+            F.lit(self.SOURCE_ID).alias("src_file"),
+            F.lit(to_id).cast("long").alias("src_offset"),
+        )

@@ -1,0 +1,180 @@
+"""Lake-to-lake replication: after any sequence of source epochs and
+syncs — including schema evolution between them — the replica's logical
+state equals the source's, and syncs are exactly-once (replay = no-op).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nvimagecodec_spark.lakehouse.replica import TableReplica
+from nvimagecodec_spark.lakehouse.table import LakeTable
+from nvimagecodec_spark.operators.lww import lww_dedupe
+from nvimagecodec_spark.operators.merge import merge_into
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _batch(spark, rows, lsn0):
+    data = [
+        (c, t, op, lsn0 + i, json.dumps(payload) if op != "D" else None)
+        for i, (c, t, op, payload) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, op string, lsn long, after string"
+    ).withColumns(
+        {
+            "commit_ts": F.lit("2026-01-01 00:00:00").cast("timestamp"),
+            "src_file": F.lit("test"),
+            "src_offset": F.col("lsn"),
+        }
+    )
+    return lww_dedupe(df)
+
+
+def _state(table):
+    cols = sorted(c for c in table.read_logical().columns)
+    rows = table.read_logical().select(*cols).collect()
+    return cols, sorted(
+        (tuple(str(r[c]) for c in cols) for r in rows),
+    )
+
+
+@pytest.fixture()
+def src(spark, tmp_dir):
+    return LakeTable.create(
+        spark,
+        os.path.join(tmp_dir, "src"),
+        SCHEMA,
+        ["conv_id", "turn_idx"],
+        bucket_count=8,
+    )
+
+
+def test_replica_tracks_source_through_epochs(spark, src, tmp_dir):
+    merge_into(
+        src,
+        _batch(
+            spark,
+            [
+                ("a", 0, "I", {"role": "user", "text": "hello"}),
+                ("a", 1, "I", {"role": "assistant", "text": "hi"}),
+                ("b", 0, "I", {"role": "user", "text": "solo"}),
+                (None, 0, "I", {"role": "user", "text": "nullkey"}),
+            ],
+            100,
+        ),
+    )
+    rep = TableReplica.create(spark, os.path.join(tmp_dir, "rep"), src)
+    rep.sync(src)
+    assert _state(rep.table) == _state(src)
+
+    merge_into(
+        src,
+        _batch(
+            spark,
+            [
+                ("a", 1, "U", {"role": "assistant", "text": "hi EDITED"}),
+                ("b", 0, "D", None),
+                ("c", 0, "I", {"role": "user", "text": "new"}),
+            ],
+            200,
+        ),
+    )
+    res = rep.sync(src)
+    assert res.strategy != "noop"
+    assert _state(rep.table) == _state(src)
+    # replay is a tagged no-op
+    assert rep.sync(src).strategy in ("noop", "skipped-duplicate")
+
+
+def test_replica_smaller_bucket_count(spark, src, tmp_dir):
+    merge_into(
+        src,
+        _batch(spark, [(f"k{i}", 0, "I", {"role": "u", "text": str(i)}) for i in range(50)], 10),
+    )
+    rep = TableReplica.create(spark, os.path.join(tmp_dir, "rep"), src, bucket_count=2)
+    rep.sync(src)
+    assert _state(rep.table) == _state(src)
+
+
+def test_replica_propagates_schema_evolution(spark, src, tmp_dir):
+    merge_into(
+        src, _batch(spark, [("a", 0, "I", {"role": "user", "text": "v1"})], 100)
+    )
+    rep = TableReplica.create(spark, os.path.join(tmp_dir, "rep"), src)
+    rep.sync(src)
+
+    # add + widen + rename + drop on the SOURCE between syncs
+    src.add_column("rating", "int")
+    merge_into(
+        src,
+        _batch(spark, [("a", 1, "I", {"role": "user", "text": "v2", "rating": 5})], 200),
+    )
+    rep.sync(src)
+    assert _state(rep.table) == _state(src)
+
+    src.widen_column("rating", "bigint")
+    src.rename_column("text", "body")
+    merge_into(
+        src,
+        _batch(
+            spark,
+            [("a", 2, "I", {"role": "user", "body": "v3", "rating": 2**40})],
+            300,
+        ),
+    )
+    rep.sync(src)
+    assert _state(rep.table) == _state(src)
+    assert "body" in rep.table.read_logical().columns
+    assert "text" not in rep.table.read_logical().columns
+
+    src.drop_column("rating")
+    merge_into(
+        src, _batch(spark, [("a", 3, "I", {"role": "user", "body": "v4"})], 400)
+    )
+    rep.sync(src)
+    assert _state(rep.table) == _state(src)
+    assert "rating" not in rep.table.read_logical().columns
+
+
+def test_replica_bootstrap_after_source_create_expired(spark, src, tmp_dir):
+    merge_into(
+        src, _batch(spark, [("a", 0, "I", {"role": "user", "text": "x"})], 100)
+    )
+    merge_into(
+        src, _batch(spark, [("a", 0, "D", None), ("b", 0, "I", {"role": "u", "text": "y"})], 200)
+    )
+    src.expire_snapshots(keep_last=1)
+    rep = TableReplica.create(spark, os.path.join(tmp_dir, "rep"), src)
+    rep.sync(src)
+    assert _state(rep.table) == _state(src)
+
+
+def test_replica_registers_in_txn_catalog(spark, src, tmp_dir):
+    from nvimagecodec_spark.lakehouse.txn import TxnCatalog
+
+    merge_into(
+        src, _batch(spark, [("a", 0, "I", {"role": "user", "text": "seed"})], 100)
+    )
+    cat = TxnCatalog.create(spark, os.path.join(tmp_dir, "cat"), {"t": src})
+    rep = TableReplica.create(spark, os.path.join(tmp_dir, "rep"), src)
+    cat.register_view("mirror", rep, "t")
+
+    txn = cat.begin("tx", 1)
+    txn.merge("t", _batch(spark, [("b", 0, "I", {"role": "u", "text": "in-txn"})], 200))
+    txn.commit()
+    # catalog read of the mirror is consistent with the base
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in cat.read("mirror").collect()}
+    want = {(r["conv_id"], r["turn_idx"]): r["text"] for r in cat.read("t").collect()}
+    assert got == want and ("b", 0) in got
