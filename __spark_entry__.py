@@ -177,6 +177,35 @@ def q_cdc_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_replica_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREDICATED replica (compliance-slice pattern): only rows matching
+    the filter exist downstream; a row whose update moves it across the
+    predicate is inserted/deleted accordingly (before-image gated), and
+    never-matching rows leave no tombstone shadow. Oracle = final LWW
+    state WHERE the predicate holds — a row that left the slice but
+    survived downstream, or one that entered and is missing, breaks the
+    hash."""
+    from nvimagecodec_spark.lakehouse.replica import TableReplica
+
+    ch, table = _cdc_table(spark, sf_dir, "nvics-repfilt-")
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 0)))
+    tmp = tempfile.mkdtemp(prefix="nvics-repfilt-dst-")
+    _TEMP_DIRS.append(tmp)
+    rep = TableReplica.create(
+        spark, os.path.join(tmp, "rep"), table, row_filter="event_type <> 'view'"
+    )
+    rep.sync(table)
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 2 == 1)))
+    rep.sync(table)
+    return rep.table.read_logical().select(
+        "conv_id",
+        "turn_idx",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        ts_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
 def q_cdc_patch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARTIAL after-image apply (Debezium/Mongo $set-style patches):
     epoch 1 merges the full-image stream; epoch 2 sends ONE patch/delete
@@ -2547,6 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_final_state": q_cdc_lww_final_state,
         "cdc_engine_apply": q_cdc_engine_apply,
         "cdc_replica_sync": q_cdc_replica_sync,
+        "cdc_replica_filtered": q_cdc_replica_filtered,
         "cdc_patch_apply": q_cdc_patch_apply,
         "cdc_constraints_apply": q_cdc_constraints_apply,
         "cdc_wap_publish": q_cdc_wap_publish,
@@ -2818,6 +2848,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, event_type, round(value, 2) AS value,
                    epoch_us(commit_ts) AS ts_us
             FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_replica_filtered": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes)
+            SELECT conv_id, turn_idx, event_type, round(value, 2) AS value,
+                   epoch_us(commit_ts) AS ts_us
+            FROM w WHERE rn = 1 AND op <> 'D' AND event_type <> 'view'
         """,
         "cdc_patch_apply": f"""
             WITH changes AS ({_CHANGES_SQL}),

@@ -1,6 +1,18 @@
 """Exactly-once lake-to-lake replication off the snapshot-diff changelog.
 
 A replica is the degenerate derived view: identity transform, same keys.
+It also supports the two standard narrowing transforms:
+
+- ``columns=`` — a PROJECTED replica (e.g. a PII-stripped mirror): only
+  the listed columns exist downstream; source schema changes to
+  untracked columns are ignored, renames/widens/drops of tracked ones
+  still propagate.
+- ``row_filter=`` — a PREDICATED replica (e.g. one domain's slice): the
+  filter is evaluated against each net change's after-image AND (via
+  read_changes before-images) its prior image, so a row LEAVING the
+  predicate becomes a delete downstream, a row entering becomes an
+  insert, and rows that never matched emit nothing at all — the filtered
+  replica holds no tombstone shadow of the other 99% of the source.
 ``sync()`` folds the source's net row changes since the last sync into a
 sibling LakeTable through the standard order-aware merge, so the replica
 inherits every engine guarantee (atomic commits, tag-cursor idempotence,
@@ -47,6 +59,9 @@ class TableReplica:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.table = LakeTable(spark, path)
+        props = self.table.meta.get("properties", {})
+        self.track_all = props.get("replica.columns", "*") == "*"
+        self.row_filter = props.get("replica.row-filter") or None
 
     # ----------------------------------------------------------- lifecycle
     @classmethod
@@ -56,18 +71,39 @@ class TableReplica:
         path: str,
         src: LakeTable,
         bucket_count: int | None = None,
+        columns: list[str] | None = None,
+        row_filter: str | None = None,
         properties: dict | None = None,
     ) -> "TableReplica":
         """An empty replica of ``src``'s current schema and keys. The
         bucket count may differ (e.g. a smaller dev mirror); the merge
-        re-buckets rows under the replica's own transform."""
+        re-buckets rows under the replica's own transform.
+
+        ``columns``: projected replica — only these columns (key columns
+        are always included). ``row_filter``: ANSI boolean SQL over the
+        tracked columns; NULL evaluates as not-matching."""
+        src_fields = {f.name: f for f in src.schema().fields}
+        if columns is not None:
+            missing = [c for c in columns if c not in src_fields]
+            if missing:
+                raise ValueError(f"source has no columns {missing}")
+            names = list(dict.fromkeys(list(src.key_cols) + list(columns)))
+            schema = type(src.schema())(
+                [src_fields[n] for n in src.schema().fieldNames() if n in names]
+            )
+        else:
+            schema = src.schema()
+        props = dict(properties or {})
+        props["replica.columns"] = "*" if columns is None else ",".join(columns)
+        if row_filter:
+            props["replica.row-filter"] = row_filter
         LakeTable.create(
             spark,
             path,
-            src.schema(),
+            schema,
             list(src.key_cols),
             bucket_count=bucket_count or src.bucket_count,
-            properties=properties or {},
+            properties=props,
         )
         return cls(spark, path)
 
@@ -91,8 +127,10 @@ class TableReplica:
             if prev_here:
                 # the replica still holds an older name of this field
                 self.table.rename_column(prev_here[-1], c.name)
-            else:
+            elif self.track_all:
                 self.table.add_column(c.name, c.type_name)
+            else:
+                continue  # projected replica: new untracked source columns stay out
             ops += 1
             rep_names = {x.name for x in self.table.table_schema.live_columns}
 
@@ -129,19 +167,88 @@ class TableReplica:
                 f"sync target snapshot {to_id} is older than last synced {from_id}"
             )
         self._sync_schema(base)
+        # a predicated replica needs before-images: whether a change emits
+        # I/U/D/nothing downstream depends on which side(s) of the filter
+        # the old and new images fall on
+        with_before = self.row_filter is not None
+        bootstrap = False
         if from_id is not None:
-            changes = read_changes(base, from_id, to_id)
+            changes = read_changes(base, from_id, to_id, with_before=with_before)
         else:
             oldest = base.history()[0]
             if oldest.operation == "create":
-                changes = read_changes(base, oldest.snapshot_id, to_id)
+                changes = read_changes(
+                    base, oldest.snapshot_id, to_id, with_before=with_before
+                )
             else:
                 changes = self._full_state_changes(base, to_id)
+                bootstrap = True
+        if self.row_filter is not None:
+            changes = self._apply_row_filter(changes, bootstrap)
         return merge_into(
             self.table,
             self._events(changes, to_id),
             tag={"source_id": self.SOURCE_ID, "batch_id": to_id},
         )
+
+    def _apply_row_filter(self, changes: DataFrame, bootstrap: bool) -> DataFrame:
+        """Predicated replication. Truth table over (old image matched,
+        new image matches):  I: emit iff new matches.  U: new matches → U;
+        only old matched → D (the row LEFT the slice); neither → nothing.
+        D: emit iff old matched. Rows that never matched emit nothing, so
+        the replica carries no tombstone shadow of the unmatched corpus.
+        Bootstrap (full live state, no befores): plain filter on I rows.
+        NULL filter results count as not-matching (ANSI WHERE semantics).
+        """
+        keep = F.coalesce(F.expr(self.row_filter), F.lit(False))
+        if bootstrap:
+            return changes.where(keep)
+        keys = list(self.table.key_cols)
+        payload = [
+            c.name
+            for c in self.table.table_schema.live_columns
+            if c.name not in keys and c.name in changes.columns
+        ]
+        # evaluate the filter on the BEFORE image without a self-join:
+        # capture the after-side verdict + payload first, then re-project
+        # before_<c> under the canonical names and evaluate again
+        staged = changes.withColumn("_keep_after", keep)
+        carried = [c for c in changes.columns if not c.startswith("before_")]
+        staged = staged.select(
+            *[F.col(c) for c in carried],
+            F.col("_keep_after"),
+            *[F.col(f"before_{c}").alias(f"__b_{c}") for c in payload],
+        )
+        # the before-side verdict: same filter with payload references
+        # rewritten to the __b_ aliases (keys are their own before-image)
+        keep_before = F.coalesce(
+            F.expr(self._substitute_before(self.row_filter, payload)),
+            F.lit(False),
+        )
+        staged = staged.withColumn("_keep_before", keep_before)
+        op_out = (
+            F.when(F.col("op") == "I", F.when(F.col("_keep_after"), "I"))
+            .when(
+                F.col("op") == "U",
+                F.when(F.col("_keep_after"), "U").when(F.col("_keep_before"), "D"),
+            )
+            .otherwise(F.when(F.col("_keep_before"), "D"))
+        )
+        out = staged.withColumn("op", op_out).where(F.col("op").isNotNull())
+        return out.drop("_keep_after", "_keep_before", *[f"__b_{c}" for c in payload])
+
+    @staticmethod
+    def _substitute_before(sql: str, payload: list[str]) -> str:
+        """Rewrite payload column references in the filter to their
+        before-image aliases. Whole-word textual substitution — the
+        filter grammar this replica supports is plain column references
+        (no quoted identifiers shadowing payload names)."""
+        import re
+
+        out = sql
+        for c in sorted(payload, key=len, reverse=True):
+            out = re.sub(rf"\b{re.escape(c)}\b", f"__b_{c}", out)
+        return out
 
     def _full_state_changes(self, base: LakeTable, to_id: int) -> DataFrame:
         df = base.read(snapshot_id=to_id, with_system=True)

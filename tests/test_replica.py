@@ -178,3 +178,116 @@ def test_replica_registers_in_txn_catalog(spark, src, tmp_dir):
     got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in cat.read("mirror").collect()}
     want = {(r["conv_id"], r["turn_idx"]): r["text"] for r in cat.read("t").collect()}
     assert got == want and ("b", 0) in got
+
+
+def test_projected_replica_tracks_subset(spark, src, tmp_dir):
+    """Column-subset replica (PII-strip pattern): only tracked columns
+    exist downstream; untracked source adds are ignored, tracked renames
+    still propagate."""
+    merge_into(
+        src,
+        _batch(
+            spark,
+            [
+                ("a", 0, "I", {"role": "user", "text": "SECRET"}),
+                ("b", 0, "I", {"role": "assistant", "text": "ALSO SECRET"}),
+            ],
+            100,
+        ),
+    )
+    rep = TableReplica.create(
+        spark, os.path.join(tmp_dir, "rep"), src, columns=["role"]
+    )
+    rep.sync(src)
+    cols = set(rep.table.read_logical().columns)
+    assert cols == {"conv_id", "turn_idx", "role"}
+    got = {(r["conv_id"], r["turn_idx"]): r["role"] for r in rep.table.read_logical().collect()}
+    assert got == {("a", 0): "user", ("b", 0): "assistant"}
+
+    # untracked source add is ignored; tracked rename propagates
+    src.add_column("rating", "int")
+    src.rename_column("role", "speaker")
+    merge_into(
+        src, _batch(spark, [("c", 0, "I", {"speaker": "tool", "text": "x", "rating": 1})], 200)
+    )
+    rep.sync(src)
+    cols = set(rep.table.read_logical().columns)
+    assert cols == {"conv_id", "turn_idx", "speaker"}
+    assert {r["speaker"] for r in rep.table.read_logical().collect()} == {
+        "user", "assistant", "tool"
+    }
+
+
+def test_predicated_replica_enter_leave_semantics(spark, src, tmp_dir):
+    """Row-filter replica: enter → insert, leave → delete, never-matched →
+    nothing (no tombstone shadow)."""
+    merge_into(
+        src,
+        _batch(
+            spark,
+            [
+                ("in", 0, "I", {"role": "user", "text": "keep"}),
+                ("out", 0, "I", {"role": "system", "text": "drop"}),
+                ("mover", 0, "I", {"role": "system", "text": "later"}),
+            ],
+            100,
+        ),
+    )
+    rep = TableReplica.create(
+        spark, os.path.join(tmp_dir, "rep"), src, row_filter="role <> 'system'"
+    )
+    rep.sync(src)
+    keys = {(r["conv_id"], r["turn_idx"]) for r in rep.table.read_logical().collect()}
+    assert keys == {("in", 0)}
+    # never-matching rows left NO tombstones in the replica
+    with_sys = rep.table.read(with_system=True).count()
+    assert with_sys == 1
+
+    merge_into(
+        src,
+        _batch(
+            spark,
+            [
+                ("mover", 0, "U", {"role": "user", "text": "entered"}),  # enters
+                ("in", 0, "U", {"role": "system", "text": "left"}),  # leaves
+                ("out", 0, "U", {"role": "system", "text": "still out"}),  # never in
+            ],
+            200,
+        ),
+    )
+    rep.sync(src)
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"] for r in rep.table.read_logical().collect()}
+    assert rows == {("mover", 0): "entered"}
+    # "in" left the slice via a real delete; "out" still has no footprint
+    sys_rows = {
+        (r["conv_id"], r["turn_idx"])
+        for r in rep.table.read(with_system=True).collect()
+    }
+    assert ("out", 0) not in sys_rows and ("in", 0) in sys_rows
+
+    # source-side hard delete of a matching row propagates
+    merge_into(src, _batch(spark, [("mover", 0, "D", None)], 300))
+    rep.sync(src)
+    assert rep.table.read_logical().count() == 0
+
+
+def test_predicated_replica_bootstrap_filters(spark, src, tmp_dir):
+    merge_into(
+        src,
+        _batch(
+            spark,
+            [
+                ("a", 0, "I", {"role": "user", "text": "x"}),
+                ("b", 0, "I", {"role": "system", "text": "y"}),
+            ],
+            100,
+        ),
+    )
+    merge_into(src, _batch(spark, [("c", 0, "I", {"role": "user", "text": "z"})], 200))
+    src.expire_snapshots(keep_last=1)  # force full-state bootstrap
+    rep = TableReplica.create(
+        spark, os.path.join(tmp_dir, "rep"), src, row_filter="role = 'user'"
+    )
+    rep.sync(src)
+    keys = {r["conv_id"] for r in rep.table.read_logical().collect()}
+    assert keys == {"a", "c"}
