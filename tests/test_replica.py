@@ -291,3 +291,21 @@ def test_predicated_replica_bootstrap_filters(spark, src, tmp_dir):
     rep.sync(src)
     keys = {r["conv_id"] for r in rep.table.read_logical().collect()}
     assert keys == {"a", "c"}
+
+
+def test_substitute_before_whole_word_only():
+    """The before-image rewrite must not mangle prefixes, quoted strings
+    of unrelated identifiers, or longer column names sharing a prefix."""
+    sub = TableReplica._substitute_before
+    assert sub("text <> 'x'", ["text"]) == "__b_text <> 'x'"
+    # longer name wins first; prefix column untouched inside it
+    assert (
+        sub("text_long = text", ["text", "text_long"])
+        == "__b_text_long = __b_text"
+    )
+    # key columns are not rewritten (not in payload)
+    assert sub("conv_id = 'a' AND role = 'u'", ["role"]) == (
+        "conv_id = 'a' AND __b_role = 'u'"
+    )
+    # function names that merely contain a column name stay intact
+    assert sub("length(text) > 3", ["text"]) == "length(__b_text) > 3"
