@@ -42,6 +42,8 @@ replay test tier (tests/test_chained_engines.py).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,6 +53,37 @@ from nvimagecodec_spark.lakehouse.incremental import (
 )
 from nvimagecodec_spark.lakehouse.table import LakeTable
 from nvimagecodec_spark.operators.merge import MergeResult, merge_into
+
+# SQL single-quoted string literal, with '' as the escaped quote.
+_SQL_LITERAL = re.compile(r"'(?:[^']|'')*'")
+
+
+def _sub_outside_literals(sql: str, mapping: dict[str, str]) -> str:
+    """Whole-word column-name substitution that never touches the inside
+    of single-quoted string literals — so a filter like
+    ``category = 'text'`` keeps its literal even when ``text`` is also a
+    payload column name. Longer names substitute first so a column whose
+    name is a prefix of another is never partially rewritten."""
+    segments: list[str] = []
+    last = 0
+    ordered = sorted(mapping, key=len, reverse=True)
+    for m in _SQL_LITERAL.finditer(sql):
+        segments.append(sql[last : m.start()])
+        segments.append(None)  # type: ignore[arg-type]  # literal placeholder
+        last = m.end()
+    segments.append(sql[last:])
+    literals = _SQL_LITERAL.findall(sql)
+    out: list[str] = []
+    lit_i = 0
+    for seg in segments:
+        if seg is None:
+            out.append(literals[lit_i])
+            lit_i += 1
+            continue
+        for c in ordered:
+            seg = re.sub(rf"\b{re.escape(c)}\b", mapping[c], seg)
+        out.append(seg)
+    return "".join(out)
 
 
 class TableReplica:
@@ -96,6 +129,17 @@ class TableReplica:
         props = dict(properties or {})
         props["replica.columns"] = "*" if columns is None else ",".join(columns)
         if row_filter:
+            # the filter must analyze against exactly the replica's
+            # (key + tracked) columns: a reference to an untracked source
+            # column would silently evaluate the before-image against the
+            # AFTER value (before_<c> is only staged for tracked payload)
+            try:
+                spark.createDataFrame([], schema).where(F.expr(row_filter))
+            except Exception as e:
+                raise ValueError(
+                    "row_filter must reference only key + tracked columns "
+                    f"({[f.name for f in schema.fields]}); analysis failed: {e}"
+                ) from e
             props["replica.row-filter"] = row_filter
         LakeTable.create(
             spark,
@@ -127,6 +171,7 @@ class TableReplica:
             if prev_here:
                 # the replica still holds an older name of this field
                 self.table.rename_column(prev_here[-1], c.name)
+                self._rewrite_filter_on_rename(prev_here[-1], c.name)
             elif self.track_all:
                 self.table.add_column(c.name, c.type_name)
             else:
@@ -148,6 +193,22 @@ class TableReplica:
                 self.table.drop_column(x.name)
                 ops += 1
         return ops
+
+    def _rewrite_filter_on_rename(self, old: str, new: str) -> None:
+        """When a source rename propagates to a column the stored
+        row_filter references, rewrite and persist the filter — otherwise
+        every future sync fails analysis against the old name."""
+        if not self.row_filter:
+            return
+        rewritten = _sub_outside_literals(self.row_filter, {old: new})
+        if rewritten == self.row_filter:
+            return
+        self.row_filter = rewritten
+
+        def mutate(meta: dict) -> None:
+            meta.setdefault("properties", {})["replica.row-filter"] = rewritten
+
+        self.table._update_meta(mutate)
 
     # ----------------------------------------------------------- sync
     def last_synced_src_snapshot(self) -> int | None:
@@ -240,15 +301,12 @@ class TableReplica:
     @staticmethod
     def _substitute_before(sql: str, payload: list[str]) -> str:
         """Rewrite payload column references in the filter to their
-        before-image aliases. Whole-word textual substitution — the
-        filter grammar this replica supports is plain column references
-        (no quoted identifiers shadowing payload names)."""
-        import re
-
-        out = sql
-        for c in sorted(payload, key=len, reverse=True):
-            out = re.sub(rf"\b{re.escape(c)}\b", f"__b_{c}", out)
-        return out
+        before-image aliases. Whole-word textual substitution outside
+        single-quoted literals — ``category = 'text'`` keeps its literal
+        even when ``text`` is also a payload column. The filter grammar
+        this replica supports is plain column references (no quoted
+        identifiers shadowing payload names)."""
+        return _sub_outside_literals(sql, {c: f"__b_{c}" for c in payload})
 
     def _full_state_changes(self, base: LakeTable, to_id: int) -> DataFrame:
         df = base.read(snapshot_id=to_id, with_system=True)

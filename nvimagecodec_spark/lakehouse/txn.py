@@ -492,7 +492,9 @@ class TxnCatalog:
     def recover(self) -> list[dict]:
         """Resolve every surviving intent file. Returns one record per
         transaction: {source_id, batch_id, action} with action ∈
-        {rolled-forward, rolled-back, replay-needed}."""
+        {rolled-forward, rolled-back, replay-needed, blocked}. A
+        ``blocked`` intent stays on disk and is retried on the next
+        load/recover — the catalog stays loadable throughout."""
         out: list[dict] = []
         tdir = self._txn_dir()
         if not os.path.isdir(tdir):
@@ -575,6 +577,19 @@ class TxnCatalog:
                 **rec,
                 "action": "replay-needed",
                 "conflicted": [f"view:{e}"],
+            }
+        except Exception as e:  # noqa: BLE001
+            # any other sync failure (e.g. a registered view manually
+            # synced past the txn target raises ValueError). Bases are
+            # already published; letting this propagate would make every
+            # subsequent load(recover=True) re-raise with the intent still
+            # on disk — an unloadable catalog. Record the blockage, leave
+            # the intent for a later retry once the operator resolves the
+            # view state, and keep the catalog loadable.
+            return {
+                **rec,
+                "action": "blocked",
+                "error": f"{type(e).__name__}: {e}",
             }
         label = f"{source_id}-b{batch_id}"
         self._protect_new_pins(label, snapshots, view_snaps)

@@ -286,8 +286,11 @@ class CdcEngine:
         if self.table.has_commit_tag(self.source_id, batch_id):
             # replays fire the hook too: a crash AFTER the commit but
             # BEFORE the downstream syncs ran must heal on replay, and
-            # the syncs' own cursors make the re-fire a no-op otherwise
-            if self.post_epoch is not None:
+            # the syncs' own cursors make the re-fire a no-op otherwise.
+            # NOT in staged mode: a staged epoch's downstream syncs belong
+            # to the transaction that publishes it (same guard as below) —
+            # firing them here would run view syncs mid-transaction.
+            if self.post_epoch is not None and not staged:
                 self.post_epoch(self, batch_id)
             return MergeResult(None, [], 0, 0, 0.0, "skipped-duplicate")
 

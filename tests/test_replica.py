@@ -309,3 +309,137 @@ def test_substitute_before_whole_word_only():
     )
     # function names that merely contain a column name stay intact
     assert sub("length(text) > 3", ["text"]) == "length(__b_text) > 3"
+
+
+def test_substitute_before_masks_string_literals():
+    """A literal that collides with a payload column name ('text' below)
+    is an ordinary ANSI filter and must survive the before-image rewrite
+    untouched — only references OUTSIDE single-quoted literals move."""
+    sub = TableReplica._substitute_before
+    assert (
+        sub("category = 'text'", ["category", "text"])
+        == "__b_category = 'text'"
+    )
+    # escaped quotes ('') stay inside one literal
+    assert (
+        sub("text = 'it''s text' AND role = 'role'", ["text", "role"])
+        == "__b_text = 'it''s text' AND __b_role = 'role'"
+    )
+    # multiple literals interleaved with real references
+    assert (
+        sub("text IN ('text', 'role') OR role = text", ["text", "role"])
+        == "__b_text IN ('text', 'role') OR __b_role = __b_text"
+    )
+
+
+def test_predicated_replica_literal_collides_with_column(spark, src, tmp_dir):
+    """End-to-end: filter literal equals a payload column name; enter /
+    leave verdicts must still be computed against the before-image."""
+    merge_into(
+        src,
+        _batch(
+            spark,
+            [
+                ("in", 0, "I", {"role": "text", "text": "match"}),
+                ("out", 0, "I", {"role": "other", "text": "no"}),
+            ],
+            100,
+        ),
+    )
+    rep = TableReplica.create(
+        spark, os.path.join(tmp_dir, "rep"), src, row_filter="role = 'text'"
+    )
+    rep.sync(src)
+    assert {r["conv_id"] for r in rep.table.read_logical().collect()} == {"in"}
+    # "in" leaves the slice; "out" enters — both verdicts need the
+    # literal preserved on the before side
+    merge_into(
+        src,
+        _batch(
+            spark,
+            [
+                ("in", 0, "U", {"role": "other", "text": "left"}),
+                ("out", 0, "U", {"role": "text", "text": "entered"}),
+            ],
+            200,
+        ),
+    )
+    rep.sync(src)
+    rows = {(r["conv_id"]): r["text"] for r in rep.table.read_logical().collect()}
+    assert rows == {"out": "entered"}
+    sys_keys = {r["conv_id"] for r in rep.table.read(with_system=True).collect()}
+    assert "in" in sys_keys  # left via a real delete
+
+
+def test_replica_row_filter_validated_at_create(spark, src, tmp_dir):
+    """A filter referencing an untracked / unknown column is rejected at
+    create() instead of silently evaluating befores against afters."""
+    with pytest.raises(ValueError, match="row_filter"):
+        TableReplica.create(
+            spark,
+            os.path.join(tmp_dir, "rep_bad"),
+            src,
+            row_filter="no_such_col = 1",
+        )
+    # projected replica: filter over a real source column that is NOT
+    # tracked is equally invalid
+    with pytest.raises(ValueError, match="row_filter"):
+        TableReplica.create(
+            spark,
+            os.path.join(tmp_dir, "rep_bad2"),
+            src,
+            columns=["role"],
+            row_filter="text = 'x'",
+        )
+    # tracked column: fine
+    TableReplica.create(
+        spark,
+        os.path.join(tmp_dir, "rep_ok"),
+        src,
+        columns=["role"],
+        row_filter="role = 'user'",
+    )
+
+
+def test_replica_row_filter_survives_source_rename(spark, src, tmp_dir):
+    """When the source renames a column the stored row_filter references,
+    the filter is rewritten and persisted — future syncs keep working."""
+    merge_into(
+        src,
+        _batch(
+            spark,
+            [
+                ("a", 0, "I", {"role": "user", "text": "x"}),
+                ("b", 0, "I", {"role": "system", "text": "y"}),
+            ],
+            100,
+        ),
+    )
+    rep = TableReplica.create(
+        spark, os.path.join(tmp_dir, "rep"), src, row_filter="role = 'user'"
+    )
+    rep.sync(src)
+    assert {r["conv_id"] for r in rep.table.read_logical().collect()} == {"a"}
+
+    src.rename_column("role", "speaker")
+    merge_into(
+        src,
+        _batch(
+            spark,
+            [
+                ("b", 0, "U", {"speaker": "user", "text": "entered"}),
+                ("a", 0, "U", {"speaker": "system", "text": "left"}),
+            ],
+            200,
+        ),
+    )
+    rep.sync(src)
+    assert {r["conv_id"] for r in rep.table.read_logical().collect()} == {"b"}
+    # the rewrite persisted: a FRESH handle sees the new filter and syncs
+    rep2 = TableReplica(spark, rep.table.path)
+    assert rep2.row_filter == "speaker = 'user'"
+    merge_into(
+        src, _batch(spark, [("c", 0, "I", {"speaker": "user", "text": "z"})], 300)
+    )
+    rep2.sync(src)
+    assert {r["conv_id"] for r in rep2.table.read_logical().collect()} == {"b", "c"}

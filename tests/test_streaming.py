@@ -244,6 +244,34 @@ def test_epoch_replay_is_noop_at_engine_level(spark, tmp_dir):
     assert table.current_snapshot().snapshot_id == r1.snapshot.snapshot_id
 
 
+def test_staged_replay_does_not_fire_post_epoch(spark, tmp_dir):
+    """A STAGED epoch's downstream syncs belong to the transaction that
+    publishes it. On the skipped-duplicate replay path the hook must obey
+    the same guard as the normal path — firing it there would run view
+    syncs mid-transaction, before the catalog pointer flips."""
+    events, stream_dir, table = _setup(spark, tmp_dir, n_events=400, with_schema=False, files=2)
+    fired: list[tuple[int, str]] = []
+    ev = ChangeStream(spark, stream_dir).events()
+
+    engine = CdcEngine(
+        spark,
+        table,
+        source_id="hook",
+        post_epoch=lambda eng, bid: fired.append((bid, "fired")),
+    )
+    r1 = engine.apply_epoch(ev, batch_id=0)  # normal commit → fires
+    assert r1.snapshot is not None and fired == [(0, "fired")]
+
+    fired.clear()
+    r2 = engine.apply_epoch(ev, batch_id=0, staged=True)  # staged replay
+    assert r2.strategy == "skipped-duplicate"
+    assert fired == []  # hook did NOT fire mid-transaction
+
+    r3 = engine.apply_epoch(ev, batch_id=0)  # unstaged replay still heals
+    assert r3.strategy == "skipped-duplicate"
+    assert fired == [(0, "fired")]
+
+
 def test_adaptive_rate_controller_converges():
     c = AdaptiveRateController(target_epoch_seconds=10.0, cap=1000, min_cap=100, max_cap=10**7)
     # throughput: 1000 events/sec → ideal cap 10_000

@@ -122,6 +122,48 @@ def test_view_pin_never_precedes_flip_and_crash_recovers(
     assert os.listdir(os.path.join(recat.path, "txns")) == []
 
 
+def test_blocked_view_sync_keeps_catalog_loadable(spark, cat_idx, monkeypatch):
+    """A view-sync failure that is NOT a ConcurrentModification (e.g. the
+    documented ValueError when a view was manually synced past the txn
+    target) must not make the catalog unloadable: recover() records the
+    intent as 'blocked', leaves it on disk, and a later load with the
+    blockage resolved rolls the transaction forward."""
+    catalog, docs, idx = cat_idx
+
+    def boom(self, base, to_id=None):
+        raise RuntimeError("simulated crash during view sync")
+
+    monkeypatch.setattr(IncrementalTextIndex, "sync", boom)
+    txn = catalog.begin("tx", 2)
+    txn.merge("docs", _batch(spark, [("d", 0, "I", "new doc")], lsn0=200))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        txn.commit()
+    # base published, intent still on disk
+    assert catalog.table("docs").has_commit_tag("tx.docs", 2)
+    assert len(os.listdir(os.path.join(catalog.path, "txns"))) == 1
+
+    def manual(self, base, to_id=None):
+        raise ValueError("view manually synced past txn target")
+
+    monkeypatch.setattr(IncrementalTextIndex, "sync", manual)
+    # the load must SUCCEED, not re-raise, with the intent preserved
+    recat = TxnCatalog.load(spark, catalog.path)
+    actions = recat.recover()
+    assert actions and actions[0]["action"] == "blocked"
+    assert "ValueError" in actions[0]["error"]
+    assert len(os.listdir(os.path.join(recat.path, "txns"))) == 1
+    # pointer never moved: readers still see the old consistent pair
+    assert ("d", 0) not in _state(recat.read("docs"))
+
+    monkeypatch.undo()
+    healed = TxnCatalog.load(spark, catalog.path)
+    assert _state(healed.read("docs"))[("d", 0)] == "new doc"
+    assert _postings(healed.read("idx")) == _recomputed_postings(
+        healed.read("docs")
+    )
+    assert os.listdir(os.path.join(healed.path, "txns")) == []
+
+
 def test_chained_views_sync_in_dependency_order(spark, tmp_dir):
     docs = LakeTable.create(
         spark,
