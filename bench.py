@@ -340,7 +340,28 @@ def main() -> None:
     if "errors" in result:  # names only; texts live in the detail file
         compact["failed"] = sorted(result["errors"])
     compact["detail"] = os.path.relpath(detail_path, os.getcwd())
-    print(json.dumps(compact), flush=True)
+    # HARD length budget: the driver records only a ~2000-char tail of
+    # stdout — r4's line outgrew it once the per-query map passed ~90
+    # entries and came back "parsed": null. If the full line would bust
+    # the budget, keep headline scalars + the slowest queries and point
+    # at the detail file for the rest (counts stay so nothing is silent).
+    line = json.dumps(compact)
+    budget = 1900
+    if len(line) > budget and isinstance(compact.get("queries"), dict):
+        q = compact["queries"]
+        timed = sorted(
+            ((k, v) for k, v in q.items() if isinstance(v, (int, float))),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )
+        compact["n_queries"] = len(q)
+        for keep in (20, 12, 8, 4, 0):
+            compact["queries"] = dict(timed[:keep])
+            compact["queries_omitted"] = len(q) - keep
+            line = json.dumps(compact)
+            if len(line) <= budget:
+                break
+    print(line, flush=True)
     spark.stop()
 
 
