@@ -2573,6 +2573,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # ORDER MATTERS: the driver checks a ~50-query prefix per round.
+        # Never-driver-checked queries lead, then last-green-in-r3, then
+        # the 50 green in r4 — maximizes fresh CORRECTNESS evidence.
+        # --- never driver-checked (VERDICT r4 gap list) ---
+        "events_incident_windows": q_events_incident_windows,
+        "docs_length_percentiles": q_docs_length_percentiles,
+        "docs_tfidf_terms": q_docs_tfidf_terms,
+        "docs_unigram_ppl": q_docs_unigram_ppl,
+        "docs_neardup_clusters": q_docs_neardup_clusters,
+        "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_token_budget": q_docs_token_budget,
+        "docs_hash_split": q_docs_hash_split,
+        "docs_domain_mixture": q_docs_domain_mixture,
+        "docs_pack_sequences": q_docs_pack_sequences,
+        "docs_dedup_keep": q_docs_dedup_keep,
+        "docs_repetition": q_docs_repetition,
+        "docs_pii_redact": q_docs_pii_redact,
+        "docs_chunk_tokens": q_docs_chunk_tokens,
+        "mm_image_decode_real": q_mm_image_decode_real,
+        "mm_image_resize_real": q_mm_image_resize_real,
+        "emb_quantize": q_emb_quantize,
+        # --- last green in r3 ---
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_lang_id": q_docs_lang_id,
+        "docs_fingerprint": q_docs_fingerprint,
+        "docs_minhash_signatures": q_docs_minhash_signatures,
+        "docs_minhash_lsh_pairs": q_docs_minhash_lsh_pairs,
+        "docs_ngram_jaccard_pairs": q_docs_ngram_jaccard_pairs,
+        "docs_jaccard_lsh_gated": q_docs_jaccard_lsh_gated,
+        "docs_simhash": q_docs_simhash,
+        "docs_pii_scan": q_docs_pii_scan,
+        "docs_contamination": q_docs_contamination,
+        "mm_image_metadata": q_mm_image_metadata,
+        "mm_image_decode": q_mm_image_decode,
+        "mm_image_resize": q_mm_image_resize,
+        "mm_video_frame_sample": q_mm_video_frame_sample,
+        "mm_audio_metadata": q_mm_audio_metadata,
+        "mm_audio_windows": q_mm_audio_windows,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_ivf_persisted": q_emb_ivf_persisted,
+        "emb_near_dup_pairs": q_emb_near_dup_pairs,
+        "emb_lsh_near_dup": q_emb_lsh_near_dup,
+        # --- green in r4 ---
         "cdc_lww_final_state": q_cdc_lww_final_state,
         "cdc_engine_apply": q_cdc_engine_apply,
         "cdc_replica_sync": q_cdc_replica_sync,
@@ -2623,46 +2669,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_window": q_revenue_window,
         "events_rolling_active": q_events_rolling_active,
         "customer_returns": q_customer_returns,
-        "events_incident_windows": q_events_incident_windows,
-        "docs_length_percentiles": q_docs_length_percentiles,
-        "docs_exact_dedup": q_docs_exact_dedup,
-        "docs_token_stats": q_docs_token_stats,
-        "docs_quality": q_docs_quality,
-        "docs_tfidf_terms": q_docs_tfidf_terms,
-        "docs_unigram_ppl": q_docs_unigram_ppl,
-        "docs_lang_id": q_docs_lang_id,
-        "docs_fingerprint": q_docs_fingerprint,
-        "docs_minhash_signatures": q_docs_minhash_signatures,
-        "docs_minhash_lsh_pairs": q_docs_minhash_lsh_pairs,
-        "docs_ngram_jaccard_pairs": q_docs_ngram_jaccard_pairs,
-        "docs_jaccard_lsh_gated": q_docs_jaccard_lsh_gated,
-        "docs_neardup_clusters": q_docs_neardup_clusters,
-        "docs_stratified_sample": q_docs_stratified_sample,
-        "docs_token_budget": q_docs_token_budget,
-        "docs_hash_split": q_docs_hash_split,
-        "docs_domain_mixture": q_docs_domain_mixture,
-        "docs_pack_sequences": q_docs_pack_sequences,
-        "docs_simhash": q_docs_simhash,
-        "docs_dedup_keep": q_docs_dedup_keep,
-        "docs_repetition": q_docs_repetition,
-        "docs_pii_scan": q_docs_pii_scan,
-        "docs_contamination": q_docs_contamination,
-        "docs_pii_redact": q_docs_pii_redact,
-        "docs_chunk_tokens": q_docs_chunk_tokens,
-        "mm_image_metadata": q_mm_image_metadata,
-        "mm_image_decode": q_mm_image_decode,
-        "mm_image_resize": q_mm_image_resize,
-        "mm_image_decode_real": q_mm_image_decode_real,
-        "mm_image_resize_real": q_mm_image_resize_real,
-        "mm_video_frame_sample": q_mm_video_frame_sample,
-        "mm_audio_metadata": q_mm_audio_metadata,
-        "mm_audio_windows": q_mm_audio_windows,
-        "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_ivf_topk": q_emb_ivf_topk,
-        "emb_ivf_persisted": q_emb_ivf_persisted,
-        "emb_near_dup_pairs": q_emb_near_dup_pairs,
-        "emb_lsh_near_dup": q_emb_lsh_near_dup,
-        "emb_quantize": q_emb_quantize,
     }
 
 
