@@ -84,6 +84,94 @@ def order_struct(prefix: str = "") -> F.Column:
     )
 
 
+class _LazyFiles:
+    """List-like view of a snapshot's data-file entries that loads
+    per-bucket manifests ON DEMAND instead of eagerly parsing every
+    manifest at snapshot access. Three access tiers:
+
+    - metadata only (``entries`` / ``n_files`` / ``buckets``): reads the
+      manifest-LIST alone — O(occupied buckets), never a file entry;
+    - bucket-pruned (``for_buckets``): parses only the selected buckets'
+      manifests — a point ``lookup`` pays 1/B of the metadata, and the
+      per-file key blooms of the other B-1 buckets never reach the
+      driver;
+    - full (iteration / len / indexing): materializes everything, as the
+      eager path always did — maintenance ops keep working unchanged.
+
+    Reference analog: lazy parse-on-access of a multi-image container —
+    metadata is decoded when a view asks for it, not at stream open
+    (/root/reference/src/code_stream.cpp:201 ensureParsed)."""
+
+    def __init__(self, table: "LakeTable", manifest_list: str):
+        self._table = table
+        self._ml = manifest_list
+        self._entries: list[dict] | None = None
+        self._by_bucket: dict[int, list[dict]] = {}
+        self._all: list[dict] | None = None
+
+    @property
+    def entries(self) -> list[dict]:
+        if self._entries is None:
+            self._entries = self._table._load_manifest(
+                os.path.join(self._table._manifest_dir, self._ml)
+            )
+        return self._entries
+
+    @property
+    def n_files(self) -> int:
+        return sum(int(e.get("n_files", 0)) for e in self.entries)
+
+    def buckets(self) -> set[int]:
+        return {e["bucket"] for e in self.entries}
+
+    def manifest_path(self, entry: dict) -> str:
+        return os.path.join(self._table._manifest_dir, entry["manifest"])
+
+    def _bucket_files(self, entry: dict) -> list[dict]:
+        got = self._by_bucket.get(entry["bucket"])
+        if got is None:
+            got = [
+                {**f, "path": os.path.join(self._table.path, f["path"])}
+                for f in self._table._load_manifest(self.manifest_path(entry))
+            ]
+            self._by_bucket[entry["bucket"]] = got
+        return got
+
+    def for_buckets(self, bset: set[int]) -> list[dict]:
+        return [
+            f
+            for e in self.entries
+            if e["bucket"] in bset
+            for f in self._bucket_files(e)
+        ]
+
+    def _materialize(self) -> list[dict]:
+        if self._all is None:
+            self._all = [f for e in self.entries for f in self._bucket_files(e)]
+        return self._all
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+    def __len__(self) -> int:
+        return len(self._materialize())
+
+    def __getitem__(self, i):
+        return self._materialize()[i]
+
+    def __add__(self, other: list) -> list:
+        return self._materialize() + list(other)
+
+    def __radd__(self, other: list) -> list:
+        return list(other) + self._materialize()
+
+    def __bool__(self) -> bool:
+        return any(int(e.get("n_files", 0)) for e in self.entries)
+
+    def __eq__(self, other) -> bool:
+        return self._materialize() == other
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -98,6 +186,13 @@ class Snapshot:
     # the inline `files` list (which is loaded lazily through it) — see
     # LakeTable._write_manifests. None on legacy v1 entries.
     manifest_list: str | None = None
+
+    def files_for_buckets(self, bset: set[int]) -> list[dict]:
+        """Bucket-pruned file entries — loads only the selected buckets'
+        manifests when the snapshot is manifest-backed."""
+        if isinstance(self.files, _LazyFiles):
+            return self.files.for_buckets(bset)
+        return [f for f in self.files if f["bucket"] in bset]
 
 
 def _stat_micros(dt) -> int:
@@ -174,6 +269,13 @@ _BLOOM_MAX_ROWS = 50_000  # above this, sorted ranges are the right tool
 # participate (timestamp/float reprs differ between parquet-read values
 # and caller values)
 _BLOOM_TYPES = {"string", "int", "integer", "bigint", "smallint", "tinyint", "long"}
+
+# Above this many candidate file entries (post manifest-list bucket
+# pruning), read() stops materializing manifests driver-side and runs
+# stat pruning as a Spark plan over the manifest files themselves —
+# the driver collects only the slim post-prune (path, bucket, kind)
+# scan handoff. Override per table: "read.distributed-manifest-threshold".
+DISTRIBUTED_MANIFEST_THRESHOLD = 10_000
 
 
 def _bloom_positions(key: str, m: int) -> list[int]:
@@ -516,12 +618,10 @@ class LakeTable:
         e = dict(entry)
         ml = e.get("manifest_list")
         if ml and not e.get("files"):
-            files: list[dict] = []
-            for m in self._load_manifest(os.path.join(self._manifest_dir, ml)):
-                mpath = os.path.join(self._manifest_dir, m["manifest"])
-                for f in self._load_manifest(mpath):
-                    files.append({**f, "path": os.path.join(self.path, f["path"])})
-            e["files"] = files
+            # LAZY: nothing is parsed until someone actually asks for file
+            # entries, and bucket-pruned readers only parse their buckets'
+            # manifests (_LazyFiles) — snapshot access itself is O(1).
+            e["files"] = _LazyFiles(self, ml)
         e.setdefault("files", [])
         return Snapshot(**e)
 
@@ -599,6 +699,115 @@ class LakeTable:
         return df.withColumn(BUCKET_COL, self.bucket_expr(df))
 
     # ------------------------------------------------------------------ read
+    def _prune_distributed(
+        self,
+        lazy: _LazyFiles,
+        bset: set[int] | None,
+        key_phys_vals: dict | None,
+        phys_ranges: dict | None,
+    ) -> list[dict]:
+        """Metadata-scaling tier: stat pruning as a SPARK PLAN over the
+        manifest files. The driver touches only the manifest-list
+        (O(occupied buckets)) and the slim post-prune (path, bucket, kind)
+        scan handoff — never the full per-file entry list, and the
+        per-file key blooms never leave the executors (they are simply
+        not in the read schema; range/key stats subsume most of their
+        benefit at this tier, and a bloom miss costs I/O, not
+        correctness). Semantics mirror prune_files_by_key /
+        prune_files_by_range exactly, including the survive-on-missing-
+        stats and survive-on-type-drift rules (a failed cast yields NULL
+        → the keep condition coalesces to true) and the delta-bucket
+        range-pruning exclusion.
+
+        Reference analog: streaming zero-copy metadata access — scan the
+        index without materializing it (/root/reference/src/
+        mmaped_file_io_stream.cpp)."""
+        entries = [
+            e for e in lazy.entries if bset is None or e["bucket"] in bset
+        ]
+        if not entries:
+            return []
+        paths = [lazy.manifest_path(e) for e in entries]
+        mschema = T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField("bucket", T.IntegerType()),
+                    T.StructField("kind", T.StringType()),
+                    T.StructField(
+                        "stats", T.MapType(T.StringType(), T.ArrayType(T.StringType()))
+                    ),
+                ]
+            )
+        )
+        # each manifest is one single-line JSON array → one text row
+        rows = (
+            self.spark.read.text(paths)
+            .select(F.explode(F.from_json(F.col("value"), mschema)).alias("f"))
+            .select("f.*")
+        )
+
+        def bounds(col: str, sample):
+            arr = F.col("stats").getItem(col)
+            lo, hi = F.element_at(arr, 1), F.element_at(arr, 2)
+            if isinstance(sample, bool):
+                return None, None, None
+            if isinstance(sample, int):
+                return arr, lo.cast("long"), hi.cast("long")
+            if isinstance(sample, str):
+                return arr, lo, hi
+            return None, None, None  # non-recordable type: never prune on it
+
+        keep = F.lit(True)
+        for col, v in (key_phys_vals or {}).items():
+            if v is None:
+                continue
+            arr, lo, hi = bounds(col, v)
+            if arr is None:
+                continue
+            lit = F.lit(v)
+            keep = keep & (
+                arr.isNull()
+                | lo.isNull()
+                | hi.isNull()
+                | ((lit >= lo) & (lit <= hi))
+            )
+        if phys_ranges:
+            # files of delta-carrying buckets are exempt from RANGE pruning
+            # (same rule as the driver path: an out-of-range delta layer can
+            # supersede an in-range base row)
+            dirty = [
+                r["bucket"]
+                for r in rows.where(F.col("kind") == "delta")
+                .select("bucket")
+                .distinct()
+                .collect()
+            ]
+            rc = F.lit(True)
+            for col, (qlo, qhi) in phys_ranges.items():
+                sample = qlo if qlo is not None else qhi
+                if sample is None:
+                    continue
+                arr, fmin, fmax = bounds(col, sample)
+                if arr is None:
+                    continue
+                cond = F.lit(True)
+                if qhi is not None:
+                    cond = cond & (fmin <= F.lit(qhi))
+                if qlo is not None:
+                    cond = cond & (fmax >= F.lit(qlo))
+                rc = rc & (arr.isNull() | fmin.isNull() | fmax.isNull() | cond)
+            keep = keep & (F.col("bucket").isin(dirty) | rc) if dirty else keep & rc
+        slim = rows.where(keep).select("path", "bucket", "kind").collect()
+        return [
+            {
+                "path": os.path.join(self.path, r["path"]),
+                "bucket": int(r["bucket"]),
+                **({"kind": r["kind"]} if r["kind"] else {}),
+            }
+            for r in slim
+        ]
+
     def read(
         self,
         snapshot_id: int | None = None,
@@ -637,10 +846,10 @@ class LakeTable:
                 if snapshot_id is None
                 else TableSchema.from_dict(self.meta["schemas"][snap.schema_version])
             )
-        files = snap.files
-        if buckets is not None:
-            bset = set(buckets)
-            files = [f for f in files if f["bucket"] in bset]
+        # ---- prune inputs (metadata only, no manifest parsing) ----
+        bset = set(buckets) if buckets is not None else None
+        phys_key_vals = None
+        key_string = None
         if key_equals:
             # second pruning tier: manifest key ranges — and key blooms,
             # when the full key is given and its types are bloom-safe —
@@ -648,8 +857,7 @@ class LakeTable:
             # bloom_build). ``key_equals`` maps LOGICAL key-column names
             # to values; stats live under physical names.
             key_defs = [c for c in tschema.live_columns if c.name in key_equals]
-            phys = {c.physical_name: key_equals[c.name] for c in key_defs}
-            key_string = None
+            phys_key_vals = {c.physical_name: key_equals[c.name] for c in key_defs}
             # blooms apply only when key_equals IS exactly the key column
             # set (a stray non-key column would canonicalize the wrong
             # tuple and bloom-prune files that DO contain the key — a
@@ -658,8 +866,8 @@ class LakeTable:
                 c.type_name in _BLOOM_TYPES for c in key_defs
             ):
                 key_string = canonical_key([key_equals[c.name] for c in key_defs])
-            files = prune_files_by_key(files, phys, key_string)
         range_cond = None
+        phys_ranges = None
         if range_filters:
             # third pruning tier: per-file column ranges ("write.stat-cols"
             # manifests) vs [lo, hi] predicates. Pruning is restricted to
@@ -687,10 +895,47 @@ class LakeTable:
                     if bound is not None:
                         c = op(F.lit(bound))
                         range_cond = c if range_cond is None else (range_cond & c)
-            dirty_b = {f["bucket"] for f in files if f.get("kind") == "delta"}
-            files = [f for f in files if f["bucket"] in dirty_b] + prune_files_by_range(
-                [f for f in files if f["bucket"] not in dirty_b], phys_ranges
+
+        # ---- file-entry selection: three metadata tiers ----
+        # 1. bucket-pruned lazy load: only the probed buckets' manifests
+        #    are parsed (a point lookup pays 1/B of the metadata);
+        # 2. distributed prune: above the file-count threshold, stat
+        #    pruning runs as a Spark plan over the manifests and the
+        #    driver collects only the slim scan handoff;
+        # 3. classic driver-side pruning loops for small tables.
+        lazy = snap.files if isinstance(snap.files, _LazyFiles) else None
+        if lazy is not None:
+            est = sum(
+                int(e.get("n_files", 0))
+                for e in lazy.entries
+                if bset is None or e["bucket"] in bset
             )
+            threshold = int(
+                self.meta.get("properties", {}).get(
+                    "read.distributed-manifest-threshold",
+                    DISTRIBUTED_MANIFEST_THRESHOLD,
+                )
+            )
+        if lazy is not None and est > threshold:
+            files = self._prune_distributed(lazy, bset, phys_key_vals, phys_ranges)
+        else:
+            if bset is not None:
+                files = (
+                    lazy.for_buckets(bset)
+                    if lazy is not None
+                    else [f for f in snap.files if f["bucket"] in bset]
+                )
+            else:
+                files = snap.files
+            if phys_key_vals:
+                files = prune_files_by_key(files, phys_key_vals, key_string)
+            if phys_ranges:
+                dirty_b = {f["bucket"] for f in files if f.get("kind") == "delta"}
+                files = [
+                    f for f in files if f["bucket"] in dirty_b
+                ] + prune_files_by_range(
+                    [f for f in files if f["bucket"] not in dirty_b], phys_ranges
+                )
 
         def scan(fl: list[dict], with_sys: bool) -> DataFrame:
             phys = tschema.to_spark_physical().add(BUCKET_COL, T.IntegerType())
@@ -1071,14 +1316,14 @@ class LakeTable:
             assumed = set(assumed_files)
         else:
             assumed = {
-                f["path"] for f in self.current_snapshot().files if f["bucket"] in bset
+                f["path"] for f in self.current_snapshot().files_for_buckets(bset)
             }
 
         def files_fn(snap: Snapshot) -> list[dict]:
             # re-base on the refreshed snapshot: untouched buckets committed
             # by a racing writer carry over. But if the racer touched OUR
             # buckets, this merge's output is stale — abort, don't clobber.
-            current = {f["path"] for f in snap.files if f["bucket"] in bset}
+            current = {f["path"] for f in snap.files_for_buckets(bset)}
             if current != assumed:
                 raise ConcurrentModification(
                     f"buckets {sorted(bset)} changed since merge read "
@@ -1367,7 +1612,7 @@ class LakeTable:
                 raise ConcurrentModification(
                     f"staged changeset {staged_id!r} was aborted concurrently"
                 )
-            current = {f["path"] for f in snap.files if f["bucket"] in bset}
+            current = {f["path"] for f in snap.files_for_buckets(bset)}
             if current != assumed:
                 raise ConcurrentModification(
                     f"buckets {sorted(bset)} changed since staging "
@@ -1514,7 +1759,7 @@ class LakeTable:
         # ConcurrentModification, not be silently folded away
         df = self.read(snapshot_id=snap0.snapshot_id, buckets=dirty, with_system=True)
         dset = set(dirty)
-        assumed = {f["path"] for f in snap0.files if f["bucket"] in dset}
+        assumed = {f["path"] for f in snap0.files_for_buckets(dset)}
         return self.replace_buckets(
             dirty,
             df,
@@ -1749,7 +1994,7 @@ class LakeTable:
             snapshot_id=snap0.snapshot_id, buckets=fragmented, with_system=True
         )
         fset = set(fragmented)
-        assumed = {f["path"] for f in snap0.files if f["bucket"] in fset}
+        assumed = {f["path"] for f in snap0.files_for_buckets(fset)}
         summary = {"compacted_buckets": len(fragmented)}
         if zorder_by:
             summary["zorder_by"] = list(zorder_by)

@@ -256,9 +256,7 @@ def merge_into(
 
         if delta_auto_ratio:
             tset = set(touched)
-            tbl_files = [
-                f for f in table.current_snapshot().files if f["bucket"] in tset
-            ]
+            tbl_files = table.current_snapshot().files_for_buckets(tset)
             rows_known = bool(tbl_files) and all(
                 f.get("rows", -1) >= 0 for f in tbl_files
             )
@@ -281,7 +279,7 @@ def merge_into(
         # swapped out (review-caught lost-update window).
         snap0 = table.current_snapshot()
         tset0 = set(touched)
-        assumed = {f["path"] for f in snap0.files if f["bucket"] in tset0}
+        assumed = {f["path"] for f in snap0.files_for_buckets(tset0)}
         current = table.read(
             snapshot_id=snap0.snapshot_id, buckets=touched, with_system=True
         )
