@@ -222,6 +222,12 @@ def main() -> None:
     ap.add_argument("--cdc-only", action="store_true", help="engine apply segments only")
     ap.add_argument("--skip", default="", help="comma-separated query names to skip")
     ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated query names to run exclusively (skips the CDC "
+        "apply segments too unless they are named); for targeted iteration",
+    )
+    ap.add_argument(
         "--reps",
         type=int,
         default=int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")),
@@ -241,18 +247,20 @@ def main() -> None:
     queries: dict = {}
     extras: dict = {}
 
+    only = {s for s in args.only.split(",") if s}
     t_all = time.time()
-    cdc = bench_cdc_apply(spark, args.sf_dir)
-    queries["cdc_bulk_apply"] = cdc["cdc_bulk_apply"]
-    queries["cdc_incr_apply"] = cdc["cdc_incr_apply"]
-    extras.update({k: v for k, v in cdc.items() if k not in queries})
+    if not only or {"cdc_bulk_apply", "cdc_incr_apply"} & only:
+        cdc = bench_cdc_apply(spark, args.sf_dir)
+        queries["cdc_bulk_apply"] = cdc["cdc_bulk_apply"]
+        queries["cdc_incr_apply"] = cdc["cdc_incr_apply"]
+        extras.update({k: v for k, v in cdc.items() if k not in queries})
 
     if not args.cdc_only:
         import __spark_entry__ as entry
 
         skip = {s for s in args.skip.split(",") if s}
         for name, fn in entry.queries().items():
-            if name in skip:
+            if name in skip or (only and name not in only):
                 continue
             times = []
             try:

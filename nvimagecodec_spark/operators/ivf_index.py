@@ -193,9 +193,31 @@ class IvfIndex:
         from pyspark.ml.functions import array_to_vector
 
         feats = embeddings.withColumn("_features", array_to_vector(F.col(vec_col)))
+        # Coarse-quantizer training, not exact clustering: random init
+        # (k-means|| costs ~5 extra passes over the data for marginally
+        # better seeds) + bounded iterations + a BOUNDED TRAINING SAMPLE
+        # (~256 points/centroid, the faiss guideline) — at 100 TB the
+        # quantizer trains on ~n_cells*256 rows however big the corpus
+        # is, while the assignment pass below still covers every row.
+        # Query correctness is n_probe-recall territory, not centroid
+        # optimality; assignment_quality()/maybe_rebuild remain the
+        # drift guardrails. (r4 verdict #4: build 6.56s vs query 0.41s —
+        # the training passes were the regression.)
+        cap = max(n_cells * 256, 4096)
+        n_rows = embeddings.count()
+        train = (
+            feats
+            if n_rows <= cap
+            else feats.sample(fraction=min(1.0, cap * 1.05 / n_rows), seed=seed)
+        )
         model = KMeans(
-            k=n_cells, seed=seed, featuresCol="_features", predictionCol="cell"
-        ).fit(feats)
+            k=n_cells,
+            seed=seed,
+            initMode="random",
+            maxIter=8,
+            featuresCol="_features",
+            predictionCol="cell",
+        ).fit(train)
         assigned = model.transform(feats).drop("_features")
         # one shuffle clusters rows by cell so each partition directory is
         # a few well-formed files, and the layout IS the pruning index

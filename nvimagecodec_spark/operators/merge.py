@@ -31,7 +31,9 @@ Both strategies end in a single atomic ``replace_buckets`` snapshot commit
 
 from __future__ import annotations
 
+import threading
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -162,6 +164,36 @@ def _apply_batch_transform(batch: DataFrame, batch_transform) -> DataFrame:
 # the one LWW comparator, shared with the table's merge-on-read reconcile
 _ord = order_struct
 
+# Serializes the conf flip below across threads of one session: two
+# concurrent small merges both set the same values and restore the same
+# captured defaults, so interleaving is harmless — the lock just keeps
+# set/restore pairs from tearing. A concurrent LARGE merge could observe
+# AQE momentarily off (slower, never wrong); single-driver engines (the
+# normal shape) never hit that window.
+_SMALL_BATCH_CONF_LOCK = threading.Lock()
+
+
+@contextmanager
+def _small_batch_confs(spark):
+    """Steady-state CDC epochs are SMALL (thousands of rows against a big
+    table), and the small-batch merge plan has no conf-dependent shuffle:
+    the batch is broadcast, the table side is scanned bucket-pruned, and
+    the writer repartitions by an explicit bucket count. AQE therefore
+    buys nothing here — but it still charges its per-stage materialize-
+    and-replan driver rounds, measured at ~25% of a small epoch's
+    wall-clock (sf0.1, local[32]: 2.75s → 1.99s per update epoch).
+    Disable it around the merge-execute-and-commit step only; backfills
+    and large epochs keep AQE (skew handling, coalescing — the 100-TB
+    path is untouched)."""
+    conf = spark.conf
+    with _SMALL_BATCH_CONF_LOCK:
+        prev = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev)
+
 
 def merge_into(
     table: LakeTable,
@@ -232,6 +264,15 @@ def merge_into(
     # while a serialized spill is written once and streamed back twice.
     from pyspark import StorageLevel
 
+    # Without this flag AQE cannot change a cached plan's output
+    # partitioning: the DISK_ONLY batch stays pinned at
+    # spark.sql.shuffle.partitions partitions and every consumer (stats
+    # job, merge join, writer) pays that task count even for a 100-row
+    # epoch. Runtime-settable session conf (same precedent as the
+    # outputTimestampType set in _write_data_files).
+    table.spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     batch = batch.persist(StorageLevel.DISK_ONLY)
     try:
         # ONE driver round-trip yields bucket discovery AND batch stats
@@ -326,39 +367,46 @@ def merge_into(
                     ]
 
         summary = {"upserts": n_upserts, "deletes": n_deletes}
-        last_err: Exception | None = None
-        for strategy, impl in chain:
-            try:
-                merged = impl(current, batch, key_cols, all_cols)
-                if staged:
-                    sid = table.stage_buckets(
-                        sorted(touched), merged, assumed_files=assumed,
-                        summary=summary,
+
+        def run_chain() -> MergeResult:
+            last_err: Exception | None = None
+            for strategy, impl in chain:
+                try:
+                    merged = impl(current, batch, key_cols, all_cols)
+                    if staged:
+                        sid = table.stage_buckets(
+                            sorted(touched), merged, assumed_files=assumed,
+                            summary=summary,
+                        )
+                        return MergeResult(
+                            None, sorted(touched), n_upserts, n_deletes,
+                            time.time() - t0, f"staged-{strategy}", staged_id=sid,
+                        )
+                    snap = table.replace_buckets(
+                        sorted(touched), merged, tag=tag, summary=summary,
+                        assumed_files=assumed,
                     )
                     return MergeResult(
-                        None, sorted(touched), n_upserts, n_deletes,
-                        time.time() - t0, f"staged-{strategy}", staged_id=sid,
+                        snap, sorted(touched), n_upserts, n_deletes, time.time() - t0, strategy
                     )
-                snap = table.replace_buckets(
-                    sorted(touched), merged, tag=tag, summary=summary,
-                    assumed_files=assumed,
-                )
-                return MergeResult(
-                    snap, sorted(touched), n_upserts, n_deletes, time.time() - t0, strategy
-                )
-            except (ConcurrentModification, CommitConflict):
-                # NOT an execution failure — a racing writer committed after
-                # our scan. Falling through to the next strategy would merge
-                # STALE `current` data against the refreshed snapshot and
-                # silently drop the racer's rows (the exact lost update the
-                # serializable validation exists to prevent). The caller
-                # owns the retry: re-scan, re-merge, re-commit.
-                raise
-            except Exception as e:  # noqa: BLE001 — chain walks on any exec failure
-                last_err = e
-                if strategy == chain[-1][0]:
+                except (ConcurrentModification, CommitConflict):
+                    # NOT an execution failure — a racing writer committed after
+                    # our scan. Falling through to the next strategy would merge
+                    # STALE `current` data against the refreshed snapshot and
+                    # silently drop the racer's rows (the exact lost update the
+                    # serializable validation exists to prevent). The caller
+                    # owns the retry: re-scan, re-merge, re-commit.
                     raise
-        raise last_err  # pragma: no cover — loop always returns or raises
+                except Exception as e:  # noqa: BLE001 — chain walks on any exec failure
+                    last_err = e
+                    if strategy == chain[-1][0]:
+                        raise
+            raise last_err  # pragma: no cover — loop always returns or raises
+
+        if n_batch <= broadcast_threshold_rows:
+            with _small_batch_confs(table.spark):
+                return run_chain()
+        return run_chain()
     finally:
         batch.unpersist()
 

@@ -145,6 +145,7 @@ def detect_codec(binary_col: str) -> Column:
     expr = F.lit(None).cast("string")
     for hex2, name in (("5035", "pgm"), ("5036", "ppm"), ("424D", "bmp")):
         expr = F.when(magic2 == hex2, F.lit(name)).otherwise(expr)
+    expr = F.when(magic == "89504E47", F.lit("png")).otherwise(expr)
     # fake family probed first (reversed fold): image, then video, then audio
     for name in (MAGIC_AUDIO, MAGIC_VIDEO, MAGIC_IMAGE):
         expr = F.when(magic == _MAGIC_HEX[name], F.lit(name.lower())).otherwise(expr)
@@ -343,15 +344,162 @@ def _parse_pnm(data: bytes):
     return arr.reshape(height, width, ch).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → channel count (8-bit, non-interlaced only; palette and
+# 16-bit stay undecodable here, as in the reference's minimal path)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _parse_png(data: bytes):
+    """Pure numpy+zlib PNG decode: chunk walk → IHDR validation → IDAT
+    inflate → per-row unfilter (None/Sub/Up/Average/Paeth). Supports
+    8-bit gray / gray+alpha / RGB / RGBA, non-interlaced — the shapes the
+    reference's own parser+decoder handles in its dependency-free tier
+    (/root/reference/src/parsers/png.cpp; decode via
+    /root/reference/extensions/opencv/opencv_decoder.cpp:104). The filter
+    arithmetic is the libpng spec recurrence; rows are unfiltered
+    sequentially (the data dependency is inherent) with the per-row ops
+    vectorized in numpy. Returns an H×W×C uint8 array."""
+    import zlib
+
+    import numpy as np
+
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        clen = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG: depth={bit_depth} color={color_type}")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG: non-zero comp/filter/interlace method")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dims {w}x{h}")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError(f"truncated PNG raster: {len(raw)} < {h * (stride + 1)}")
+    scan = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype, row = scan[y, 0], scan[y, 1:].astype(np.int32)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 1:  # Sub — left-neighbor recurrence per channel lane
+            cur = row.reshape(w, ch)
+            np.cumsum(cur, axis=0, out=cur)
+            cur &= 0xFF
+            cur = cur.reshape(stride)
+        elif ftype == 2:  # Up
+            cur = (row + prior) & 0xFF
+        elif ftype == 3:  # Average
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (row[x] + ((left + int(prior[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b_ = int(prior[x])
+                c_ = int(prior[x - ch]) if x >= ch else 0
+                p = a + b_ - c_
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c_)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} at row {y}")
+        prior = out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, ch).copy()
+
+
+def encode_png(arr) -> bytes:
+    """Deterministic PNG encode (one zlib stream, fixed level) for
+    fixtures and the export path — the counterpart the tests round-trip
+    through ``_parse_png``. Rows are forward-filtered with filter type
+    ``y % 5``, deliberately cycling every spec filter so any payload
+    bigger than 4 rows drives ALL unfilter branches of the decoder (the
+    bench corpus then exercises Sub/Up/Average/Paeth, not just None);
+    forward filtering is pure shifts — no recurrence — so it stays fully
+    vectorized. Accepts H×W×{1,2,3,4} uint8."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color_type is None:
+        raise ValueError(f"PNG encode needs 1-4 channels, got {ch}")
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+    left = np.zeros_like(flat)
+    left[:, ch:] = flat[:, :-ch]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    upleft = np.zeros_like(flat)
+    upleft[1:, ch:] = flat[:-1, :-ch]
+    p = left + up - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    paeth = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+    )
+    filtered = {
+        0: flat,
+        1: flat - left,
+        2: flat - up,
+        3: flat - ((left + up) >> 1),
+        4: flat - paeth,
+    }
+    scan = np.zeros((h, w * ch + 1), dtype=np.uint8)
+    for y in range(h):
+        scan[y, 0] = y % 5
+        scan[y, 1:] = (filtered[y % 5][y] & 0xFF).astype(np.uint8)
+    raw = zlib.compress(scan.tobytes(), 6)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return len(body).to_bytes(4, "big") + ctype + body + crc.to_bytes(4, "big")
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
+    )
+
+
 def _real_decode(payload: bytes):
-    """REAL pixel decode for the reference's two dependency-free formats
-    (nvbmp 24-bit BMP, nvpnm binary PNM) — the round-3 verdict seam, now
-    implemented. Probes the magic bytes, parses the genuine container
-    layout (little-endian BMP headers, row padding, BGR order, bottom-up
-    rows; PNM ASCII headers with comments), and returns
-    ``(pixels H×W×C uint8 RGB, codec)``. Raises ValueError for formats
-    this sandbox has no codec for (JPEG etc. — those stay behind the
-    FIMG fake family)."""
+    """REAL pixel decode for the dependency-free formats (nvbmp 24-bit
+    BMP, nvpnm binary PNM — the round-3 verdict seam) plus 8-bit
+    non-interlaced PNG (round-4 verdict #5: stdlib zlib + numpy unfilter,
+    an actually-entropy-coded format). Probes the magic bytes, parses the
+    genuine container layout, and returns ``(pixels H×W×C uint8, codec)``.
+    Raises ValueError for formats this sandbox has no codec for (JPEG
+    etc. — those stay behind the FIMG fake family)."""
     b = bytes(payload)
     if b[:2] == b"BM":
         return _parse_bmp(b), "bmp"
@@ -359,6 +507,8 @@ def _real_decode(payload: bytes):
         return _parse_pnm(b), "ppm"
     if b[:2] == b"P5":
         return _parse_pnm(b), "pgm"
+    if b[:8] == _PNG_SIG:
+        return _parse_png(b), "png"
     raise ValueError(f"no decoder for magic {b[:4]!r}")
 
 
@@ -462,6 +612,48 @@ def attach_real_images(
                 md5 = hashlib.md5(str(txt).encode("utf-8")).hexdigest()
                 arr, fmt = _pattern_pixels(md5)
                 payloads.append(encode_bmp(arr) if fmt == 0 else encode_pnm(arr))
+            out = pdf.copy()
+            out[out_col] = payloads
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def attach_png_images(
+    df: DataFrame, text_col: str = "text", out_col: str = "image"
+) -> DataFrame:
+    """PNG fixture generator: one genuine zlib-compressed PNG per row —
+    dims/seed from the same md5 nibbles as ``_pattern_pixels``, channel
+    count from nibble 8 (md5[7]: %3 → gray / RGB / RGBA), pixel field
+    (s + 3x + 7y + 11c) mod 256, rows forward-filtered cycling all five
+    spec filters (see ``encode_png``). These are full real containers —
+    any external PNG reader opens them — so decoding them is an actual
+    inflate + unfilter, not a fake-header peel."""
+    import hashlib
+
+    import numpy as np
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for txt in pdf[text_col]:
+                md5 = hashlib.md5(str(txt).encode("utf-8")).hexdigest()
+                w = int(md5[0:2], 16) % 48 + 16
+                h = int(md5[2:4], 16) % 48 + 16
+                s = int(md5[4:6], 16)
+                ch = {0: 1, 1: 3, 2: 4}[int(md5[7], 16) % 3]
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                c = np.arange(ch, dtype=np.int64)
+                arr = (
+                    (s + 3 * x[None, :, None] + 7 * y[:, None, None] + 11 * c[None, None, :])
+                    % 256
+                ).astype("uint8")
+                payloads.append(encode_png(arr))
             out = pdf.copy()
             out[out_col] = payloads
             yield out

@@ -160,3 +160,135 @@ def test_resize_real_nearest_neighbor(spark):
         assert got["px_sum"] == int(want.sum())
         assert got["px_wsum"] == int((want * (x + 2 * y + 3 * c)).sum())
         assert got["c0_sum"] == int(want[:, :, 0].sum())
+
+
+# ------------------------------------------------------------------- PNG
+
+
+def test_png_round_trip_all_filters_and_channels():
+    """encode_png cycles all five spec filters (y % 5); any image ≥ 5
+    rows drives every unfilter branch. 1/2/3/4 channels cover gray,
+    gray+alpha, RGB, RGBA color types."""
+    rng = np.random.RandomState(42)
+    for ch in (1, 2, 3, 4):
+        for h, w in [(1, 1), (5, 3), (17, 23), (48, 64)]:
+            arr = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+            dec = M._parse_png(M.encode_png(arr))
+            assert dec.shape == (h, w, ch)
+            assert (dec == arr).all(), f"ch={ch} {h}x{w}"
+
+
+def test_png_single_filter_fixtures():
+    """Hand-built single-filter images: forward-filter one type across
+    every row, decode, compare — isolates each unfilter recurrence."""
+    import zlib
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    h, w, ch = arr.shape
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+    for ftype in range(5):
+        rows = []
+        for y in range(h):
+            cur = flat[y]
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            up = flat[y - 1] if y else np.zeros_like(cur)
+            upleft = (
+                np.concatenate([np.zeros(ch, np.int32), up[:-ch]]) if ch <= len(up) else up
+            )
+            if ftype == 0:
+                filt = cur
+            elif ftype == 1:
+                filt = cur - left
+            elif ftype == 2:
+                filt = cur - up
+            elif ftype == 3:
+                filt = cur - ((left + up) >> 1)
+            else:
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+                filt = cur - pred
+            rows.append(bytes([ftype]) + bytes((filt & 0xFF).astype(np.uint8)))
+        raw = zlib.compress(b"".join(rows))
+
+        def chunk(t, b):
+            crc = zlib.crc32(t + b) & 0xFFFFFFFF
+            return len(b).to_bytes(4, "big") + t + b + crc.to_bytes(4, "big")
+
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+        png = M._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
+        dec = M._parse_png(png)
+        assert (dec == arr).all(), f"filter {ftype}"
+
+
+def test_png_rejects_unsupported():
+    import zlib
+
+    def chunk(t, b):
+        crc = zlib.crc32(t + b) & 0xFFFFFFFF
+        return len(b).to_bytes(4, "big") + t + b + crc.to_bytes(4, "big")
+
+    def png_with(depth=8, color=2, interlace=0, raster=b"\x00" * 100):
+        ihdr = (4).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes(
+            [depth, color, 0, 0, interlace]
+        )
+        return (
+            M._PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raster))
+            + chunk(b"IEND", b"")
+        )
+
+    for kw in ({"depth": 16}, {"color": 3}, {"interlace": 1}):
+        with pytest.raises(ValueError):
+            M._parse_png(png_with(**kw))
+    with pytest.raises(ValueError):
+        M._parse_png(b"\x89PNG\r\n\x1a\nnot-chunks")
+    with pytest.raises(ValueError):
+        M._parse_png(b"BM not a png")
+    # truncated raster: 4x4 RGB needs 4*(12+1) bytes
+    with pytest.raises(ValueError):
+        M._parse_png(png_with(raster=b"\x00" * 10))
+
+
+def test_png_through_real_decode_seam_and_probe(spark):
+    arr = np.random.RandomState(3).randint(0, 256, size=(8, 5, 4), dtype=np.uint8)
+    px, codec = M._real_decode(M.encode_png(arr))
+    assert codec == "png" and (px == arr).all()
+    rows = [(0, bytearray(M.encode_png(arr))), (1, bytearray(b"BM\x00\x00rest"))]
+    df = spark.createDataFrame(rows, "doc_id long, image binary")
+    got = {
+        r["doc_id"]: r["codec"]
+        for r in df.select("doc_id", M.detect_codec("image").alias("codec")).collect()
+    }
+    assert got[0] == "png" and got[1] == "bmp"
+
+
+def test_attach_png_images_decode_stats(spark):
+    """End-to-end over the fixture corpus: decode_images_real stats match
+    the deterministic pixel field for PNG payloads (the oracle's maths)."""
+    texts = ["png one", "png two", "png three"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in M.decode_images_real(M.attach_png_images(df)).collect()
+    }
+    for i, t in enumerate(texts):
+        md5 = hashlib.md5(t.encode()).hexdigest()
+        w = int(md5[0:2], 16) % 48 + 16
+        h = int(md5[2:4], 16) % 48 + 16
+        s = int(md5[4:6], 16)
+        ch = {0: 1, 1: 3, 2: 4}[int(md5[7], 16) % 3]
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(ch)[None, None, :]
+        want = ((s + 3 * x + 7 * y + 11 * c) % 256).astype(np.int64)
+        got = out[i]
+        assert got["codec"] == "png"
+        assert (got["width"], got["height"], got["channels"]) == (w, h, ch)
+        assert got["px_sum"] == int(want.sum())
+        assert got["px_wsum"] == int((want * (x + 2 * y + 3 * c)).sum())
+        assert got["c0_sum"] == int(want[:, :, 0].sum())
