@@ -412,21 +412,29 @@ def _parse_png(data: bytes):
             cur = cur.reshape(stride)
         elif ftype == 2:  # Up
             cur = (row + prior) & 0xFF
-        elif ftype == 3:  # Average
-            cur = np.empty(stride, dtype=np.int32)
+        elif ftype == 3:  # Average — x-recurrence; plain-Python ints
+            # (numpy scalar indexing costs ~10x a list access, and the
+            # left-neighbor dependency forbids vectorizing along x)
+            rl, pl = row.tolist(), prior.tolist()
+            out_l = [0] * stride
             for x in range(stride):
-                left = cur[x - ch] if x >= ch else 0
-                cur[x] = (row[x] + ((left + int(prior[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = np.empty(stride, dtype=np.int32)
+                left = out_l[x - ch] if x >= ch else 0
+                out_l[x] = (rl[x] + ((left + pl[x]) >> 1)) & 0xFF
+            cur = np.asarray(out_l, dtype=np.int32)
+        elif ftype == 4:  # Paeth — same sequential shape, list ints
+            rl, pl = row.tolist(), prior.tolist()
+            out_l = [0] * stride
             for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
-                b_ = int(prior[x])
-                c_ = int(prior[x - ch]) if x >= ch else 0
+                a = out_l[x - ch] if x >= ch else 0
+                b_ = pl[x]
+                c_ = pl[x - ch] if x >= ch else 0
                 p = a + b_ - c_
-                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c_)
+                pa = p - a if p >= a else a - p
+                pb = p - b_ if p >= b_ else b_ - p
+                pc = p - c_ if p >= c_ else c_ - p
                 pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
-                cur[x] = (row[x] + pred) & 0xFF
+                out_l[x] = (rl[x] + pred) & 0xFF
+            cur = np.asarray(out_l, dtype=np.int32)
         else:
             raise ValueError(f"bad PNG filter type {ftype} at row {y}")
         prior = out[y] = cur.astype(np.uint8)
