@@ -509,6 +509,73 @@ def q_cdc_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_txn_boundary_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-transaction-atomic incremental apply (Debezium
+    transaction-metadata analog): the change stream carries txn_id
+    (consecutive-LSN groups), and the engine's epoch slicer SNAPS every
+    epoch end to a boundary that splits no transaction
+    (EngineConfig(txn_atomic=True) → ChangeStream.safe_boundaries, one
+    bounded pre-pass; an over-cap transaction is indivisible). The rate
+    cap is deliberately unaligned with the transaction size so snapping
+    actually moves boundaries; the oracle is the windowed-SQL final LWW
+    state — snapping must be invisible to the final state while
+    tests/test_txn_boundaries.py pins the per-epoch atomicity invariant
+    itself. Reference analog: batch boundaries never split a multi-image
+    container's samples (/root/reference/src/image_generic_codec.h
+    batched submission)."""
+    from nvimagecodec_spark.config import EngineConfig
+    from nvimagecodec_spark.sources.changelog import ChangeStream
+    from nvimagecodec_spark.streaming.engine import CdcEngine
+
+    ch, table = _cdc_table(spark, sf_dir, "nvics-txnb-")
+    jsonl = F.to_json(
+        F.struct(
+            F.col("op"),
+            F.col("lsn"),
+            F.date_format("commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("commit_ts"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            F.when(
+                F.col("op") != "D",
+                F.struct(
+                    F.col("event_type"),
+                    F.col("value"),
+                    F.date_format("commit_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+                ),
+            ).alias("after"),
+            F.expr("lsn div 16").alias("txn_id"),
+        )
+    )
+    stream_dir = tempfile.mkdtemp(prefix="nvics-txnb-stream-")
+    _register_tmp(stream_dir)
+    ch.select(jsonl.alias("value")).repartition(4).write.mode("overwrite").text(
+        stream_dir
+    )
+    parq_dir = tempfile.mkdtemp(prefix="nvics-txnb-parq-")
+    _register_tmp(parq_dir)
+    stream = ChangeStream(spark, stream_dir).materialize(
+        parq_dir, lsn_partition_width=65536
+    )
+    n = stream.events().count()
+    cap = max(n // 5 + 3, 1)  # unaligned with the txn grouping
+    cfg = EngineConfig(
+        target_batch_events=cap,
+        min_batch_events=1,
+        max_batch_events=cap,
+        expire_every_epochs=0,
+        txn_atomic=True,
+    )
+    engine = CdcEngine(spark, table, source_id="txnb-gate", config=cfg)
+    engine.run_incremental(stream, max_epochs=100)
+    return table.read_logical().select(
+        "conv_id",
+        "turn_idx",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        ts_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
 def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-isolation / time-travel read through the gate: two merge
     epochs land in the table, then BOTH the intermediate snapshot (as-of
@@ -2648,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_decode_real": q_mm_image_decode_real,
         "mm_image_resize_real": q_mm_image_resize_real,
         "mm_image_decode_png": q_mm_image_decode_png,
+        "cdc_txn_boundary_apply": q_cdc_txn_boundary_apply,
         "emb_quantize": q_emb_quantize,
         # --- last green in r3 ---
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -2982,6 +3050,15 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_incremental_apply": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes)
+            SELECT conv_id, turn_idx, event_type, round(value, 2) AS value,
+                   epoch_us(commit_ts) AS ts_us
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_txn_boundary_apply": f"""
             WITH changes AS ({_CHANGES_SQL}),
             w AS (SELECT *, ROW_NUMBER() OVER (
                     PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn

@@ -98,6 +98,15 @@ class EngineConfig:
     # than `delta_compact_max_files` delta layers are folded back into
     # base files after the epoch commit, bounding read amplification.
     mor_deltas: bool | str = False
+    # Source-transaction-atomic epochs (Debezium transaction-metadata
+    # analog): when True, run_incremental snaps every epoch end to an LSN
+    # boundary that splits no source transaction (events sharing a
+    # txn_id land in one epoch, so readers never observe a partially-
+    # applied source transaction). A transaction larger than the rate
+    # cap is indivisible — its epoch simply runs over the cap. Requires
+    # a wire format that carries txn_id (jsonlines does); events without
+    # one never constrain a boundary.
+    txn_atomic: bool = False
     mor_auto_ratio: float = 20.0
     delta_compact_max_files: int = 8
     # Periodic FULL maintenance sweep (table.optimize: fold deltas,

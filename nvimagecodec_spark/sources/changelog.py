@@ -58,6 +58,9 @@ CHANGE_SCHEMA = T.StructType(
         T.StructField("turn_idx", T.IntegerType()),
         T.StructField("after", T.StringType()),  # raw JSON row image
         T.StructField("schema_change", SCHEMA_CHANGE_SCHEMA),
+        # source transaction id (Debezium transaction-metadata analog);
+        # null when the wire format carries none — see txn_atomic epochs
+        T.StructField("txn_id", T.LongType()),
         T.StructField("src_file", T.StringType()),
         T.StructField("src_offset", T.LongType()),
     ]
@@ -72,6 +75,7 @@ _PLAIN_ENVELOPE = T.StructType(
         T.StructField("conv_id", T.StringType()),
         T.StructField("turn_idx", T.IntegerType()),
         T.StructField("schema_change", SCHEMA_CHANGE_SCHEMA),
+        T.StructField("txn_id", T.LongType()),
     ]
 )
 
@@ -157,6 +161,7 @@ def _plain_normalize(j: Column, raw: Column) -> dict[str, Column]:
         "turn_idx": j["turn_idx"],
         "after": F.get_json_object(raw, "$.after"),
         "schema_change": j["schema_change"],
+        "txn_id": j["txn_id"],
     }
 
 
@@ -413,7 +418,10 @@ def detect_format_expr(raw: Column) -> Column:
     return expr
 
 
-_FIELD_ORDER = ["op", "lsn", "commit_ts", "conv_id", "turn_idx", "after", "schema_change"]
+_FIELD_ORDER = [
+    "op", "lsn", "commit_ts", "conv_id", "turn_idx", "after", "schema_change",
+    "txn_id",
+]
 
 
 def parse_changes(
@@ -459,6 +467,10 @@ def parse_changes(
         target = next(f for f in CHANGE_SCHEMA.fields if f.name == field)
         expr = F.lit(None).cast(target.dataType)
         for fmt, fields in reversed(per_fmt):
+            if field not in fields:
+                # format doesn't carry this (optional) field — its rows
+                # fall through to the null default
+                continue
             expr = (
                 F.when(F.col("src_format") == fmt.name, fields[field].cast(target.dataType))
                 .otherwise(expr)
@@ -570,6 +582,45 @@ class ChangeStream:
             .collect()
         )
         return [((int(r["chunk"]) + 1) * g, int(r["n"])) for r in rows]
+
+    def safe_boundaries(
+        self, candidates: list[int], start_lsn: int | None = None
+    ) -> set[int]:
+        """Subset of candidate epoch-end LSNs that split NO source
+        transaction — a boundary B splits txn t when some of t's events
+        have lsn <= B and some have lsn > B (min_lsn <= B < max_lsn).
+
+        Scale shape: one combinable per-txn (min, max) aggregate over the
+        remaining window, range-joined against the BROADCAST candidate
+        list (callers pass the ~10^4 epoch-chunk ends from lsn_counts),
+        one bounded driver collect of unsafe boundaries. Events without a
+        txn_id (formats that carry no transaction metadata) never block a
+        boundary — each stands alone, like a Debezium event outside any
+        BEGIN/END envelope. Streams whose staged schema predates txn_id
+        report every candidate safe."""
+        ev = self.slice(start_lsn=start_lsn)
+        if "txn_id" not in ev.columns or not candidates:
+            return set(candidates)
+        ext = (
+            ev.where(F.col("txn_id").isNotNull())
+            .groupBy("txn_id")
+            .agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi"))
+            .where(F.col("lo") < F.col("hi"))
+        )
+        cand = self.spark.createDataFrame(
+            [(int(c),) for c in candidates], "b long"
+        )
+        unsafe = {
+            r["b"]
+            for r in ext.join(
+                F.broadcast(cand),
+                (F.col("lo") <= F.col("b")) & (F.col("b") < F.col("hi")),
+            )
+            .select("b")
+            .distinct()
+            .collect()
+        }
+        return set(int(c) for c in candidates) - unsafe
 
     def max_lsn(self) -> int | None:
         """High-water LSN. Cached per (file set + sizes) fingerprint: a

@@ -61,12 +61,21 @@ def generate_change_events(
     p_disorder: float = 0.10,
     max_turns: int = 64,
     schema_plan: list | None = None,
+    txn_max_size: int = 0,
 ) -> pd.DataFrame:
     """Deterministic event frame in *delivery* order.
 
     Columns: op lsn commit_ts conv_id turn_idx version rating renamed
     schema_change. ``rating``/``renamed`` encode what the payload carries
     given the schema in force at that event's LSN.
+
+    ``txn_max_size > 0`` groups consecutive data events (in LSN order)
+    into source transactions of random size 1..txn_max_size and stamps a
+    ``txn_id`` column — the Debezium transaction-metadata analog. Ids are
+    assigned BEFORE duplication/disorder, so replayed duplicates carry
+    their original transaction and delivery order may interleave
+    transactions (exactly what a real binlog tail sees). Schema events
+    carry no txn_id.
     """
     rng = np.random.default_rng(seed)
     n_convs = n_convs or max(10, n_events // 20)
@@ -90,6 +99,13 @@ def generate_change_events(
     commit_ts[late] -= pd.Timedelta(hours=2)
 
     lsns = (np.arange(n_events, dtype=np.int64) + 1) * 2
+
+    txn_ids = None
+    if txn_max_size > 0:
+        # sizes drawn until they cover n_events; txn k spans a consecutive
+        # run of data-event LSNs
+        sizes = rng.integers(1, txn_max_size + 1, size=n_events)
+        txn_ids = np.repeat(np.arange(n_events, dtype=np.int64), sizes)[:n_events]
 
     add_lsn = rename_lsn = drop_lsn = readd_lsn = None
     schema_rows = []
@@ -150,6 +166,8 @@ def generate_change_events(
             "schema_change": [None] * n_events,
         }
     )
+    if txn_ids is not None:
+        df["txn_id"] = pd.array(txn_ids, dtype="Int64")
     if schema_rows:
         sdf = pd.DataFrame(schema_rows)
         sdf["rating"] = np.nan
@@ -252,6 +270,12 @@ def encode_row(row, encoding) -> str:
             "after": after,
             "schema_change": sc,
         }
+        # Debezium-transaction-metadata analog: only the jsonl wire
+        # carries the source transaction id (format-specific metadata,
+        # like the real thing); other encodings parse txn_id as null
+        txn = row.get("txn_id")
+        if txn is not None and not pd.isna(txn):
+            rec["txn_id"] = int(txn)
         return json.dumps(rec)
     opmap = {"I": "c", "U": "u", "D": "d", "S": "s"}
     key = {"conv_id": row["conv_id"], "turn_idx": turn}

@@ -646,6 +646,15 @@ class CdcEngine:
         # epochs by the gap factor.
         g = max(1, (top - last) // 10_000)
         hist = stream.lsn_counts(start_lsn=last, granularity=g)
+        # txn-atomic epochs: ONE bounded pre-pass marks which chunk ends
+        # split a source transaction; the accumulator below then refuses
+        # to close an epoch at an unsafe end (extending past the rate cap
+        # when a transaction is indivisible at this granularity). The
+        # stream's own tail is always safe — nothing lies beyond it.
+        safe: set[int] | None = None
+        if self.config.txn_atomic and hist:
+            safe = stream.safe_boundaries([e for e, _ in hist], start_lsn=last)
+            safe.add(hist[-1][0])
         epochs = 0
         i = 0
         while i < len(hist) and epochs < max_epochs:
@@ -659,6 +668,11 @@ class CdcEngine:
                 acc += hist[i][1]
                 end = hist[i][0]
                 i += 1
+            if safe is not None:
+                while end not in safe and i < len(hist):
+                    acc += hist[i][1]
+                    end = hist[i][0]
+                    i += 1
             events = stream.slice(start_lsn=last, end_lsn=end)
             self.apply_epoch(
                 events,
@@ -667,6 +681,7 @@ class CdcEngine:
                     "start_lsn": last,
                     "end_lsn": end,
                     "events_planned": acc,
+                    **({"txn_atomic": True} if safe is not None else {}),
                 },
             )
             last = end
