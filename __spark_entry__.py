@@ -576,6 +576,33 @@ def q_cdc_txn_boundary_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-commit write-audit-publish via BRANCH refs (Iceberg branch
+    analog, lakehouse/table.py BranchView): a base epoch lands on main, a
+    branch forks, TWO audit epochs commit through the branch handle
+    (advancing only the branch pointer — main is read-verified untouched
+    in tests/test_branches.py), then fast_forward atomically adopts the
+    whole chain. The result reads MAIN after the fast-forward, so a
+    branch commit that leaked to main early, a fast-forward that lost a
+    branch epoch, or an id collision between the chains all break the
+    oracle's windowed-LWW recompute over the full event set."""
+    ch, table = _cdc_table(spark, sf_dir, "nvics-brwap-")
+    merge_into(table, lww_dedupe(ch.where(F.col("lsn") % 3 == 0)))
+    table.create_branch("audit")
+    b = table.branch("audit")
+    merge_into(b, lww_dedupe(ch.where(F.col("lsn") % 3 == 1)))
+    merge_into(b, lww_dedupe(ch.where(F.col("lsn") % 3 == 2)))
+    table.fast_forward("audit")
+    table.refresh()
+    return table.read_logical().select(
+        "conv_id",
+        "turn_idx",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        ts_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
 def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-isolation / time-travel read through the gate: two merge
     epochs land in the table, then BOTH the intermediate snapshot (as-of
@@ -2716,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_resize_real": q_mm_image_resize_real,
         "mm_image_decode_png": q_mm_image_decode_png,
         "cdc_txn_boundary_apply": q_cdc_txn_boundary_apply,
+        "cdc_branch_wap": q_cdc_branch_wap,
         "emb_quantize": q_emb_quantize,
         # --- last green in r3 ---
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -3050,6 +3078,15 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_incremental_apply": f"""
+            WITH changes AS ({_CHANGES_SQL}),
+            w AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                  FROM changes)
+            SELECT conv_id, turn_idx, event_type, round(value, 2) AS value,
+                   epoch_us(commit_ts) AS ts_us
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_branch_wap": f"""
             WITH changes AS ({_CHANGES_SQL}),
             w AS (SELECT *, ROW_NUMBER() OVER (
                     PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn

@@ -1201,8 +1201,17 @@ class LakeTable:
             v = meta["_version"] + 1
             parent = meta["current_snapshot_id"]
             snap_files = files(self.current_snapshot()) if callable(files) else files
+            # GLOBALLY unique id, not parent+1: branch commits append to
+            # the same snapshot list, so a main commit after a branch
+            # commit would otherwise mint the branch's id again (equal in
+            # a linear history, where max(ids) == parent)
+            next_id = (
+                max(x["snapshot_id"] for x in meta["snapshots"]) + 1
+                if meta["snapshots"]
+                else parent + 1
+            )
             snap = Snapshot(
-                snapshot_id=parent + 1,
+                snapshot_id=next_id,
                 parent_id=parent,
                 timestamp_ms=int(time.time() * 1000),
                 operation=operation,
@@ -1408,6 +1417,103 @@ class LakeTable:
 
     def refs(self) -> dict[str, int]:
         return dict(self.meta.get("refs", {}))
+
+    # -------------------------------------------------- branches (WAP v2)
+    # Iceberg branch refs: a named, independently-advancing commit chain
+    # over the same table. Unlike a staged changeset (single-commit WAP),
+    # a branch carries a MULTI-COMMIT audit chain — stage several epochs,
+    # validate the branch state, then fast_forward main in one atomic
+    # pointer move. Branch snapshots live in the same snapshot list
+    # (globally unique ids, linked by parent_id); main's pointer never
+    # moves until fast_forward. Reference analog: work staged on a side
+    # surface and adopted wholesale on completion
+    # (/root/reference/src/image_generic_codec.h batched submit-then-
+    # publish flow).
+
+    def branches(self) -> dict[str, int]:
+        return dict(self.meta.get("branches", {}))
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Create branch ``name`` at ``snapshot_id`` (default: current
+        head). Branch and tag namespaces are separate."""
+        self.refresh()
+        sid = (
+            self.current_snapshot().snapshot_id
+            if snapshot_id is None
+            else snapshot_id
+        )
+        self.snapshot(sid)  # raises if unknown/expired
+
+        def mutate(meta: dict) -> None:
+            br = dict(meta.get("branches", {}))
+            if name in br:
+                raise ValueError(f"branch {name!r} already exists")
+            br[name] = sid
+            meta["branches"] = br
+
+        self._update_meta(mutate)
+        return sid
+
+    def drop_branch(self, name: str) -> None:
+        if name not in self.meta.get("branches", {}):
+            raise KeyError(f"no branch {name!r}")
+
+        def mutate(meta: dict) -> None:
+            br = dict(meta.get("branches", {}))
+            br.pop(name, None)
+            meta["branches"] = br
+
+        self._update_meta(mutate)
+
+    def branch(self, name: str) -> "BranchView":
+        """Writable handle on a branch: reads resolve from the branch
+        head, commits advance the branch pointer — main is untouched.
+        Maintenance ops refuse on a branch handle (run them on main)."""
+        self.refresh()
+        if name not in self.meta.get("branches", {}):
+            raise KeyError(f"no branch {name!r}")
+        return BranchView(self.spark, self.path, name)
+
+    def _is_ancestor(self, ancestor_id: int, of_id: int) -> bool:
+        by_id = {s["snapshot_id"]: s for s in self.meta["snapshots"]}
+        cur: int | None = of_id
+        while cur is not None:
+            if cur == ancestor_id:
+                return True
+            entry = by_id.get(cur)
+            cur = entry.get("parent_id") if entry else None
+        return False
+
+    def fast_forward(self, name: str, retries: int = 15) -> int:
+        """Atomically advance MAIN to branch ``name``'s head. Requires the
+        current head to be an ancestor of the branch head (same rule as
+        git fast-forward) — a main that moved since the branch forked
+        raises ConcurrentModification: rebase by re-running the branch
+        work on a fresh branch. Returns the new head id."""
+        last: Exception | None = None
+        for attempt in range(retries):
+            self.refresh()
+            head = self.meta.get("branches", {}).get(name)
+            if head is None:
+                raise KeyError(f"no branch {name!r}")
+            cur = self.meta["current_snapshot_id"]
+            if head == cur:
+                return head
+            if not self._is_ancestor(cur, head):
+                raise ConcurrentModification(
+                    f"main moved since branch {name!r} forked (head {cur} is "
+                    f"not an ancestor of branch head {head}); re-branch and "
+                    "replay the work"
+                )
+            meta = dict(self.meta)
+            meta["current_snapshot_id"] = head
+            try:
+                self._write_version(meta["_version"] + 1, meta)
+                return head
+            except CommitConflict as e:
+                last = e
+                time.sleep(min(0.05 * (attempt + 1), 0.5))
+        raise last  # type: ignore[misc]
 
     def ref(self, name: str) -> int:
         refs = self.meta.get("refs", {})
@@ -2077,7 +2183,17 @@ class LakeTable:
             # anchor must survive every expiry sweep (Iceberg ref rule).
             # The list stays in commit order; keeping a mid-chain entry is
             # safe — every entry resolves through its own manifest list.
+            # Branch refs pin their WHOLE ancestry (head + parent chain):
+            # fast_forward validation and branch-range read_changes walk
+            # parents, so a branch must never dangle mid-chain. Dropping
+            # or fast-forwarding the branch releases the pins.
             pinned = set(self.meta.get("refs", {}).values())
+            by_id = {x["snapshot_id"]: x for x in snaps}
+            for head in self.meta.get("branches", {}).values():
+                cur = head
+                while cur is not None and cur in by_id:
+                    pinned.add(cur)
+                    cur = by_id[cur].get("parent_id")
             if pinned:
                 kept = [s for s in dropped if s["snapshot_id"] in pinned] + kept
                 dropped = [s for s in dropped if s["snapshot_id"] not in pinned]
@@ -2138,4 +2254,104 @@ class LakeTable:
                 os.remove(ml_path)
                 self._manifest_cache.pop(ml_path, None)
             return removed
+        raise last_err  # type: ignore[misc]
+
+
+class BranchView(LakeTable):
+    """Writable handle on a branch ref (``table.branch(name)``).
+
+    Reads resolve from the BRANCH head; commits append a snapshot with
+    the branch head as parent (globally-unique id) and advance ONLY the
+    branch pointer — main's ``current_snapshot_id`` never moves until
+    ``fast_forward``. The standard merge/append paths work unchanged
+    because every baseline they validate against flows through
+    ``current_snapshot()``. Maintenance (compaction, expiry, rebucket,
+    orphan GC) refuses here: retention and layout are main's to manage —
+    a branch-side expiry could drop snapshots main still serves.
+    """
+
+    _MAINTENANCE = (
+        "compact",
+        "compact_deltas",
+        "expire_snapshots",
+        "remove_orphans",
+        "rebucket",
+        "optimize",
+        "rollback",
+    )
+
+    def __init__(self, spark: SparkSession, path: str, branch_name: str):
+        super().__init__(spark, path)
+        self.branch_name = branch_name
+
+    def current_snapshot(self) -> Snapshot:
+        bid = self.meta.get("branches", {}).get(self.branch_name)
+        if bid is None:
+            raise KeyError(f"branch {self.branch_name!r} was dropped")
+        return self.snapshot(bid)
+
+    def __getattribute__(self, name):
+        if name in BranchView._MAINTENANCE:
+            raise TypeError(
+                f"{name}() is not available on a branch handle — run "
+                "maintenance on the main table"
+            )
+        return super().__getattribute__(name)
+
+    def _commit(
+        self,
+        operation: str,
+        files,
+        summary: dict,
+        tag: dict | None = None,
+        schemas: list[dict] | None = None,
+        current_schema_version: int | None = None,
+        retries: int = 15,
+        meta_updates: dict | None = None,
+    ) -> Snapshot:
+        """Branch-pointer commit: same optimistic loop as the base
+        ``_commit``, with parent = branch head, a globally-unique
+        snapshot id (main and sibling branches append to the same list),
+        and the branch ref — not ``current_snapshot_id`` — advanced."""
+        if schemas is not None or current_schema_version is not None:
+            raise TypeError(
+                "schema evolution commits on a branch are not supported — "
+                "evolve the schema on main, then re-branch"
+            )
+        last_err: Exception | None = None
+        for attempt in range(retries):
+            self.refresh()
+            meta = dict(self.meta)
+            v = meta["_version"] + 1
+            head = meta.get("branches", {}).get(self.branch_name)
+            if head is None:
+                raise KeyError(f"branch {self.branch_name!r} was dropped")
+            snap_files = files(self.current_snapshot()) if callable(files) else files
+            new_id = max(s["snapshot_id"] for s in meta["snapshots"]) + 1
+            snap = Snapshot(
+                snapshot_id=new_id,
+                parent_id=head,
+                timestamp_ms=int(time.time() * 1000),
+                operation=operation,
+                files=snap_files,
+                summary=summary,
+                tag=tag,
+                schema_version=meta["current_schema_version"],
+            )
+            snap.manifest_list = self._write_manifests(snap.snapshot_id, snap_files)
+            entry = {k: val for k, val in snap.__dict__.items() if k != "files"}
+            meta["snapshots"] = meta["snapshots"] + [entry]
+            branches = dict(meta.get("branches", {}))
+            branches[self.branch_name] = new_id
+            meta["branches"] = branches
+            if meta_updates:
+                meta.update(meta_updates)
+            try:
+                self._write_version(v, meta)
+                return snap
+            except CommitConflict as e:
+                last_err = e
+                time.sleep(
+                    min(0.05 * (attempt + 1), 0.5) * (0.5 + 0.5 * os.urandom(1)[0] / 255)
+                )
         raise last_err  # type: ignore[misc]
