@@ -270,6 +270,12 @@ def _iceberg_schema(table: LakeTable, schema_version: int, schema_id: int) -> di
     return {"type": "struct", "schema-id": schema_id, "fields": fields}
 
 
+def _pq_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def export_iceberg_metadata(
     table: LakeTable, out_dir: str | None = None, snapshots: int = 5
 ) -> str:
@@ -283,8 +289,13 @@ def export_iceberg_metadata(
     meta_dir = os.path.join(out_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
 
-    history = table.history()
-    exported = history[-snapshots:]
+    # MAIN's lineage only (parent-chain walk, newest first): the shared
+    # snapshot list also holds UNPUBLISHED branch commits, and exporting
+    # the list tail would hand a stock Iceberg reader un-audited WAP
+    # data as the table's current state (review-caught)
+    lineage = table._ancestry_ids()
+    lineage_set = set(lineage[:snapshots])
+    exported = [s for s in table.history() if s.snapshot_id in lineage_set]
     for snap in exported:
         if any(f.get("kind") == "delta" for f in snap.files):
             raise ValueError(
@@ -315,7 +326,16 @@ def export_iceberg_metadata(
                         "file_path": os.path.abspath(f["path"]),
                         "file_format": "PARQUET",
                         "partition": {BUCKET_COL: bucket},
-                        "record_count": int(f.get("rows", -1)),
+                        # legacy entries without manifest row stats read
+                        # the parquet footer (one metadata read) — a
+                        # negative record_count is spec-invalid and
+                        # poisons readers' COUNT(*)-from-manifest fast
+                        # path (review-caught)
+                        "record_count": (
+                            int(f["rows"])
+                            if f.get("rows", -1) >= 0
+                            else _pq_rows(f["path"])
+                        ),
                         "file_size_in_bytes": os.path.getsize(f["path"]),
                     },
                 }

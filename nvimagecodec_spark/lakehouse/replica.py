@@ -55,7 +55,11 @@ from nvimagecodec_spark.lakehouse.table import LakeTable
 from nvimagecodec_spark.operators.merge import MergeResult, merge_into
 
 # SQL single-quoted string literal, with '' as the escaped quote.
-_SQL_LITERAL = re.compile(r"'(?:[^']|'')*'")
+# Spark SQL (non-ANSI default) accepts BOTH ''-doubling and backslash
+# escapes inside string literals; matching only the former would end a
+# literal early at \' and let the substitution below rewrite what is
+# semantically still literal text (review-caught)
+_SQL_LITERAL = re.compile(r"'(?:[^'\\]|\\.|'')*'")
 
 
 def _sub_outside_literals(sql: str, mapping: dict[str, str]) -> str:

@@ -572,11 +572,34 @@ class LakeTable:
                 return self._entry_to_snapshot(s)
         raise KeyError(f"no snapshot {snapshot_id}")
 
+    def _ancestry_ids(self, head_id: int | None = None) -> list[int]:
+        """Snapshot ids on THIS handle's lineage, newest first — the
+        parent chain from ``head_id`` (default: current head). With
+        branch refs in play the shared snapshot list is a DAG, so
+        anything lineage-scoped (time travel, retention, export) must
+        walk parents instead of trusting list order (review-caught:
+        branch commits at the list tail otherwise leak into main's
+        time travel and evict main's own chain from retention)."""
+        by_id = {s["snapshot_id"]: s for s in self.meta["snapshots"]}
+        cur = (
+            self.current_snapshot().snapshot_id if head_id is None else head_id
+        )
+        out: list[int] = []
+        while cur is not None and cur in by_id:
+            out.append(cur)
+            cur = by_id[cur].get("parent_id")
+        return out
+
     def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
-        """Latest snapshot committed at or before ``timestamp_ms`` —
-        Iceberg's TIMESTAMP AS OF time travel (U7 parity)."""
+        """Latest snapshot ON THIS LINEAGE committed at or before
+        ``timestamp_ms`` — Iceberg's TIMESTAMP AS OF time travel (U7
+        parity). Unpublished branch commits never answer a main-table
+        as-of read (and vice versa)."""
+        lineage = set(self._ancestry_ids())
         best = None
         for s in self.meta["snapshots"]:
+            if s["snapshot_id"] not in lineage:
+                continue
             if s["timestamp_ms"] <= timestamp_ms and (
                 best is None or s["timestamp_ms"] >= best["timestamp_ms"]
             ):
@@ -740,12 +763,21 @@ class LakeTable:
                 ]
             )
         )
-        # each manifest is one single-line JSON array → one text row
+        # each manifest is one single-line JSON array → one text row.
+        # Persisted: the delta-bucket probe below and the pruned collect
+        # are two actions — without the cache every range-filtered read
+        # at this tier would scan + JSON-parse every candidate manifest
+        # twice (review-caught).
         rows = (
             self.spark.read.text(paths)
             .select(F.explode(F.from_json(F.col("value"), mschema)).alias("f"))
             .select("f.*")
         )
+        from pyspark import StorageLevel
+
+        persisted = phys_ranges is not None and bool(phys_ranges)
+        if persisted:
+            rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
 
         def bounds(col: str, sample):
             arr = F.col("stats").getItem(col)
@@ -799,6 +831,8 @@ class LakeTable:
                 rc = rc & (arr.isNull() | fmin.isNull() | fmax.isNull() | cond)
             keep = keep & (F.col("bucket").isin(dirty) | rc) if dirty else keep & rc
         slim = rows.where(keep).select("path", "bucket", "kind").collect()
+        if persisted:
+            rows.unpersist()
         return [
             {
                 "path": os.path.join(self.path, r["path"]),
@@ -2178,27 +2212,33 @@ class LakeTable:
             snaps = self.meta["snapshots"]
             if len(snaps) <= keep_last:
                 return 0
-            kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
-            # tagged snapshots are retention-proof: a named rollback/audit
-            # anchor must survive every expiry sweep (Iceberg ref rule).
-            # The list stays in commit order; keeping a mid-chain entry is
-            # safe — every entry resolves through its own manifest list.
-            # Branch refs pin their WHOLE ancestry (head + parent chain):
-            # fast_forward validation and branch-range read_changes walk
-            # parents, so a branch must never dangle mid-chain. Dropping
-            # or fast-forwarding the branch releases the pins.
-            pinned = set(self.meta.get("refs", {}).values())
+            # Retention is LINEAGE-scoped, not list-scoped (review-caught:
+            # with branch refs the shared list is a DAG — branch commits
+            # at the tail would otherwise evict main's own chain, up to
+            # and including the CURRENT snapshot, whose data files would
+            # then be deleted). Keep: the newest keep_last of MAIN's
+            # parent chain; every tag ref; and each branch's ancestry
+            # back to its fork point with main (the first ancestor on
+            # main's chain) — beyond the fork it IS main history and
+            # main retention governs. A fast-forwarded branch's head sits
+            # on main's chain, so its extra pins collapse to nothing and
+            # expiry keeps working (no manual drop_branch needed).
+            main_chain = self._ancestry_ids()  # newest first
+            keep_ids = set(main_chain[:keep_last])
+            keep_ids.update(self.meta.get("refs", {}).values())
             by_id = {x["snapshot_id"]: x for x in snaps}
+            main_set = set(main_chain)
             for head in self.meta.get("branches", {}).values():
                 cur = head
                 while cur is not None and cur in by_id:
-                    pinned.add(cur)
+                    keep_ids.add(cur)
+                    if cur in main_set:
+                        break  # fork point reached — main retention owns the rest
                     cur = by_id[cur].get("parent_id")
-            if pinned:
-                kept = [s for s in dropped if s["snapshot_id"] in pinned] + kept
-                dropped = [s for s in dropped if s["snapshot_id"] not in pinned]
-                if not dropped:
-                    return 0
+            kept = [x for x in snaps if x["snapshot_id"] in keep_ids]
+            dropped = [x for x in snaps if x["snapshot_id"] not in keep_ids]
+            if not dropped:
+                return 0
             meta = dict(self.meta)
             meta["snapshots"] = kept
             # commit tags must outlive their snapshots: they are the
@@ -2270,16 +2310,6 @@ class BranchView(LakeTable):
     a branch-side expiry could drop snapshots main still serves.
     """
 
-    _MAINTENANCE = (
-        "compact",
-        "compact_deltas",
-        "expire_snapshots",
-        "remove_orphans",
-        "rebucket",
-        "optimize",
-        "rollback",
-    )
-
     def __init__(self, spark: SparkSession, path: str, branch_name: str):
         super().__init__(spark, path)
         self.branch_name = branch_name
@@ -2290,13 +2320,35 @@ class BranchView(LakeTable):
             raise KeyError(f"branch {self.branch_name!r} was dropped")
         return self.snapshot(bid)
 
-    def __getattribute__(self, name):
-        if name in BranchView._MAINTENANCE:
-            raise TypeError(
-                f"{name}() is not available on a branch handle — run "
-                "maintenance on the main table"
-            )
-        return super().__getattribute__(name)
+    # Maintenance refuses AT CALL TIME (explicit overrides, not an
+    # attribute-access hook: a __getattribute__ raise breaks hasattr/
+    # getattr-with-default feature probing — review-caught)
+    def _no_maintenance(self, name: str):
+        raise TypeError(
+            f"{name}() is not available on a branch handle — run "
+            "maintenance on the main table"
+        )
+
+    def compact(self, *a, **kw):
+        self._no_maintenance("compact")
+
+    def compact_deltas(self, *a, **kw):
+        self._no_maintenance("compact_deltas")
+
+    def expire_snapshots(self, *a, **kw):
+        self._no_maintenance("expire_snapshots")
+
+    def remove_orphans(self, *a, **kw):
+        self._no_maintenance("remove_orphans")
+
+    def rebucket(self, *a, **kw):
+        self._no_maintenance("rebucket")
+
+    def optimize(self, *a, **kw):
+        self._no_maintenance("optimize")
+
+    def rollback(self, *a, **kw):
+        self._no_maintenance("rollback")
 
     def _commit(
         self,

@@ -164,13 +164,18 @@ def _apply_batch_transform(batch: DataFrame, batch_transform) -> DataFrame:
 # the one LWW comparator, shared with the table's merge-on-read reconcile
 _ord = order_struct
 
-# Serializes the conf flip below across threads of one session: two
-# concurrent small merges both set the same values and restore the same
-# captured defaults, so interleaving is harmless — the lock just keeps
-# set/restore pairs from tearing. A concurrent LARGE merge could observe
-# AQE momentarily off (slower, never wrong); single-driver engines (the
-# normal shape) never hit that window.
+# Guards the conf flip below; the SESSION ORIGINAL value is captured
+# once per session and every restore goes back to it, so any interleaving
+# of concurrent small merges converges to the original once the last one
+# finishes (restoring the pre-set value instead could latch 'false'
+# permanently under a set/set/restore/restore race — review-caught; the
+# lock now covers only the set/restore pairs, NOT the merge execution,
+# so concurrent small merges on different tables run in parallel).
+# A concurrent LARGE merge (or unrelated query) planned inside another
+# merge's window can still observe AQE off — slower, never wrong;
+# single-driver engines (the normal shape) never hit that window.
 _SMALL_BATCH_CONF_LOCK = threading.Lock()
+_SESSION_AQE_ORIGINAL: dict[int, str] = {}
 
 
 @contextmanager
@@ -186,13 +191,17 @@ def _small_batch_confs(spark):
     and large epochs keep AQE (skew handling, coalescing — the 100-TB
     path is untouched)."""
     conf = spark.conf
+    key = id(spark)
     with _SMALL_BATCH_CONF_LOCK:
-        prev = conf.get("spark.sql.adaptive.enabled", "true")
+        original = _SESSION_AQE_ORIGINAL.setdefault(
+            key, conf.get("spark.sql.adaptive.enabled", "true")
+        )
         conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            yield
-        finally:
-            conf.set("spark.sql.adaptive.enabled", prev)
+    try:
+        yield
+    finally:
+        with _SMALL_BATCH_CONF_LOCK:
+            conf.set("spark.sql.adaptive.enabled", original)
 
 
 def merge_into(
