@@ -466,13 +466,27 @@ class TxnCatalog:
         view_snapshots: dict[str, int] | None = None,
     ) -> None:
         def mutate(state: dict) -> None:
+            # MONOTONE pin advance: two transactions on bucket-DISJOINT key
+            # sets can both publish (no baseline overlap → no serializable
+            # conflict) and their flips can land out of publish order; the
+            # later-flipping-but-earlier-published txn must not regress a
+            # pin — that would hide the other txn's committed batch from
+            # catalog readers until some future flip. Snapshot ids are
+            # strictly increasing per table (LakeTable._commit: max+1) and
+            # the history is linear, so a higher pin always INCLUDES every
+            # lower pin's batches — component-wise max never exposes a torn
+            # state (multi-process race soak: tests/test_multiprocess_race.py
+            # ::test_process_race_catalog_flips_converge).
             for name, sid in snapshots.items():
-                state["tables"][name]["snapshot_id"] = sid
+                cur = state["tables"][name]["snapshot_id"]
+                state["tables"][name]["snapshot_id"] = max(cur, sid)
             if view_snapshots:
                 views = {k: dict(v) for k, v in state.get("views", {}).items()}
                 for name, sid in view_snapshots.items():
                     if name in views:  # dropped mid-txn: skip the pin
-                        views[name]["snapshot_id"] = sid
+                        views[name]["snapshot_id"] = max(
+                            views[name]["snapshot_id"], sid
+                        )
                 state["views"] = views
             log = list(state.get("txn_log", []))
             log.append(

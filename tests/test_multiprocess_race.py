@@ -111,3 +111,91 @@ def test_process_race_merges_collide_and_converge(spark, tmp_path):
     assert sum(r["cm_conflicts"] for r in results) > 0, (
         "no ConcurrentModification observed — harness did not race"
     )
+
+
+TXN_SCRIPT = os.path.join(REPO, "scripts", "race_txn_writer.py")
+
+
+def _race_txn(cat_path, writers=3, batches=3, rows=10):
+    barrier = f"{cat_path}.barrier:{writers}"
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                TXN_SCRIPT,
+                "--catalog",
+                cat_path,
+                "--writer-id",
+                str(w),
+                "--batches",
+                str(batches),
+                "--rows",
+                str(rows),
+                "--barrier",
+                barrier,
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=REPO,
+        )
+        for w in range(writers)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"txn writer failed: {err[-2000:]}"
+        results.append(json.loads(out.strip().splitlines()[-1]))
+    return results
+
+
+@pytest.mark.slow
+def test_process_race_catalog_flips_converge(spark, tmp_path):
+    """VERDICT r04 #8: two+ OS processes race full multi-table transactions
+    — stage, publish-under-tag, atomic pointer flip — on ONE TxnCatalog.
+    Convergence bar: every batch lands on every route (zero lost routes),
+    every txn_log entry is all-routes atomic (no torn flip), the pointer
+    ends caught up to every table's head (the monotone-flip guard — an
+    out-of-publish-order flip must never regress a pin and hide a
+    committed batch), and post-race recovery finds nothing to do."""
+    from nvimagecodec_spark.lakehouse.txn import TxnCatalog
+
+    base = str(tmp_path)
+    ta = LakeTable.create(spark, f"{base}/a", SCHEMA, ["conv_id", "turn_idx"], bucket_count=4)
+    tb = LakeTable.create(spark, f"{base}/b", SCHEMA, ["conv_id", "turn_idx"], bucket_count=4)
+    cat_path = f"{base}/cat"
+    TxnCatalog.create(spark, cat_path, {"a": ta, "b": tb})
+
+    writers, batches, rows = 3, 3, 10
+    results = _race_txn(cat_path, writers=writers, batches=batches, rows=rows)
+    assert sum(r["commits"] for r in results) == writers * batches
+    # the race genuinely happened: at least one writer was pushed through
+    # the conflict/replay path (shared buckets, barrier-synchronized start)
+    assert sum(r["cm_conflicts"] + r["replays"] for r in results) > 0, (
+        "no conflict observed — harness did not race"
+    )
+
+    cat = TxnCatalog.load(spark, cat_path, recover=True)
+    # recovery found a clean catalog: no surviving intent files
+    leftovers = [
+        f for f in os.listdir(os.path.join(cat_path, "txns")) if ".tmp." not in f
+    ]
+    assert leftovers == []
+    # no torn flips: every recorded transaction moved BOTH routes
+    for entry in cat.state["txn_log"]:
+        assert set(entry["tables"]) == {"a", "b"}, entry
+    # monotone-flip guard: the pointer ends at every table's head — an
+    # interleaved flip never left it regressed behind a committed publish
+    for route in ("a", "b"):
+        head = cat.table(route).current_snapshot().snapshot_id
+        assert cat.pinned_snapshot(route) == head, route
+    # zero lost routes through the POINTER: every writer's every key is
+    # visible via catalog-consistent reads, at its LWW-winning (max-lsn =
+    # last batch) version, on both routes
+    last = batches - 1
+    for route in ("a", "b"):
+        got = {r["conv_id"]: r["text"] for r in cat.read(route).collect()}
+        assert len(got) == writers * rows
+        for w in range(writers):
+            for j in range(rows):
+                assert got[f"w{w}-{j}"] == f"{route}-b{last}-w{w}"
