@@ -255,6 +255,25 @@ def merge_into(
             raise ValueError("staged merges are copy-on-write only")
     if tag is not None and table.has_commit_tag(tag["source_id"], tag["batch_id"]):
         return MergeResult(None, [], 0, 0, time.time() - t0, "skipped-duplicate")
+    if delta_auto_ratio is None and not staged:
+        # Table-level write mode (Iceberg's write.update.mode=merge-on-read
+        # analog): a table created with properties={"merge.delta-auto-ratio":
+        # 3.0} gets the adaptive CoW-vs-MoR choice on EVERY unstaged merge —
+        # including the derived-view syncs (dedup/text indexes, SCD2, agg
+        # views) that never expose the knob in their own signatures. An
+        # explicit argument always wins; staged merges stay CoW by contract
+        # (the property is ignored, not an error — staging a table that
+        # carries the property must keep working).
+        # When to set it: the scattered-small-update regime where table
+        # rows >> batch rows PER SYNC — the 100-TB index case. Measured
+        # NEGATIVE at sf0.1 on the neardup index pair (stock 15.5/16.2s vs
+        # MoR 18.1/18.5s, interleaved A/B): at 60k rows the reconcile
+        # exchange on every downstream read costs more than the CoW write
+        # it saves, so this stays OFF by default and is a property, not a
+        # blanket behavior change.
+        prop = table.meta.get("properties", {}).get("merge.delta-auto-ratio")
+        if prop is not None:
+            delta_auto_ratio = float(prop)
 
     key_cols = table.key_cols
     data_cols = [f.name for f in table.schema().fields]  # includes keys

@@ -331,3 +331,43 @@ def test_engine_auto_mode_end_to_end(spark, tmp_dir):
         ga = got[c].astype("object").where(got[c].notna(), None)
         ea = exp[c].astype("object").where(exp[c].notna(), None)
         assert list(ga) == list(ea), c
+
+
+def test_table_property_drives_auto_ratio(spark, tmp_dir):
+    """merge.delta-auto-ratio as a TABLE property (Iceberg write.update.mode
+    =merge-on-read analog): every unstaged merge on the table gets the
+    adaptive choice without the caller passing the knob — the path derived-
+    view syncs (dedup/text indexes, SCD2, agg views) use, since their sync()
+    signatures never expose it. Explicit-argument override, force-CoW via 0,
+    and the staged-merges-stay-CoW contract are all pinned."""
+    t = LakeTable.create(
+        spark,
+        os.path.join(tmp_dir, "proptbl"),
+        TARGET_SCHEMA,
+        ["conv_id", "turn_idx"],
+        4,
+        properties={"merge.delta-auto-ratio": 20.0},
+    )
+    base = [("I", i, f"c{i}", 1, '{"text":"base"}') for i in range(2000)]
+    r0 = merge_into(t, lww_dedupe(_ev(spark, base)))
+    assert r0.strategy != "delta-append"  # empty table: no base to layer over
+
+    # scattered trickle, NO explicit knob -> the property fires
+    small = [("U", 10_000 + i, f"c{i * 37}", 1, '{"text":"upd"}') for i in range(10)]
+    r1 = merge_into(t, lww_dedupe(_ev(spark, small)))
+    assert r1.strategy == "delta-append"
+
+    # explicit 0 forces CoW even though the property is set (the argument
+    # always wins; 0/None-semantics: 0 disables, None defers to the property)
+    small2 = [("U", 20_000 + i, f"c{i * 41}", 1, '{"text":"upd2"}') for i in range(10)]
+    r2 = merge_into(t, lww_dedupe(_ev(spark, small2)), delta_auto_ratio=0)
+    assert r2.strategy in ("broadcast", "sort-merge")
+
+    # staged merges ignore the property (CoW by contract) — and publish fine
+    small3 = [("U", 30_000 + i, f"c{i * 43}", 1, '{"text":"upd3"}') for i in range(10)]
+    r3 = merge_into(t, lww_dedupe(_ev(spark, small3)), staged=True)
+    assert r3.staged_id is not None and "delta" not in r3.strategy
+    t.publish_staged(r3.staged_id, tag={"source_id": "prop", "batch_id": 1})
+
+    got = _logical(t)
+    assert (got.text == "upd3").sum() == 10
