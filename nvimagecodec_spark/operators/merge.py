@@ -349,6 +349,48 @@ def merge_into(
         snap0 = table.current_snapshot()
         tset0 = set(touched)
         assumed = {f["path"] for f in snap0.files_for_buckets(tset0)}
+        if not assumed:
+            # INITIAL-LOAD fast path: every touched bucket is empty (no data
+            # files, no delta layers — files_for_buckets returns both), so
+            # all three broadcast joins (or the sort-merge union + second
+            # LWW shuffle) reduce algebraically to the batch itself: the
+            # resolve branch is empty, no key can match, tombstones land as
+            # rows either way. Skipping them drops one full shuffle of the
+            # batch from every backfill (600k-row bulk apply: union+LWW-max
+            # over an empty side) and 3 join stages from every table's
+            # first epoch — the two initial index-build syncs in the
+            # neardup chain were paying this on every run. Relies on the
+            # documented input contract (deduped: one row per winning key),
+            # which the broadcast path's new_rows branch already requires.
+            # Serializable vs racers: replace_buckets/stage_buckets still
+            # validate assumed_files == ∅ at commit, so a concurrent first
+            # writer aborts exactly as before.
+            summary = {"upserts": n_upserts, "deletes": n_deletes}
+
+            def run_initial() -> MergeResult:
+                merged = batch.select(*all_cols)
+                if staged:
+                    sid = table.stage_buckets(
+                        sorted(touched), merged, assumed_files=assumed,
+                        summary=summary,
+                    )
+                    return MergeResult(
+                        None, sorted(touched), n_upserts, n_deletes,
+                        time.time() - t0, "staged-initial-load", staged_id=sid,
+                    )
+                snap = table.replace_buckets(
+                    sorted(touched), merged, tag=tag, summary=summary,
+                    assumed_files=assumed,
+                )
+                return MergeResult(
+                    snap, sorted(touched), n_upserts, n_deletes,
+                    time.time() - t0, "initial-load",
+                )
+
+            if n_batch <= broadcast_threshold_rows:
+                with _small_batch_confs(table.spark):
+                    return run_initial()
+            return run_initial()
         current = table.read(
             snapshot_id=snap0.snapshot_id, buckets=touched, with_system=True
         )

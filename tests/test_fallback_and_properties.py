@@ -34,6 +34,19 @@ def test_broadcast_failure_falls_back_to_sortmerge(spark, tmp_path, monkeypatch)
     """The strategy chain walks to the next processor on execution failure
     — the reference's per-sample retry-on-fallback, at batch granularity."""
     t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], 4)
+    # seed one row first: the chain only runs against a NON-empty table
+    # (an empty one takes the join-free initial-load fast path and would
+    # never call the broadcast impl this test sabotages)
+    res0 = merge_into(
+        t,
+        lww_dedupe(
+            _events(
+                spark,
+                [("I", "c0", 0, 1, "2025-01-01 00:00:00", "f", 0, '{"text":"seed"}')],
+            )
+        ),
+    )
+    assert res0.strategy == "initial-load"
 
     def exploding_broadcast(*a, **k):
         raise RuntimeError("simulated broadcast OOM")
@@ -44,7 +57,9 @@ def test_broadcast_failure_falls_back_to_sortmerge(spark, tmp_path, monkeypatch)
         lww_dedupe(
             _events(
                 spark,
-                [("I", "c1", 0, 1, "2025-01-01 00:00:00", "f", 0, '{"text":"a"}')],
+                # same key as the seed: the touched bucket must be non-empty
+                # or the fast path bypasses the sabotaged broadcast impl
+                [("U", "c0", 0, 2, "2025-01-01 00:00:00", "f", 0, '{"text":"a"}')],
             )
         ),
     )
@@ -55,6 +70,16 @@ def test_broadcast_failure_falls_back_to_sortmerge(spark, tmp_path, monkeypatch)
 
 def test_last_strategy_failure_propagates(spark, tmp_path, monkeypatch):
     t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], 4)
+    # seed so the chain (not the initial-load fast path) handles the merge
+    merge_into(
+        t,
+        lww_dedupe(
+            _events(
+                spark,
+                [("I", "c1", 0, 1, "2025-01-01 00:00:00", "f", 0, '{"text":"seed"}')],
+            )
+        ),
+    )
     monkeypatch.setattr(
         merge_mod, "_merge_broadcast", lambda *a, **k: (_ for _ in ()).throw(RuntimeError("b"))
     )
@@ -67,11 +92,12 @@ def test_last_strategy_failure_propagates(spark, tmp_path, monkeypatch):
             lww_dedupe(
                 _events(
                     spark,
-                    [("I", "c1", 0, 1, "2025-01-01 00:00:00", "f", 0, '{"text":"a"}')],
+                    [("U", "c1", 0, 2, "2025-01-01 00:00:00", "f", 1, '{"text":"a"}')],
                 )
             ),
         )
-    assert t.read_logical().count() == 0  # no partial commit
+    rows = t.read_logical().collect()  # no partial commit — seed intact
+    assert len(rows) == 1 and rows[0]["text"] == "seed"
 
 
 def test_concurrent_modification_not_swallowed_by_chain(spark, tmp_path, monkeypatch):
@@ -216,3 +242,45 @@ def test_split_strategy_matches_sortmerge_result(spark, tmp_path):
     b = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t2.read_logical().collect()}
     assert a == b and len(a) == 2000
     assert sum(1 for v in b.values() if v == "trickle") == 5
+
+
+def test_initial_load_fast_path_semantics(spark, tmp_path):
+    """First merge into empty buckets skips the join entirely (the resolve
+    side is empty, no key can match) but must land EXACTLY what the chain
+    would: upserts as rows, deletes as tombstone rows that read_logical
+    suppresses, staged variant publishable, and a later merge over the
+    now-populated buckets back on the normal chain."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["conv_id", "turn_idx"], 4)
+    ep = [
+        ("I", "a", 0, 1, "2025-01-01 00:00:00", "f", 0, '{"text":"x"}'),
+        ("I", "b", 1, 2, "2025-01-01 00:00:00", "f", 1, '{"text":"y"}'),
+        # delete of a never-seen key: lands as a tombstone row either way
+        ("D", "gone", 9, 3, "2025-01-01 00:00:00", "f", 2, None),
+    ]
+    res = merge_into(t, lww_dedupe(_events(spark, ep)))
+    assert res.strategy == "initial-load"
+    assert res.upserts == 2 and res.deletes == 1
+    live = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read_logical().collect()}
+    assert live == {("a", 0): "x", ("b", 1): "y"}
+    # tombstone row physically present (same as the join paths write)
+    assert t.read(with_system=True).where("_sys_deleted").count() == 1
+
+    # second merge touches populated buckets -> normal chain, LWW applies
+    res2 = merge_into(
+        t,
+        lww_dedupe(_events(spark, [
+            ("U", "a", 0, 10, "2025-01-01 00:00:01", "f", 3, '{"text":"x2"}'),
+            ("U", "b", 1, 1, "2025-01-01 00:00:00", "f", 0, '{"text":"stale"}'),
+        ])),
+    )
+    assert res2.strategy in ("broadcast", "sort-merge")
+    live = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read_logical().collect()}
+    assert live == {("a", 0): "x2", ("b", 1): "y"}  # stale lsn=1 lost to lsn=2
+
+    # staged initial load on a fresh table: invisible until publish
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), SCHEMA, ["conv_id", "turn_idx"], 4)
+    r = merge_into(t2, lww_dedupe(_events(spark, ep[:2])), staged=True)
+    assert r.strategy == "staged-initial-load" and r.staged_id is not None
+    assert t2.read_logical().count() == 0
+    t2.publish_staged(r.staged_id, tag={"source_id": "s", "batch_id": 1})
+    assert t2.read_logical().count() == 2

@@ -474,4 +474,6 @@ def test_engine_auto_split_probes_and_adapts(spark, tmp_dir):
     # (plan #4) ran the plain path; strategies must all be valid
     assert engine.split_ctl.epochs_planned == n
     for r in recs:
-        assert r["strategy"].startswith(("split", "sort-merge", "broadcast", "delta", "noop"))
+        assert r["strategy"].startswith(
+            ("split", "sort-merge", "broadcast", "delta", "noop", "initial-load")
+        )
