@@ -140,12 +140,25 @@ def detect_codec(binary_col: str) -> Column:
     Probes the REAL formats (BMP 'BM', binary PPM 'P6', binary PGM 'P5' —
     the nvbmp/nvpnm plugin pair) by their 2-byte magics after the 4-byte
     fake family. NULL = unknown format → dead-letter disposition."""
-    magic = F.hex(F.substring(F.col(binary_col), 1, 4))
+    b = F.col(binary_col)
+    magic = F.hex(F.substring(b, 1, 4))
     magic2 = F.substring(magic, 1, 4)
     expr = F.lit(None).cast("string")
     for hex2, name in (("5035", "pgm"), ("5036", "ppm"), ("424D", "bmp")):
         expr = F.when(magic2 == hex2, F.lit(name)).otherwise(expr)
     expr = F.when(magic == "89504E47", F.lit("png")).otherwise(expr)
+    # entropy-coded real formats (header parsers in codec_headers.py);
+    # jpeg outranks them all, matching the registry's jpeg-first ordering
+    expr = F.when(
+        F.hex(F.substring(b, 1, 12)) == "0000000C6A5020200D0A870A", F.lit("jpeg2k")
+    ).otherwise(expr)
+    expr = F.when(magic == "FF4FFF51", F.lit("jpeg2k")).otherwise(expr)
+    expr = F.when(
+        (magic == "52494646") & (F.hex(F.substring(b, 9, 4)) == "57454250"),
+        F.lit("webp"),
+    ).otherwise(expr)
+    expr = F.when(magic.isin("49492A00", "4D4D002A"), F.lit("tiff")).otherwise(expr)
+    expr = F.when(F.substring(magic, 1, 6) == "FFD8FF", F.lit("jpeg")).otherwise(expr)
     # fake family probed first (reversed fold): image, then video, then audio
     for name in (MAGIC_AUDIO, MAGIC_VIDEO, MAGIC_IMAGE):
         expr = F.when(magic == _MAGIC_HEX[name], F.lit(name.lower())).otherwise(expr)
