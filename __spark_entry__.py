@@ -2595,6 +2595,23 @@ def q_mm_dicom_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DC.dicom_pixel_stats(deflated)
 
 
+def q_mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL entropy-coded JPEG decode (operators/jpeg_codec.py — the
+    reference's flagship format, /root/reference/src/parsers/jpeg.cpp +
+    extensions/opencv/opencv_decoder.cpp:104): genuine baseline JPEGs are
+    encoded per document (T.81 markers, Annex K Huffman/quant tables,
+    forward DCT, byte-stuffed entropy stream), then fully decoded back —
+    Huffman bitstream walk, DC differential + EXTEND, dequant, IDCT —
+    and reduced to block stats. The fixture's constant 8x8 blocks sit in
+    the lossless subspace (DC divisible by q00=8 at quality 75), so the
+    DuckDB oracle reproduces the decoded values exactly without a JPEG
+    library; block_checksum is grid-order-sensitive."""
+    from nvimagecodec_spark.operators import jpeg_codec as J
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return J.decode_jpegs(J.attach_jpegs(docs))
+
+
 def q_mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-frame container → every-2nd-frame sample (TIFF-pagination
     analog), Arrow-batched explode."""
@@ -2762,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (never driver-checked) ---
         "mm_codec_headers": q_mm_codec_headers,
         "mm_dicom_transcode": q_mm_dicom_transcode,
+        "mm_jpeg_decode": q_mm_jpeg_decode,
         # --- never driver-checked (VERDICT r4 gap list) ---
         "events_incident_windows": q_events_incident_windows,
         "docs_length_percentiles": q_docs_length_percentiles,
@@ -4362,6 +4380,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(m.h AS INTEGER) AS height,
                    CAST(m.spp AS INTEGER) AS channels,
                    agg.px_sum, agg.px_wsum, agg.c0_sum
+            FROM m JOIN agg ON m.doc_id = agg.doc_id
+        """,
+        "mm_jpeg_decode": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(text), 1, 2)) AS INTEGER) % 6 + 2 AS bw,
+                     CAST(('0x' || substring(md5(text), 3, 2)) AS INTEGER) % 6 + 2 AS bh,
+                     CAST(('0x' || substring(md5(text), 5, 2)) AS INTEGER) AS s
+              FROM documents
+            ),
+            blk AS (
+              SELECT m.doc_id,
+                     (m.s + 5 * bxs.bx + 9 * bys.by) % 256 AS v,
+                     bxs.bx AS bx, bys.by AS by
+              FROM m,
+                   UNNEST(generate_series(0, m.bw - 1)) AS bxs(bx),
+                   UNNEST(generate_series(0, m.bh - 1)) AS bys(by)
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(64 * SUM(v) AS BIGINT) AS px_sum,
+                     CAST(MIN(v) AS INTEGER) AS px_min,
+                     CAST(MAX(v) AS INTEGER) AS px_max,
+                     CAST(SUM(v * (bx + 2 * by + 1)) AS BIGINT) AS block_checksum
+              FROM blk GROUP BY doc_id
+            )
+            SELECT m.doc_id, 'jpeg' AS codec,
+                   CAST(m.bw * 8 AS INTEGER) AS width,
+                   CAST(m.bh * 8 AS INTEGER) AS height,
+                   agg.px_sum, agg.px_min, agg.px_max, agg.block_checksum
             FROM m JOIN agg ON m.doc_id = agg.doc_id
         """,
         "mm_video_frame_sample": """

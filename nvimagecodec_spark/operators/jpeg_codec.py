@@ -1,0 +1,660 @@
+"""Baseline JPEG codec — REAL entropy-coded decode/encode, pure numpy +
+stdlib, no codec library.
+
+This closes the biggest remaining real-codec gap vs the reference, whose
+flagship format is JPEG (parser /root/reference/src/parsers/jpeg.cpp;
+CPU decode path extensions/opencv/opencv_decoder.cpp:104; GPU nvjpeg
+extension). Everything here is implemented from the public ITU-T T.81
+(ISO/IEC 10918-1) spec:
+
+- Markers: SOI / DQT (§B.2.4.1) / SOF0 (§B.2.2) / DHT (§B.2.4.2) /
+  SOS (§B.2.3) / EOI; 0xFF byte-stuffing in the entropy stream (§B.1.1.5).
+- Huffman tables: the "typical" Annex K.3 DC/AC luminance + chrominance
+  tables (the ones every libjpeg-compatible encoder ships).
+- Quantization: Annex K.1 example tables, IJG quality scaling
+  (quality>=50 → scale=200-2q), with deterministic round-half-up
+  quantization so a DuckDB oracle can reproduce the arithmetic exactly.
+- Coefficient coding: DC differential + magnitude categories with EXTEND
+  (§F.2.2.1), AC run/size with ZRL and EOB (§F.2.2.2), zigzag (§A.3.6).
+- 8x8 forward/inverse DCT (§A.3.3) as exact float tensor contractions,
+  vectorized across all blocks of an image at once.
+
+Supported subset: baseline sequential (SOF0), 8-bit, grayscale (1
+component) and 4:4:4 YCbCr color (3 components, no subsampling) — the
+encoder only emits these, and the decoder raises ValueError (dead-letter)
+for progressive/subsampled/arithmetic streams, mirroring the reference's
+CAN_DECODE probe rejecting unsupported streams
+(/root/reference/src/parsers/jpeg.cpp getImageInfo + capability checks).
+
+Scale shape: per-file-independent Arrow-batched ``mapInPandas`` (no
+shuffle); the DCT/dequant stages are numpy tensor ops over all blocks of
+an image simultaneously, only the entropy bitstream walk is sequential
+(as it inherently is — restart intervals are the parallel seam a GPU
+implementation uses; ours emits none).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = [
+    "ZIGZAG",
+    "quant_table",
+    "encode_jpeg",
+    "decode_jpeg",
+    "attach_jpegs",
+    "decode_jpegs",
+    "jpeg_block_stats",
+]
+
+# ----------------------------------------------------------- spec tables
+
+#: §A.3.6 zigzag order: ZIGZAG[i] = (row, col) of the i-th coefficient.
+_ZZ_ORDER = []
+for s in range(15):
+    rng = range(max(0, s - 7), min(s, 7) + 1)
+    _ZZ_ORDER.extend([(j, s - j) for j in rng] if s % 2 else [(s - j, j) for j in rng])
+ZIGZAG = np.array([r * 8 + c for r, c in _ZZ_ORDER], dtype=np.int64)
+_UNZIGZAG = np.argsort(ZIGZAG)
+
+#: Annex K.1 example quantization tables (natural/raster order).
+_Q_LUM_BASE = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_Q_CHROM_BASE = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+#: Annex K.3 "typical" Huffman tables as (bits[1..16], huffval).
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+#: §A.3.3 DCT basis: _COS[u, x] = C(u)/2 * cos((2x+1)u*pi/16).
+_COS = np.zeros((8, 8))
+for u in range(8):
+    cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+    for x in range(8):
+        _COS[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+
+
+def quant_table(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of an Annex K base table (natural order)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    """floor(x + 0.5): deterministic, SQL-reproducible (FLOOR(x + 0.5)),
+    unlike numpy's banker's rounding."""
+    return np.floor(x + 0.5).astype(np.int64)
+
+
+# ------------------------------------------------------------ Huffman
+
+
+def _code_assign(bits, huffval):
+    """§C.2 code assignment: (symbol → (code, length)) and the decode
+    map ((length, code) → symbol)."""
+    enc, dec = {}, {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = huffval[k]
+            enc[sym] = (code, length)
+            dec[(length, code)] = sym
+            code += 1
+            k += 1
+        code <<= 1
+    return enc, dec
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # §B.1.1.5 byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits (§F.1.2.3)
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Entropy-stream bit reader with 0xFF00 de-stuffing."""
+
+    def __init__(self, b: bytes, pos: int):
+        self.b = b
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.pos >= len(self.b):
+                raise ValueError("truncated entropy stream")
+            byte = self.b[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.b):
+                    raise ValueError("truncated after 0xFF")
+                marker = self.b[self.pos]
+                if marker == 0x00:
+                    self.pos += 1
+                elif marker == 0xD9:  # EOI reached while filling: pad
+                    self.pos -= 1
+                    byte = 0
+                    self.acc = (self.acc << 8) | byte
+                    self.nbits += 8
+                    continue
+                else:
+                    raise ValueError(f"unexpected marker FF{marker:02X} in scan")
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def huff(self, dec: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = dec.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """§F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+# ------------------------------------------------------------ encoder
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dht_body(tc: int, th: int, table) -> bytes:
+    bits, huffval = table
+    return bytes([tc << 4 | th]) + bytes(bits) + bytes(huffval)
+
+
+def _fdct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """Forward DCT of N 8x8 blocks at once: C @ B @ C.T per block."""
+    return np.einsum("ux,nxy,vy->nuv", _COS, blocks, _COS, optimize=True)
+
+
+def _idct_blocks(coef: np.ndarray) -> np.ndarray:
+    """Inverse DCT of N 8x8 coefficient blocks (exact transpose pair)."""
+    return np.einsum("ux,nuv,vy->nxy", _COS, coef, _COS, optimize=True)
+
+
+def _to_blocks(ch: np.ndarray) -> np.ndarray:
+    """H×W (multiples of 8) → (N, 8, 8) in MCU raster order."""
+    h, w = ch.shape
+    return (
+        ch.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    return (
+        blocks.reshape(h // 8, w // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+    )
+
+
+def _encode_channel_coefs(qcoef: np.ndarray, bw: _BitWriter, dc_enc, ac_enc, pred: int) -> int:
+    """Huffman-encode quantized zigzag coefficients (N, 64)."""
+    for blk in qcoef:
+        diff = int(blk[0]) - pred
+        pred = int(blk[0])
+        t = _category(diff)
+        code, ln = dc_enc[t]
+        bw.put(code, ln)
+        if t:
+            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            t = _category(v)
+            code, ln = ac_enc[run << 4 | t]
+            bw.put(code, ln)
+            bw.put(v if v >= 0 else v + (1 << t) - 1, t)
+            run = 0
+        if last < 63:
+            code, ln = ac_enc[0x00]  # EOB
+            bw.put(code, ln)
+    return pred
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
+    """Baseline sequential JPEG encode of H×W (gray) or H×W×3 (RGB,
+    encoded 4:4:4 YCbCr) uint8 with H, W multiples of 8."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ncomp = arr.shape
+    if h % 8 or w % 8:
+        raise ValueError("dims must be multiples of 8 (no padding support)")
+    if ncomp not in (1, 3):
+        raise ValueError("1 or 3 channels")
+    a = arr.astype(np.float64)
+    if ncomp == 3:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        channels = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        channels = [a[:, :, 0]]
+
+    q_lum = quant_table(_Q_LUM_BASE, quality)
+    q_chrom = quant_table(_Q_CHROM_BASE, quality)
+    qtabs = [q_lum] + ([q_chrom] if ncomp == 3 else [])
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tq, qt in enumerate(qtabs):
+        out += _seg(0xDB, bytes([tq]) + bytes(int(x) for x in qt[ZIGZAG]))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])  # 4:4:4, Tq by comp
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, _dht_body(0, 0, _DC_LUM))
+    out += _seg(0xC4, _dht_body(1, 0, _AC_LUM))
+    if ncomp == 3:
+        out += _seg(0xC4, _dht_body(0, 1, _DC_CHROM))
+        out += _seg(0xC4, _dht_body(1, 1, _AC_CHROM))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    dc_lum_enc, _ = _code_assign(*_DC_LUM)
+    ac_lum_enc, _ = _code_assign(*_AC_LUM)
+    dc_chrom_enc, _ = _code_assign(*_DC_CHROM)
+    ac_chrom_enc, _ = _code_assign(*_AC_CHROM)
+
+    # quantize every channel up front (vectorized), then interleave MCUs
+    qcoefs = []
+    for c, ch in enumerate(channels):
+        qt = qtabs[0] if c == 0 else qtabs[1]
+        coef = _fdct_blocks(_to_blocks(ch - 128.0))
+        q = np.sign(coef) * np.floor(np.abs(coef) / qt.reshape(8, 8) + 0.5)
+        qcoefs.append(q.astype(np.int64).reshape(-1, 64)[:, ZIGZAG])
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    nblocks = qcoefs[0].shape[0]
+    for i in range(nblocks):  # 4:4:4 MCU = one block per component
+        for c in range(ncomp):
+            dc_enc = dc_lum_enc if c == 0 else dc_chrom_enc
+            ac_enc = ac_lum_enc if c == 0 else ac_chrom_enc
+            preds[c] = _encode_channel_coefs(
+                qcoefs[c][i : i + 1], bw, dc_enc, ac_enc, preds[c]
+            )
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------ decoder
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Full baseline JPEG decode → H×W (gray) or H×W×3 (RGB) uint8.
+    Raises ValueError on anything outside the supported subset
+    (progressive, subsampled, arithmetic, 12-bit, truncated)."""
+    b = bytes(b)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtabs: dict = {}
+    huff_dec: dict = {}
+    frame = None
+    scan_comps = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at {pos}")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        body = b[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                vals = np.frombuffer(body[p + 1 : p + 65], dtype=np.uint8)
+                if len(vals) != 64:
+                    raise ValueError("short DQT")
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = vals
+                qtabs[tq] = nat.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p + 17 <= len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                huffval = list(body[p + 17 : p + 17 + n])
+                if len(huffval) != n:
+                    raise ValueError("short DHT")
+                _, dec = _code_assign(bits, huffval)
+                huff_dec[(tc, th)] = dec
+                p += 17 + n
+        elif marker == 0xC0:
+            prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise ValueError("only 8-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError("subsampled streams unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            break
+        # APPn / COM / others: skipped
+    if frame is None or scan_comps is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w, comps = frame
+    if h % 8 or w % 8:
+        raise ValueError("non-multiple-of-8 dims unsupported (no pad crop)")
+    ncomp = len(comps)
+    if ncomp not in (1, 3) or len(scan_comps) != ncomp:
+        raise ValueError("1 or 3 interleaved components only")
+
+    br = _BitReader(b, pos)
+    nbx, nby = w // 8, h // 8
+    nblocks = nbx * nby
+    qcoef = [np.zeros((nblocks, 64), dtype=np.int64) for _ in range(ncomp)]
+    preds = [0] * ncomp
+    tables = []
+    for c, (cid, tds) in enumerate(scan_comps):
+        td, ta = tds >> 4, tds & 0xF
+        try:
+            tables.append((huff_dec[(0, td)], huff_dec[(1, ta)]))
+        except KeyError:
+            raise ValueError("scan references missing Huffman table")
+    for i in range(nblocks):
+        for c in range(ncomp):
+            dc_dec, ac_dec = tables[c]
+            t = br.huff(dc_dec)
+            if t > 11:
+                raise ValueError("invalid DC category")
+            preds[c] += _extend(br.bits(t), t)
+            qcoef[c][i, 0] = preds[c]
+            k = 1
+            while k < 64:
+                rs = br.huff(ac_dec)
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                run, t = rs >> 4, rs & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                qcoef[c][i, k] = _extend(br.bits(t), t)
+                k += 1
+
+    channels = []
+    for c, (cid, tq) in enumerate(comps):
+        if tq not in qtabs:
+            raise ValueError("component references missing quant table")
+        nat = np.zeros((nblocks, 64), dtype=np.int64)
+        nat[:, ZIGZAG] = qcoef[c]
+        deq = (nat * qtabs[tq].reshape(64)[None, :]).reshape(-1, 8, 8)
+        pix = _idct_blocks(deq.astype(np.float64)) + 128.0
+        channels.append(_from_blocks(pix, h, w))
+    if ncomp == 1:
+        out = channels[0]
+        return np.clip(_round_half_up(out), 0, 255).astype(np.uint8)
+    y, cb, cr = channels
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(_round_half_up(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------ Spark tier
+
+
+def attach_jpegs(
+    df: DataFrame, text_col: str = "text", out_col: str = "jpeg", quality: int = 75
+) -> DataFrame:
+    """Deterministic grayscale-JPEG fixture generator: dims in blocks
+    from the shared md5 formula (bw = hex[0:2]%6+2, bh = hex[2:4]%6+2
+    blocks → 16..56 px), every 8x8 block constant with value
+    (s + 5*bx + 9*by) % 256 — constant blocks make the lossy round trip
+    EXACTLY reproducible in SQL (only the DC coefficient survives, and
+    its quantization is closed-form; see jpeg_block_stats)."""
+    import hashlib
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for txt in pdf[text_col]:
+                md5 = hashlib.md5(str(txt).encode("utf-8")).hexdigest()
+                bw = int(md5[0:2], 16) % 6 + 2
+                bh = int(md5[2:4], 16) % 6 + 2
+                s = int(md5[4:6], 16)
+                bx = np.arange(bw, dtype=np.int64)
+                by = np.arange(bh, dtype=np.int64)
+                vals = (s + 5 * bx[None, :] + 9 * by[:, None]) % 256
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
+                    np.uint8
+                )
+                payloads.append(encode_jpeg(img, quality=quality))
+            out = pdf.copy()
+            out[out_col] = payloads
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+        T.StructField("block_checksum", T.LongType()),
+    ]
+)
+
+
+def decode_jpegs(
+    df: DataFrame, binary_col: str = "jpeg", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched full JPEG decode → per-image pixel stats.
+    block_checksum = Σ over 8x8 blocks of mean_value*(bx + 2*by + 1):
+    order-sensitive across the block grid, so a transpose/shuffle bug
+    cannot cancel out. Undecodable payloads dead-letter as NULL rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    arr = decode_jpeg(bytes(payload))
+                except (ValueError, struct.error):
+                    rows.append((int(did),) + (None,) * 7)
+                    continue
+                h, w = arr.shape[:2]
+                a = arr.astype(np.int64)
+                if a.ndim == 2:
+                    a = a[:, :, None]
+                blocks = a[:, :, 0].reshape(h // 8, 8, w // 8, 8)
+                bmean = blocks.mean(axis=(1, 3))
+                bx = np.arange(w // 8, dtype=np.int64)[None, :]
+                by = np.arange(h // 8, dtype=np.int64)[:, None]
+                rows.append(
+                    (
+                        int(did),
+                        "jpeg",
+                        w,
+                        h,
+                        int(a.sum()),
+                        int(a.min()),
+                        int(a.max()),
+                        int(_round_half_up(bmean * (bx + 2 * by + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _DECODE_SCHEMA.fields])
+
+    return df.select(id_col, binary_col).mapInPandas(batches, schema=_DECODE_SCHEMA)
+
+
+def jpeg_block_stats(quality: int = 75) -> dict:
+    """Closed-form constant the oracle contract rests on: a constant 8x8
+    block of value v has DC = 8*(v-128) and zero AC, so with q00 =
+    quant_table(lum, quality)[0] dividing 8 (q00 = 8 at the default
+    quality 75) the quantize→dequantize→IDCT chain reproduces v EXACTLY —
+    the fixture family lives in the lossless subspace of a lossy codec,
+    making a DuckDB oracle possible without a JPEG library."""
+    return {"q00": int(quant_table(_Q_LUM_BASE, quality)[0])}
