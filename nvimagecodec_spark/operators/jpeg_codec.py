@@ -347,17 +347,36 @@ def _encode_channel_coefs(qcoef: np.ndarray, bw: _BitWriter, dc_enc, ac_enc, pre
     return pred
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
-    """Baseline sequential JPEG encode of H×W (gray) or H×W×3 (RGB,
-    encoded 4:4:4 YCbCr) uint8 with H, W multiples of 8."""
+def _mcu_block_order(ncomp, factors, nmx, nmy):
+    """§A.2.3 interleaved MCU order: yields (comp, plane_block_index)
+    across the whole scan. ``factors[c] = (hc, vc)``; a component's plane
+    has nmx*hc blocks per row."""
+    for my in range(nmy):
+        for mx in range(nmx):
+            for c in range(ncomp):
+                hc, vc = factors[c]
+                for dy in range(vc):
+                    for dx in range(hc):
+                        yield c, (my * vc + dy) * (nmx * hc) + mx * hc + dx
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 75, subsampling: str = "444") -> bytes:
+    """Baseline sequential JPEG encode of H×W (gray) or H×W×3 (RGB →
+    YCbCr) uint8. ``subsampling``: "444" (H,W multiples of 8) or "420"
+    (2x2 box-averaged chroma, H,W multiples of 16 — the layout virtually
+    every camera/web JPEG uses)."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ncomp = arr.shape
-    if h % 8 or w % 8:
-        raise ValueError("dims must be multiples of 8 (no padding support)")
     if ncomp not in (1, 3):
         raise ValueError("1 or 3 channels")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub = subsampling == "420" and ncomp == 3
+    mod = 16 if sub else 8
+    if h % mod or w % mod:
+        raise ValueError(f"dims must be multiples of {mod} (no padding support)")
     a = arr.astype(np.float64)
     if ncomp == 3:
         r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
@@ -366,8 +385,14 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
+        if sub:  # 2x2 box average of the chroma planes
+            channels[1:] = [
+                ch.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+                for ch in channels[1:]
+            ]
     else:
         channels = [a[:, :, 0]]
+    factors = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * ncomp
 
     q_lum = quant_table(_Q_LUM_BASE, quality)
     q_chrom = quant_table(_Q_CHROM_BASE, quality)
@@ -378,7 +403,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
         out += _seg(0xDB, bytes([tq]) + bytes(int(x) for x in qt[ZIGZAG]))
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])  # 4:4:4, Tq by comp
+        hc, vc = factors[c]
+        sof += bytes([c + 1, hc << 4 | vc, 0 if c == 0 else 1])
     out += _seg(0xC0, sof)
     out += _seg(0xC4, _dht_body(0, 0, _DC_LUM))
     out += _seg(0xC4, _dht_body(1, 0, _AC_LUM))
@@ -404,16 +430,17 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
         q = np.sign(coef) * np.floor(np.abs(coef) / qt.reshape(8, 8) + 0.5)
         qcoefs.append(q.astype(np.int64).reshape(-1, 64)[:, ZIGZAG])
 
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    nmx, nmy = w // (8 * hmax), h // (8 * vmax)
     bw = _BitWriter()
     preds = [0] * ncomp
-    nblocks = qcoefs[0].shape[0]
-    for i in range(nblocks):  # 4:4:4 MCU = one block per component
-        for c in range(ncomp):
-            dc_enc = dc_lum_enc if c == 0 else dc_chrom_enc
-            ac_enc = ac_lum_enc if c == 0 else ac_chrom_enc
-            preds[c] = _encode_channel_coefs(
-                qcoefs[c][i : i + 1], bw, dc_enc, ac_enc, preds[c]
-            )
+    for c, i in _mcu_block_order(ncomp, factors, nmx, nmy):
+        dc_enc = dc_lum_enc if c == 0 else dc_chrom_enc
+        ac_enc = ac_lum_enc if c == 0 else ac_chrom_enc
+        preds[c] = _encode_channel_coefs(
+            qcoefs[c][i : i + 1], bw, dc_enc, ac_enc, preds[c]
+        )
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -424,8 +451,10 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
 
 def decode_jpeg(b: bytes) -> np.ndarray:
     """Full baseline JPEG decode → H×W (gray) or H×W×3 (RGB) uint8.
-    Raises ValueError on anything outside the supported subset
-    (progressive, subsampled, arithmetic, 12-bit, truncated)."""
+    Handles 4:4:4, 4:2:0, 4:2:2 and 4:4:0 interleaved chroma sampling
+    (nearest-neighbor upsample). Raises ValueError on anything outside
+    the supported subset (progressive, arithmetic, 12-bit, restart
+    markers, pad-cropped dims, truncated)."""
     b = bytes(b)
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -475,9 +504,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    raise ValueError("subsampled streams unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                hc, vc = hv >> 4, hv & 0xF
+                if hc not in (1, 2) or vc not in (1, 2):
+                    raise ValueError(f"sampling factors {hc}x{vc} unsupported")
+                comps.append((cid, tq, hc, vc))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline SOF unsupported")
@@ -491,16 +521,19 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     if frame is None or scan_comps is None:
         raise ValueError("missing SOF0/SOS")
     h, w, comps = frame
-    if h % 8 or w % 8:
-        raise ValueError("non-multiple-of-8 dims unsupported (no pad crop)")
     ncomp = len(comps)
     if ncomp not in (1, 3) or len(scan_comps) != ncomp:
         raise ValueError("1 or 3 interleaved components only")
+    factors = [(hc, vc) for (_, _, hc, vc) in comps]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    if h % (8 * vmax) or w % (8 * hmax):
+        raise ValueError("dims not multiple of MCU size (no pad crop)")
+    nmx, nmy = w // (8 * hmax), h // (8 * vmax)
 
     br = _BitReader(b, pos)
-    nbx, nby = w // 8, h // 8
-    nblocks = nbx * nby
-    qcoef = [np.zeros((nblocks, 64), dtype=np.int64) for _ in range(ncomp)]
+    nblocks = [nmx * hc * nmy * vc for (hc, vc) in factors]
+    qcoef = [np.zeros((n, 64), dtype=np.int64) for n in nblocks]
     preds = [0] * ncomp
     tables = []
     for c, (cid, tds) in enumerate(scan_comps):
@@ -509,38 +542,40 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             tables.append((huff_dec[(0, td)], huff_dec[(1, ta)]))
         except KeyError:
             raise ValueError("scan references missing Huffman table")
-    for i in range(nblocks):
-        for c in range(ncomp):
-            dc_dec, ac_dec = tables[c]
-            t = br.huff(dc_dec)
-            if t > 11:
-                raise ValueError("invalid DC category")
-            preds[c] += _extend(br.bits(t), t)
-            qcoef[c][i, 0] = preds[c]
-            k = 1
-            while k < 64:
-                rs = br.huff(ac_dec)
-                if rs == 0x00:
-                    break
-                if rs == 0xF0:
-                    k += 16
-                    continue
-                run, t = rs >> 4, rs & 0xF
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                qcoef[c][i, k] = _extend(br.bits(t), t)
-                k += 1
+    for c, i in _mcu_block_order(ncomp, factors, nmx, nmy):
+        dc_dec, ac_dec = tables[c]
+        t = br.huff(dc_dec)
+        if t > 11:
+            raise ValueError("invalid DC category")
+        preds[c] += _extend(br.bits(t), t)
+        qcoef[c][i, 0] = preds[c]
+        k = 1
+        while k < 64:
+            rs = br.huff(ac_dec)
+            if rs == 0x00:
+                break
+            if rs == 0xF0:
+                k += 16
+                continue
+            run, t = rs >> 4, rs & 0xF
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            qcoef[c][i, k] = _extend(br.bits(t), t)
+            k += 1
 
     channels = []
-    for c, (cid, tq) in enumerate(comps):
+    for c, (cid, tq, hc, vc) in enumerate(comps):
         if tq not in qtabs:
             raise ValueError("component references missing quant table")
-        nat = np.zeros((nblocks, 64), dtype=np.int64)
+        nat = np.zeros((nblocks[c], 64), dtype=np.int64)
         nat[:, ZIGZAG] = qcoef[c]
         deq = (nat * qtabs[tq].reshape(64)[None, :]).reshape(-1, 8, 8)
         pix = _idct_blocks(deq.astype(np.float64)) + 128.0
-        channels.append(_from_blocks(pix, h, w))
+        plane = _from_blocks(pix, nmy * vc * 8, nmx * hc * 8)
+        if hc != hmax or vc != vmax:  # nearest-neighbor chroma upsample
+            plane = np.repeat(np.repeat(plane, vmax // vc, axis=0), hmax // hc, axis=1)
+        channels.append(plane)
     if ncomp == 1:
         out = channels[0]
         return np.clip(_round_half_up(out), 0, 255).astype(np.uint8)

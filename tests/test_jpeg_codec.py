@@ -97,6 +97,39 @@ def test_dc_differential_across_blocks():
     np.testing.assert_array_equal(out, img)
 
 
+def test_420_subsampled_color_roundtrip():
+    """4:2:0 — 4 Y + Cb + Cr blocks per MCU, box-downsampled chroma,
+    nearest-neighbor upsample on decode. Flat color regions (constant
+    within each 16x16 MCU) survive near-exactly."""
+    img = np.zeros((32, 48, 3), dtype=np.uint8)
+    img[:16] = [180, 60, 90]
+    img[16:, :16] = [30, 140, 200]
+    img[16:, 16:] = [250, 250, 10]
+    b = J.encode_jpeg(img, quality=90, subsampling="420")
+    b444 = J.encode_jpeg(img, quality=90, subsampling="444")
+    assert len(b) < len(b444)  # chroma planes are 1/4 size
+    out = J.decode_jpeg(b)
+    assert out.shape == img.shape
+    # sample away from MCU boundaries: all three regions reconstruct
+    for (y, x) in [(4, 4), (24, 8), (24, 30)]:
+        assert np.abs(out[y, x].astype(int) - img[y, x].astype(int)).max() <= 8
+
+
+def test_420_gray_content_matches_444():
+    """Luma path is identical under both layouts for grayscale content
+    expressed as RGB (chroma planes are constant 128)."""
+    g = np.repeat(np.repeat((np.arange(8).reshape(2, 4) * 31 % 256), 16, 0), 16, 1)
+    img = np.stack([g, g, g], axis=2).astype(np.uint8)
+    o420 = J.decode_jpeg(J.encode_jpeg(img, quality=75, subsampling="420"))
+    o444 = J.decode_jpeg(J.encode_jpeg(img, quality=75, subsampling="444"))
+    assert np.abs(o420.astype(int) - o444.astype(int)).max() <= 1
+
+
+def test_420_requires_multiple_of_16():
+    with pytest.raises(ValueError):
+        J.encode_jpeg(np.zeros((24, 24, 3), dtype=np.uint8), subsampling="420")
+
+
 # ------------------------------------------------------------ rejection
 
 def test_rejects_unsupported_streams():
@@ -109,9 +142,9 @@ def test_rejects_unsupported_streams():
     prog[i + 1] = 0xC2
     with pytest.raises(ValueError):
         J.decode_jpeg(bytes(prog))
-    # claim 2x2 subsampling in the (only) component
+    # claim 3x1 subsampling in the (only) component — outside {1,2}
     sub = good.copy()
-    sub[i + 11] = 0x22
+    sub[i + 11] = 0x31
     with pytest.raises(ValueError):
         J.decode_jpeg(bytes(sub))
     with pytest.raises(ValueError):
