@@ -364,6 +364,20 @@ class TxnCatalog:
                     if base in self.state["tables"]
                     else self.view(base)
                 )
+                cursor_fn = getattr(vh, "last_synced_base_snapshot", None)
+                cursor = cursor_fn() if callable(cursor_fn) else None
+                if cursor is not None and cursor > done[base]:
+                    # A concurrent transaction on bucket-DISJOINT keys can
+                    # publish after us but commit (sync views + flip)
+                    # first — then this view's cursor is already PAST our
+                    # target. Per-table history is linear, so the view
+                    # state at `cursor` already includes our published
+                    # batch; adopt the newer base state for this txn's
+                    # pins so view and base stay mutually consistent (the
+                    # flip is a monotone max, so nothing regresses).
+                    done[base] = cursor
+                    if base in updated:
+                        updated[base] = max(updated[base], cursor)
                 vh.sync(base_h, to_id=done[base])
                 sid = vh.table.current_snapshot().snapshot_id
                 out[vname] = sid

@@ -342,6 +342,10 @@ class LshBandIndex:
     def last_synced_sig_snapshot(self) -> int | None:
         return last_synced_batch_id(self.table, self.SOURCE_ID)
 
+    # uniform cursor accessor for catalog view plumbing (the band index's
+    # "base" is the signature table)
+    last_synced_base_snapshot = last_synced_sig_snapshot
+
     def sync(self, sig_index: IncrementalDedupIndex, to_id: int | None = None) -> MergeResult:
         """Fold signature-table changes since the last sync into the band
         postings. Cursor, bootstrap, and replay rules mirror

@@ -288,3 +288,47 @@ def test_register_view_syncs_to_pin_not_head(spark, tmp_dir):
     got = _postings(catalog.read("idx"))
     assert got == _recomputed_postings(catalog.read("docs"))
     assert any(t[1] == "late" for t in got)
+
+
+def test_view_synced_past_target_by_concurrent_txn_adopts_newer_state(
+    spark, cat_idx, monkeypatch
+):
+    """Out-of-flip-order commits (chaos-soak-caught race): txn1 publishes
+    its base, then txn2 publishes AND fully commits (view synced past
+    txn1's snapshot, pointer flipped) before txn1 reaches its own view
+    sync. txn1 must not raise 'older than last synced' — it adopts the
+    newer base state for its pins, keeping view and base consistent and
+    the pointer monotone."""
+    catalog, docs, idx = cat_idx
+    fired = {"done": False}
+    orig = catalog._sync_views
+
+    def hooked(updated):
+        if not fired["done"]:
+            fired["done"] = True
+            # interloper txn lands fully between txn1's publish and sync
+            txn2 = catalog.begin("race", 2)
+            txn2.merge(
+                "docs", _batch(spark, [("z", 9, "I", "late zebra")], lsn0=500)
+            )
+            txn2.commit()
+        return orig(updated)
+
+    monkeypatch.setattr(catalog, "_sync_views", hooked)
+    txn1 = catalog.begin("race", 1)
+    txn1.merge("docs", _batch(spark, [("y", 5, "I", "early yak")], lsn0=400))
+    snaps = txn1.commit()  # must NOT raise
+
+    docs.refresh()
+    head = docs.current_snapshot().snapshot_id
+    # txn1's pins were raised to the interloper's newer state
+    assert snaps["docs"] == head
+    assert catalog.pinned_snapshot("docs") == head
+    # both rows visible, view consistent with the pinned base
+    got = _state(catalog.read("docs"))
+    assert got[("y", 5)] == "early yak" and got[("z", 9)] == "late zebra"
+    assert _postings(catalog.read("idx")) == _recomputed_postings(
+        catalog.read("docs")
+    )
+    idx.table.refresh()
+    assert catalog.pinned_snapshot("idx") == idx.table.current_snapshot().snapshot_id
