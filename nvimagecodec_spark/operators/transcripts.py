@@ -455,6 +455,82 @@ class AssembledTranscriptsView:
         return self.table.read_logical().drop("turns")
 
 
+class _ExportFs:
+    """Directory/state-file ops for the shard export, routed through the
+    Hadoop FileSystem API when the base path carries a scheme (hdfs://,
+    s3a://, file:/ …) and through plain OS calls otherwise. On a real
+    cluster the export directory lives on shared storage, so every op
+    here must go through the same FS abstraction Spark's writers use;
+    the local branch keeps the laptop/test path dependency-free and
+    fully atomic (os.replace). On the Hadoop branch the state flip is
+    delete+rename (HDFS rename won't clobber): a crash in that window
+    loses only the cursor, and the next sync degrades to a full
+    re-export — idempotent, never wrong."""
+
+    def __init__(self, spark: SparkSession, base: str):
+        self.local = "://" not in base and not base.startswith("file:")
+        if not self.local:
+            jvm = spark._jvm
+            self._jpath = jvm.org.apache.hadoop.fs.Path
+            self._ioutils = jvm.org.apache.commons.io.IOUtils
+            self.fs = self._jpath(base).getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
+
+    def exists(self, p: str) -> bool:
+        if self.local:
+            return os.path.exists(p)
+        return self.fs.exists(self._jpath(p))
+
+    def mkdirs(self, p: str) -> None:
+        if self.local:
+            os.makedirs(p, exist_ok=True)
+        else:
+            self.fs.mkdirs(self._jpath(p))
+
+    def rm_dir(self, p: str) -> None:
+        if self.local:
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            self.fs.delete(self._jpath(p), True)
+
+    def list_shard_dirs(self, base: str) -> list[str]:
+        if self.local:
+            import glob as _glob
+
+            return _glob.glob(os.path.join(base, "shard=*"))
+        out = []
+        for st in self.fs.globStatus(self._jpath(base + "/shard=*")) or []:
+            out.append(st.getPath().toString())
+        return out
+
+    def read_text(self, p: str) -> str:
+        if self.local:
+            with open(p) as fh:
+                return fh.read()
+        stream = self.fs.open(self._jpath(p))
+        try:
+            return self._ioutils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, base: str, name: str, data: str) -> None:
+        tmp = base.rstrip("/") + "/._state.tmp"
+        dst = base.rstrip("/") + "/" + name
+        if self.local:
+            with open(tmp, "w") as fh:
+                fh.write(data)
+            os.replace(tmp, dst)
+            return
+        out = self.fs.create(self._jpath(tmp), True)
+        try:
+            out.write(bytearray(data.encode("utf-8")))
+        finally:
+            out.close()
+        self.fs.delete(self._jpath(dst), False)
+        self.fs.rename(self._jpath(tmp), self._jpath(dst))
+
+
 class ShardedJsonlExport:
     """Incrementally-maintained JSONL shard directory over ANY LakeTable.
 
@@ -485,8 +561,10 @@ class ShardedJsonlExport:
         self.spark = spark
         self.path = path
         self.table = table
-        with open(os.path.join(path, self.STATE_FILE)) as fh:
-            self.state = json.load(fh)
+        self._fs = _ExportFs(spark, path)
+        self.state = json.loads(
+            self._fs.read_text(path.rstrip("/") + "/" + self.STATE_FILE)
+        )
         self.columns = self.state["columns"]
 
     # ----------------------------------------------------------- lifecycle
@@ -504,26 +582,25 @@ class ShardedJsonlExport:
         missing = [c for c in columns if c not in names]
         if missing:
             raise ValueError(f"table has no columns {missing}")
-        os.makedirs(path, exist_ok=True)
-        if os.path.exists(os.path.join(path, cls.STATE_FILE)):
+        fs = _ExportFs(spark, path)
+        fs.mkdirs(path)
+        if fs.exists(path.rstrip("/") + "/" + cls.STATE_FILE):
             raise FileExistsError(f"export already initialized at {path}")
         snap_id = table.current_snapshot().snapshot_id
         cls._write_state(
+            fs,
             path,
             {"snapshot_id": None, "columns": columns, "bucket_count": table.bucket_count},
         )
         exp = cls(spark, path, table)
         exp._rewrite_buckets(None, snap_id)
         exp.state["snapshot_id"] = snap_id
-        cls._write_state(path, exp.state)
+        cls._write_state(fs, path, exp.state)
         return exp
 
     @staticmethod
-    def _write_state(path: str, state: dict) -> None:
-        tmp = os.path.join(path, "._state.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(state, fh)
-        os.replace(tmp, os.path.join(path, ShardedJsonlExport.STATE_FILE))
+    def _write_state(fs: "_ExportFs", path: str, state: dict) -> None:
+        fs.write_text_atomic(path, ShardedJsonlExport.STATE_FILE, json.dumps(state))
 
     # ----------------------------------------------------------- sync
     def sync(self) -> dict:
@@ -546,7 +623,7 @@ class ShardedJsonlExport:
                 dirty = None  # cursor snapshot expired → full re-export
         self._rewrite_buckets(dirty, head)
         self.state["snapshot_id"] = head
-        self._write_state(self.path, self.state)
+        self._write_state(self._fs, self.path, self.state)
         return {
             "dirty_shards": dirty if dirty is not None else ["*"],
             "snapshot_id": head,
@@ -554,18 +631,16 @@ class ShardedJsonlExport:
 
     def _rewrite_buckets(self, buckets: list[int] | None, snapshot_id: int) -> None:
         """Rewrite the given shard dirs (None = all) from the pinned
-        snapshot. Local-FS directory ops here are the sandbox stand-in
-        for the FileSystem API a cluster deployment would use."""
+        snapshot. Directory ops go through ``_ExportFs`` — the Hadoop
+        FileSystem API for scheme'd paths, local OS calls otherwise."""
         if buckets is not None and not buckets:
             return
-        import glob as _glob
-
         if buckets is None:
-            stale = _glob.glob(os.path.join(self.path, "shard=*"))
+            stale = self._fs.list_shard_dirs(self.path)
         else:
-            stale = [os.path.join(self.path, f"shard={b}") for b in buckets]
+            stale = [self.path.rstrip("/") + f"/shard={b}" for b in buckets]
         for d in stale:
-            shutil.rmtree(d, ignore_errors=True)
+            self._fs.rm_dir(d)
         df = self.table.read(
             snapshot_id=snapshot_id, buckets=buckets, with_system=True
         )
