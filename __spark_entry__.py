@@ -1786,6 +1786,49 @@ def q_cdc_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OBJECT CONTAINER FILE round-trip (ROADMAP #1's jar-only
+    remainder, closed in pure Python — sources/avro_ocf.py): derive the
+    change stream from `events`, write it as sharded real OCF files
+    (`Obj\\x01` magic, file-metadata map, raw-deflate blocks, sync
+    markers; the official Java Avro library on Spark's classpath reads
+    them — tests/test_avro_ocf.py), read them back through the
+    Arrow-batched container decoder, and project the comparable columns.
+    The oracle computes the expected rows directly from `events`, so a
+    defect anywhere in the container framing, the deflate codec, the
+    schema canonicalizer, or the shared record-body decoder breaks the
+    match. Reference analog: container formats carrying many code
+    streams parsed by one registered plugin,
+    /root/reference/src/code_stream.cpp:106-142."""
+    from nvimagecodec_spark.sources.avro_ocf import read_ocf, write_ocf
+
+    ch = _changes(spark, sf_dir)
+    after = F.to_json(F.struct("event_type", "value"))
+    src = ch.select(
+        "op",
+        "lsn",
+        ts_micros(F.col("commit_ts")).alias("ts_us"),
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("op") != "D", after).alias("payload"),
+    )
+    out_dir = _register_tmp(tempfile.mkdtemp(prefix="nvics-ocf-"))
+    write_ocf(src, out_dir, shards=8, codec="deflate")
+    back = read_ocf(spark, out_dir).where(F.col("op").isNotNull())
+    return back.select(
+        "conv_id",
+        "turn_idx",
+        "lsn",
+        "op",
+        F.lit("avro-ocf").alias("src_format"),
+        "ts_us",
+        F.get_json_object("payload", "$.event_type").alias("event_type_out"),
+        F.round(F.get_json_object("payload", "$.value").cast("double") * 100)
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+
 # ------------------------------------------------------------------- TPC-H
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2863,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_assembled_export_sync": q_cdc_assembled_export_sync,
         "cdc_mixed_encodings": q_cdc_mixed_encodings,
         "cdc_avro_roundtrip": q_cdc_avro_roundtrip,
+        "cdc_ocf_roundtrip": q_cdc_ocf_roundtrip,
         "events_asof_order": q_events_asof_order,
         "events_sessionization": q_events_sessionization,
         "events_props_extract": q_events_props_extract,
@@ -3513,6 +3557,16 @@ def oracle_sql() -> dict[str, str]:
             WITH changes AS ({_CHANGES_SQL})
             SELECT conv_id, turn_idx, lsn, op,
                    'avro-sobj' AS src_format,
+                   epoch_us(commit_ts) AS ts_us,
+                   CASE WHEN op <> 'D' THEN event_type END AS event_type_out,
+                   CASE WHEN op <> 'D'
+                        THEN CAST(ROUND(value * 100) AS BIGINT) END AS value_cents
+            FROM changes
+        """,
+        "cdc_ocf_roundtrip": f"""
+            WITH changes AS ({_CHANGES_SQL})
+            SELECT conv_id, turn_idx, lsn, op,
+                   'avro-ocf' AS src_format,
                    epoch_us(commit_ts) AS ts_us,
                    CASE WHEN op <> 'D' THEN event_type END AS event_type_out,
                    CASE WHEN op <> 'D'

@@ -285,70 +285,81 @@ _AVRO_STRUCT = T.StructType(
 _NONE_ROW = (None, None, None, None, None, None)
 
 
+def read_record_body(buf: bytes, pos: int, end: int | None = None) -> tuple[tuple, int]:
+    """Avro-binary record body under SCHEMA_PCF at ``pos`` → (row, new_pos).
+
+    Raises ValueError/UnicodeDecodeError on malformed input — callers pick
+    the recovery policy (single-object lines null-row per message; the OCF
+    container reader dead-letters the enclosing block, since a failed
+    record desynchronizes every later position in it).
+
+    Standard Avro binary reader: accepts any conforming writer's minimal
+    varints (and non-minimal ones up to 10 bytes)."""
+    if end is None:
+        end = len(buf)
+
+    def vlong() -> int:
+        nonlocal pos
+        shift = 0
+        acc = 0
+        while True:
+            if pos >= end or shift > 63:
+                raise ValueError("truncated varint")
+            b = buf[pos]
+            pos += 1
+            acc |= (b & 0x7F) << shift
+            if b < 0x80:
+                v = (acc >> 1) ^ -(acc & 1)
+                # a 10-byte varint can decode past int64 (acc ~ 2^70);
+                # letting it escape would overflow the Int64 batch
+                # column and crash the SCAN — out-of-range is a
+                # malformed message, i.e. a null row (fuzz-pinned)
+                if not -(1 << 63) <= v < (1 << 63):
+                    raise ValueError("varint out of int64 range")
+                return v
+            shift += 7
+
+    def vstr() -> str:
+        nonlocal pos
+        n = vlong()
+        if n < 0 or pos + n > end:
+            raise ValueError("bad string length")
+        s = buf[pos : pos + n].decode("utf-8")
+        pos += n
+        return s
+
+    def union(reader):
+        tag = vlong()
+        if tag == 0:
+            return None
+        if tag == 1:
+            return reader()
+        raise ValueError("bad union tag")
+
+    def vint() -> int:
+        v = vlong()
+        if not -(1 << 31) <= v < (1 << 31):  # schema says int, not long
+            raise ValueError("int out of int32 range")
+        return v
+
+    op = vstr()
+    lsn = vlong()
+    ts_us = vlong()
+    conv_id = union(vstr)
+    turn_idx = union(vint)
+    payload = union(vstr)
+    return (op, lsn, ts_us, conv_id, turn_idx, payload), pos
+
+
 def decode_avro_message(buf: bytes) -> tuple:
     """One single-object message → (op, lsn, ts_us, conv_id, turn_idx,
     payload); all-None for anything malformed (UNSUPPORTED-status analog —
-    a claimed-but-corrupt line becomes a null row, never a scan error).
-
-    Standard Avro binary reader for SCHEMA_PCF: accepts any conforming
-    writer's minimal varints (and non-minimal ones up to 10 bytes)."""
+    a claimed-but-corrupt line becomes a null row, never a scan error)."""
     try:
         if not buf.startswith(AVRO_HEADER):
             return _NONE_ROW
-        pos = len(AVRO_HEADER)
-        end = len(buf)
-
-        def vlong() -> int:
-            nonlocal pos
-            shift = 0
-            acc = 0
-            while True:
-                if pos >= end or shift > 63:
-                    raise ValueError("truncated varint")
-                b = buf[pos]
-                pos += 1
-                acc |= (b & 0x7F) << shift
-                if b < 0x80:
-                    v = (acc >> 1) ^ -(acc & 1)
-                    # a 10-byte varint can decode past int64 (acc ~ 2^70);
-                    # letting it escape would overflow the Int64 batch
-                    # column and crash the SCAN — out-of-range is a
-                    # malformed message, i.e. a null row (fuzz-pinned)
-                    if not -(1 << 63) <= v < (1 << 63):
-                        raise ValueError("varint out of int64 range")
-                    return v
-                shift += 7
-
-        def vstr() -> str:
-            nonlocal pos
-            n = vlong()
-            if n < 0 or pos + n > end:
-                raise ValueError("bad string length")
-            s = buf[pos : pos + n].decode("utf-8")
-            pos += n
-            return s
-
-        def union(reader):
-            tag = vlong()
-            if tag == 0:
-                return None
-            if tag == 1:
-                return reader()
-            raise ValueError("bad union tag")
-
-        def vint() -> int:
-            v = vlong()
-            if not -(1 << 31) <= v < (1 << 31):  # schema says int, not long
-                raise ValueError("int out of int32 range")
-            return v
-
-        op = vstr()
-        lsn = vlong()
-        ts_us = vlong()
-        conv_id = union(vstr)
-        turn_idx = union(vint)
-        payload = union(vstr)
-        return (op, lsn, ts_us, conv_id, turn_idx, payload)
+        row, _ = read_record_body(buf, len(AVRO_HEADER))
+        return row
     except (ValueError, UnicodeDecodeError):
         return _NONE_ROW
 

@@ -1,0 +1,317 @@
+"""Avro Object Container File connector (sources/avro_ocf.py).
+
+Conformance is checked two independent ways:
+
+1. Pure-Python round-trips + structural damage containment (these pin the
+   engine's dead-letter contract for containers).
+2. INTEROP with the official Java Avro implementation that ships on
+   Spark's classpath (avro-1.12.1.jar): our writer's files read by
+   ``org.apache.avro.file.DataFileReader``, and files written by Java's
+   ``DataFileWriter`` read by our decoder — both codecs. This is the
+   same cross-implementation bar the single-object format meets via its
+   pinned CRC-64-AVRO fingerprints.
+"""
+
+import json
+import os
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nvimagecodec_spark.sources.avro_ocf import (
+    OCF_MAGIC,
+    SCHEMA_JSON,
+    decode_ocf,
+    encode_ocf,
+    read_ocf,
+    sync_marker,
+    to_parsing_canonical_form,
+    write_ocf,
+)
+from nvimagecodec_spark.sources.avro_sobj import SCHEMA_PCF
+
+RECS = [
+    ("I", 1, 1_000_000, "c1", 0, '{"a":1}'),
+    ("U", 2, 2_000_000, "c1", 1, '{"a":2}'),
+    ("D", 3, 3_000_000, None, None, None),
+    ("S", 4, 4_000_000, "c2", -5, "x" * 10_000),
+    ("I", -(1 << 62), 0, "", 2**31 - 1, ""),
+]
+
+
+# ------------------------------------------------------------ pure python
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("block_records", [1, 2, 4096])
+def test_roundtrip(codec, block_records):
+    blob = encode_ocf(RECS, codec=codec, block_records=block_records)
+    rows, dead = decode_ocf(blob)
+    # empty payload string encodes as null union branch (same convention
+    # as the single-object encoder, avro_sobj.encode_avro_record)
+    want = [r[:5] + (None if r[5] == "" else r[5],) for r in RECS]
+    assert dead == 0
+    assert rows == want
+
+
+def test_schema_json_canonicalizes_to_pcf():
+    # the embedded schema carries logicalType; PCF must strip it
+    assert to_parsing_canonical_form(json.loads(SCHEMA_JSON)) == SCHEMA_PCF
+
+
+def test_foreign_schema_rejected():
+    blob = bytearray(encode_ocf(RECS))
+    foreign = SCHEMA_JSON.replace('"CdcEvent"', '"Other"').encode()
+    # rebuild header with the foreign schema (same length not guaranteed,
+    # so re-encode via the private map encoder)
+    from nvimagecodec_spark.sources.avro_ocf import _enc_map
+
+    hdr = OCF_MAGIC + _enc_map(
+        {"avro.schema": foreign, "avro.codec": b"null"}
+    )
+    # splice: original header length
+    orig_hdr = OCF_MAGIC + _enc_map(
+        {"avro.schema": SCHEMA_JSON.encode(), "avro.codec": b"deflate"}
+    )
+    body = bytes(blob[len(orig_hdr):])
+    with pytest.raises(ValueError, match="canonicalize"):
+        decode_ocf(hdr + body)
+
+
+def test_key_order_and_attrs_insensitive_schema_accepted():
+    """A conforming writer may reorder JSON keys / add doc attributes."""
+    schema = json.loads(SCHEMA_JSON)
+    schema["doc"] = "anything"
+    schema["fields"][0] = {"doc": "op code", "type": "string", "name": "op"}
+    reordered = json.dumps(schema)
+    from nvimagecodec_spark.sources.avro_ocf import _enc_map
+
+    hdr = OCF_MAGIC + _enc_map(
+        {"avro.schema": reordered.encode(), "avro.codec": b"null"}
+    )
+    orig_hdr = OCF_MAGIC + _enc_map(
+        {"avro.schema": SCHEMA_JSON.encode(), "avro.codec": b"null"}
+    )
+    blob = encode_ocf(RECS, codec="null")
+    rows, dead = decode_ocf(hdr + blob[len(orig_hdr):])
+    assert dead == 0 and len(rows) == len(RECS)
+
+
+def test_bad_magic_and_unknown_codec_raise():
+    with pytest.raises(ValueError, match="container"):
+        decode_ocf(b"NOPE" + b"\x00" * 40)
+    from nvimagecodec_spark.sources.avro_ocf import _enc_map
+
+    hdr = OCF_MAGIC + _enc_map(
+        {"avro.schema": SCHEMA_JSON.encode(), "avro.codec": b"snappy"}
+    )
+    with pytest.raises(ValueError, match="codec"):
+        decode_ocf(hdr + sync_marker(0))
+
+
+def test_corrupt_block_dead_letters_only_itself():
+    """Damage in one block's body loses that block, not the file."""
+    blob = bytearray(encode_ocf(RECS, codec="null", block_records=2))
+    # find the SECOND block: after header+sync, blocks are
+    # count|size|body|sync — walk one block, then corrupt inside the next
+    from nvimagecodec_spark.sources.avro_ocf import _read_meta_map, _read_vlong
+
+    pos = len(OCF_MAGIC)
+    _, pos = _read_meta_map(bytes(blob), pos)
+    pos += 16  # header sync
+    _, p2 = _read_vlong(bytes(blob), pos)
+    size, p2 = _read_vlong(bytes(blob), p2)
+    pos = p2 + size + 16  # start of block 2
+    _, p3 = _read_vlong(bytes(blob), pos)
+    _, p3 = _read_vlong(bytes(blob), p3)
+    blob[p3] ^= 0xFF  # first body byte of block 2
+    rows, dead = decode_ocf(bytes(blob))
+    assert dead == 2  # block 2 carried records 3 and 4
+    assert [r[1] for r in rows] == [1, 2, RECS[4][1]]  # blocks 1 and 3 kept
+
+
+def test_sync_mismatch_stops_file():
+    blob = bytearray(encode_ocf(RECS, codec="null", block_records=2))
+    blob[-1] ^= 0xFF  # last block's sync marker
+    rows, dead = decode_ocf(bytes(blob))
+    assert len(rows) == 4 and dead == 1
+
+
+def test_truncated_tail_counts_dead():
+    rows, dead = decode_ocf(encode_ocf(RECS)[:-10])
+    assert rows == [] and dead >= 1
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["I", "U", "D", "S"]),
+            st.integers(-(1 << 62), (1 << 62) - 1),
+            st.integers(-(1 << 62), (1 << 62) - 1),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.one_of(st.none(), st.integers(-(1 << 31), (1 << 31) - 1)),
+            st.one_of(st.none(), st.text(max_size=200)),
+        ),
+        max_size=30,
+    ),
+    st.sampled_from(["null", "deflate"]),
+    st.integers(1, 7),
+)
+def test_roundtrip_fuzz(recs, codec, block_records):
+    rows, dead = decode_ocf(encode_ocf(recs, codec=codec, block_records=block_records))
+    want = [r[:5] + (None if r[5] == "" else r[5],) for r in recs]
+    assert dead == 0 and rows == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_damage_fuzz_never_raises_past_header(data):
+    """Arbitrary single-byte damage / truncation beyond the header never
+    raises — it dead-letters (ValueError is reserved for header damage,
+    which the Spark reader maps to a whole-dead file)."""
+    blob = bytearray(encode_ocf(RECS, codec="deflate", block_records=2))
+    from nvimagecodec_spark.sources.avro_ocf import _read_meta_map
+
+    hdr_end = _read_meta_map(bytes(blob), len(OCF_MAGIC))[1] + 16
+    mode = data.draw(st.sampled_from(["flip", "trunc"]))
+    if mode == "flip":
+        i = data.draw(st.integers(hdr_end, len(blob) - 1))
+        blob[i] ^= data.draw(st.integers(1, 255))
+    else:
+        blob = blob[: data.draw(st.integers(hdr_end, len(blob) - 1))]
+    rows, dead = decode_ocf(bytes(blob))
+    assert len(rows) + dead >= 0  # no exception is the assertion
+
+
+# ------------------------------------------------------------ spark plane
+
+
+def _mk_events(spark, n=400):
+    return spark.range(n).select(
+        F.when(F.col("id") % 7 == 0, "D").otherwise("I").alias("op"),
+        F.col("id").alias("lsn"),
+        (F.col("id") * 1_000_000).alias("ts_us"),
+        F.concat(F.lit("conv-"), (F.col("id") % 37).cast("string")).alias("conv_id"),
+        (F.col("id") % 50).cast("int").alias("turn_idx"),
+        F.when(F.col("id") % 7 != 0, F.to_json(F.struct("id"))).alias("payload"),
+    )
+
+
+def test_spark_roundtrip(spark, tmp_dir):
+    df = _mk_events(spark)
+    manifest = write_ocf(df, tmp_dir, shards=5, codec="deflate")
+    m = {r["shard"]: r for r in manifest.collect()}
+    assert set(m) == set(range(5))
+    assert sum(r["records"] for r in m.values()) == 400
+    for r in m.values():
+        assert os.path.getsize(r["path"]) == r["bytes"]
+    back = read_ocf(spark, tmp_dir).where(F.col("op").isNotNull())
+    assert back.orderBy("lsn").drop("src_file", "dead_records").collect() == (
+        df.orderBy("lsn").collect()
+    )
+
+
+def test_spark_write_deterministic(spark, tmp_dir):
+    """Same input → byte-identical shards (sync markers included)."""
+    df = _mk_events(spark, 150)
+    a_dir, b_dir = tmp_dir + "/a", tmp_dir + "/b"
+    wa = {r["shard"]: r["path"] for r in write_ocf(df, a_dir, shards=3).collect()}
+    wb = {r["shard"]: r["path"] for r in write_ocf(df, b_dir, shards=3).collect()}
+    for s in wa:
+        with open(wa[s], "rb") as fa, open(wb[s], "rb") as fb:
+            assert fa.read() == fb.read(), f"shard {s} not deterministic"
+
+
+def test_spark_dead_file_row(spark, tmp_dir):
+    df = _mk_events(spark, 50)
+    write_ocf(df, tmp_dir, shards=2)
+    with open(os.path.join(tmp_dir, "part-00001.avro"), "r+b") as f:
+        f.write(b"XXXX")  # kill the magic
+    back = read_ocf(spark, tmp_dir)
+    dead = back.where(F.col("op").isNull()).collect()
+    assert len(dead) == 1 and dead[0]["dead_records"] == -1
+    live = back.where(F.col("op").isNotNull())
+    assert live.count() == [
+        r["records"]
+        for r in write_ocf(df, tmp_dir + "/ref", shards=2).collect()
+        if r["shard"] == 0
+    ][0]
+
+
+# ------------------------------------------------------- java avro interop
+
+
+def _java_avro_available(spark):
+    try:
+        spark._jvm.org.apache.avro.Schema.Parser()
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_java_reads_our_files(spark, tmp_dir, codec):
+    if not _java_avro_available(spark):
+        pytest.skip("org.apache.avro not on the JVM classpath")
+    df = _mk_events(spark, 100)
+    manifest = write_ocf(df, tmp_dir, shards=1, codec=codec)
+    path = manifest.collect()[0]["path"]
+    jvm = spark._jvm
+    fr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while fr.hasNext():
+        rec = fr.next()
+        conv = rec.get("conv_id")
+        pay = rec.get("payload")
+        got.append(
+            (
+                str(rec.get("op")),
+                rec.get("lsn"),
+                rec.get("commit_ts"),
+                None if conv is None else str(conv),
+                rec.get("turn_idx"),
+                None if pay is None else str(pay),
+            )
+        )
+    fr.close()
+    want = [tuple(r) for r in df.orderBy("lsn").collect()]
+    assert sorted(got, key=lambda t: t[1]) == want
+
+
+def test_our_reader_reads_java_files(spark, tmp_dir):
+    if not _java_avro_available(spark):
+        pytest.skip("org.apache.avro not on the JVM classpath")
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(SCHEMA_JSON)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    path = os.path.join(tmp_dir, "java.avro")
+    writer.create(schema, jvm.java.io.File(path))
+    for op, lsn, ts, conv, turn, pay in [
+        ("I", 10, 1_000_000, "c9", 3, '{"k":1}'),
+        ("D", 11, 2_000_000, None, None, None),
+    ]:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("op", op)
+        rec.put("lsn", jvm.java.lang.Long(lsn))
+        rec.put("commit_ts", jvm.java.lang.Long(ts))
+        rec.put("conv_id", conv)
+        rec.put("turn_idx", None if turn is None else jvm.java.lang.Integer(turn))
+        rec.put("payload", pay)
+        writer.append(rec)
+    writer.close()
+    with open(path, "rb") as f:
+        rows, dead = decode_ocf(f.read())
+    assert dead == 0
+    assert rows == [
+        ("I", 10, 1_000_000, "c9", 3, '{"k":1}'),
+        ("D", 11, 2_000_000, None, None, None),
+    ]
