@@ -308,9 +308,32 @@ def emit_changes(
             pay.alias("payload"),
         )
         line = enc("op", "lsn", "ts_us", "conv_id", "turn_idx", "payload")
+    elif encoding == "ocf":
+        # Avro OBJECT CONTAINER FILES instead of text lines: the binary
+        # sibling of the avro wire emit — downstream engines consume the
+        # directory with run_stream_ocf / read_ocf (sources/avro_ocf.py).
+        from nvimagecodec_spark.sources.avro_ocf import write_ocf
+
+        pay = F.when(F.col("op") != "D", F.to_json(F.struct(*payload_cols)))
+        src = ch.select(
+            "op",
+            F.coalesce(F.col("lsn"), F.lit(0)).alias("lsn"),
+            F.coalesce(F.unix_micros(F.col("commit_ts")), F.lit(0)).alias("ts_us"),
+            "conv_id",
+            "turn_idx",
+            pay.alias("payload"),
+        )
+        # overwrite semantics, like the text branches' mode("overwrite"):
+        # a re-emit with fewer shards must not leave stale shard files
+        # behind for run_stream_ocf to double-consume
+        import shutil as _shutil
+
+        _shutil.rmtree(out_dir, ignore_errors=True)
+        manifest = write_ocf(src, out_dir, shards=files, codec="deflate")
+        return sum(r["records"] for r in manifest.collect())
     else:
         raise ValueError(
-            f"unknown emit encoding {encoding!r} (jsonl|binary-v1|tsv|avro)"
+            f"unknown emit encoding {encoding!r} (jsonl|binary-v1|tsv|avro|ocf)"
         )
     out = ch.select(line.alias("value"))
     try:

@@ -340,14 +340,20 @@ OCF_SCHEMA = T.StructType(
 )
 
 
-def read_ocf(spark: SparkSession, path: str) -> DataFrame:
-    """Directory/glob of ``.avro`` container files → CdcEvent DataFrame.
+#: binaryFile's fixed schema — streaming sources must declare it explicitly
+BINARYFILE_SCHEMA = (
+    "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+)
+
+
+def parse_ocf_files(bin_df: DataFrame) -> DataFrame:
+    """(path, content) binaryFile rows → CdcEvent rows (Arrow-batched).
 
     Columns: op, lsn, ts_us, conv_id, turn_idx, payload, src_file,
     dead_records (per-file damage count, 0 on every data row; a fully
     dead file yields ONE all-null row carrying its count so lineage can
     see it — filter ``op IS NOT NULL`` for the data plane)."""
-    bin_df = spark.read.format("binaryFile").load(path).select("path", "content")
+    bin_df = bin_df.select("path", "content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -376,6 +382,12 @@ def read_ocf(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return bin_df.mapInPandas(parse, OCF_SCHEMA)
+
+
+def read_ocf(spark: SparkSession, path: str) -> DataFrame:
+    """Directory/glob of ``.avro`` container files → CdcEvent DataFrame
+    (column contract: see :func:`parse_ocf_files`)."""
+    return parse_ocf_files(spark.read.format("binaryFile").load(path))
 
 
 def write_ocf(
@@ -445,3 +457,47 @@ def write_ocf(
 
     manifest = staged.groupBy("shard").applyInPandas(write_shard, manifest_schema)
     return manifest.orderBy("shard").localCheckpoint(eager=True)
+
+
+def ocf_changes(parsed: DataFrame) -> DataFrame:
+    """``read_ocf`` output → normalized CHANGE_SCHEMA rows the engine's
+    ``apply_epoch`` consumes directly (same field semantics as the
+    registered ``avro-sobj`` wire format's normalize: payload carries the
+    after-image for I/U and the schema-change JSON for op='S').
+
+    Damage rows (op NULL, per-file ``dead_records``) become dead-letter
+    rows in the ``parse_changes(keep_dead=True)`` convention —
+    ``src_format`` NULL with a descriptive ``raw_value`` — so the engine
+    sinks and counts them per source file. One dead ROW stands for the
+    file's whole damage count (the container reader can't recover the
+    individual records); ``raw_value`` records that count."""
+    from nvimagecodec_spark.sources.changelog import SCHEMA_CHANGE_SCHEMA
+
+    is_dead = F.col("op").isNull()
+    return parsed.select(
+        F.col("op"),
+        F.col("lsn"),
+        F.timestamp_micros(F.col("ts_us")).alias("commit_ts"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.when(
+            (F.col("op") != "S") & F.col("payload").isNotNull(), F.col("payload")
+        ).alias("after"),
+        F.when(
+            (F.col("op") == "S") & F.col("payload").isNotNull(),
+            F.from_json("payload", SCHEMA_CHANGE_SCHEMA),
+        ).alias("schema_change"),
+        F.lit(None).cast("long").alias("txn_id"),
+        F.col("src_file"),
+        F.coalesce(F.col("lsn"), F.lit(-1)).alias("src_offset"),
+        F.when(~is_dead, F.lit("avro-ocf")).alias("src_format"),
+        F.when(
+            is_dead,
+            F.concat(
+                F.lit("ocf-damage:"),
+                F.col("src_file"),
+                F.lit(":dead_records="),
+                F.col("dead_records").cast("string"),
+            ),
+        ).alias("raw_value"),
+    )

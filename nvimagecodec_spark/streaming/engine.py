@@ -572,13 +572,69 @@ class CdcEngine:
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .load(source_dir)
         )
+
+        def events_of(batch_df: DataFrame) -> DataFrame:
+            # keep_dead: dead letters ride the same single scan and are
+            # split off + sunk inside apply_epoch
+            return parse_changes(with_lineage(batch_df), keep_dead=True)
+
+        return self._drive_stream(
+            raw, events_of, max_epochs, await_seconds, trigger_interval
+        )
+
+    def run_stream_ocf(
+        self,
+        source_dir: str,
+        max_files_per_trigger: int = 16,
+        max_epochs: int | None = None,
+        await_seconds: float | None = None,
+        trigger_interval: str | None = None,
+    ):
+        """Avro OBJECT CONTAINER FILE tail → foreachBatch epochs.
+
+        The binary-container sibling of :meth:`run_stream`: tails a
+        directory of ``.avro`` OCF files (sources/avro_ocf.py — e.g. the
+        output of ``write_ocf`` or of ``emit_changes(encoding="ocf")``
+        from an upstream engine) with the same exactly-once,
+        trigger-interval, and epoch-cap contract. Damaged files/blocks
+        arrive as dead-letter rows (one per damaged file, ``raw_value``
+        carrying the lost-record count) and flow through the standard
+        dead-letter sink + lineage accounting. Reference analog:
+        container formats carrying many code streams consumed by one
+        registered reader, /root/reference/src/code_stream.cpp:106-142."""
+        from nvimagecodec_spark.sources.avro_ocf import (
+            BINARYFILE_SCHEMA,
+            ocf_changes,
+            parse_ocf_files,
+        )
+
+        raw = (
+            self.spark.readStream.format("binaryFile")
+            .schema(BINARYFILE_SCHEMA)
+            .option("pathGlobFilter", "*.avro")
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .load(source_dir)
+        )
+
+        def events_of(batch_df: DataFrame) -> DataFrame:
+            return ocf_changes(parse_ocf_files(batch_df))
+
+        return self._drive_stream(
+            raw, events_of, max_epochs, await_seconds, trigger_interval
+        )
+
+    def _drive_stream(
+        self,
+        raw: DataFrame,
+        events_of,
+        max_epochs: int | None,
+        await_seconds: float | None,
+        trigger_interval: str | None,
+    ):
         applied = {"n": 0}
 
         def epoch_fn(batch_df: DataFrame, batch_id: int):
-            # keep_dead: dead letters ride the same single scan and are
-            # split off + sunk inside apply_epoch
-            events = parse_changes(with_lineage(batch_df), keep_dead=True)
-            self.apply_epoch(events, batch_id)
+            self.apply_epoch(events_of(batch_df), batch_id)
             applied["n"] += 1
 
         writer = raw.writeStream.foreachBatch(epoch_fn).option(
