@@ -1064,6 +1064,7 @@ class LakeTable:
         bucket_count: int | None = None,
         key_bloom: bool = False,
         zorder_by: list[str] | None = None,
+        write_partitions: int | None = None,
     ) -> list[dict]:
         """Write df (must carry BUCKET_COL) partitioned by bucket; return manifest entries.
 
@@ -1081,8 +1082,18 @@ class LakeTable:
         # manifest-level pruning wants. maxRecordsPerFile caps file size at
         # production scale (Iceberg's write.target-file-size analog).
         codec = self.meta.get("properties", {}).get("write.compression", "snappy")
+        # write_partitions: callers that know how many DISTINCT buckets df
+        # holds (replace_buckets/stage_buckets get touched_buckets) cap the
+        # exchange there — repartition(N, col) with K distinct values fills
+        # at most K partitions, so every partition past K is a guaranteed-
+        # EMPTY task. A 50-row epoch touching 3 of 4096 buckets schedules
+        # 3 write tasks, not 4096 (and small merges run with AQE off, so
+        # nothing else would coalesce them).
+        n_parts = bucket_count or self.bucket_count
+        if write_partitions is not None:
+            n_parts = max(1, min(n_parts, write_partitions))
         staged = phys.withColumn(_PART_DIR_COL, F.col(BUCKET_COL)).repartition(
-            bucket_count or self.bucket_count, F.col(_PART_DIR_COL)
+            n_parts, F.col(_PART_DIR_COL)
         )
         # Key-clustered layout (default ON; table property
         # "write.sort-keys": False opts out): sorting by (partition col,
@@ -1166,7 +1177,7 @@ class LakeTable:
         )
         import pyarrow.parquet as pq
 
-        files: list[dict] = []
+        targets: list[tuple[int, str]] = []
         for entry in sorted(os.listdir(out_dir)):
             if not entry.startswith(f"{_PART_DIR_COL}="):
                 continue
@@ -1174,42 +1185,54 @@ class LakeTable:
             bdir = os.path.join(out_dir, entry)
             for fn in sorted(os.listdir(bdir)):
                 if fn.endswith(".parquet"):
-                    p = os.path.join(bdir, fn)
-                    # real row counts + per-file key min/max from the footer
-                    # (one metadata read per file at commit time): manifests
-                    # carry per-bucket row stats (adaptive CoW-vs-MoR) and
-                    # key ranges (point-lookup FILE skipping inside a
-                    # bucket). The key-sorted layout (default on) makes the
-                    # ranges tight, and a compacted bucket split by
-                    # maxRecordsPerFile gets DISJOINT per-file ranges — a
-                    # point lookup then reads one file, not one bucket.
-                    # Iceberg manifests record the same (ROI/partial-read
-                    # analog, /root/reference/include/nvimgcodec.h:564-574).
-                    md = pq.ParquetFile(p).metadata
-                    fentry = {"path": p, "bucket": bucket, "rows": md.num_rows}
-                    stats = _footer_key_stats(md, key_phys + stat_phys)
-                    if stats:
-                        fentry["stats"] = stats
-                    # key Bloom for SMALL files (delta layers): min/max
-                    # ranges can't skip layers that each span the whole
-                    # keyspace. One column read of the just-written (page-
-                    # cache-hot) file; large files skip — their sorted
-                    # ranges already prune, and their blooms would bloat
-                    # the manifests. write.key-bloom: False opts out.
-                    # only DELTA commits request blooms (key_bloom=True):
-                    # CoW files in a key-sorted bucket already prune by
-                    # range, and reading every bulk file's key columns
-                    # back at commit time would tax the hot path for
-                    # nothing
-                    if build_blooms and 0 < md.num_rows <= _BLOOM_MAX_ROWS:
-                        tbl = pq.read_table(p, columns=key_phys)
-                        cols = [tbl.column(c).to_pylist() for c in key_phys]
-                        fentry["bloom"] = bloom_build(
-                            (canonical_key(vals) for vals in zip(*cols)),
-                            md.num_rows,
-                        )
-                    files.append(fentry)
-        return files
+                    targets.append((bucket, os.path.join(bdir, fn)))
+
+        def stat_one(t: tuple[int, str]) -> dict:
+            bucket, p = t
+            # real row counts + per-file key min/max from the footer
+            # (one metadata read per file at commit time): manifests
+            # carry per-bucket row stats (adaptive CoW-vs-MoR) and
+            # key ranges (point-lookup FILE skipping inside a
+            # bucket). The key-sorted layout (default on) makes the
+            # ranges tight, and a compacted bucket split by
+            # maxRecordsPerFile gets DISJOINT per-file ranges — a
+            # point lookup then reads one file, not one bucket.
+            # Iceberg manifests record the same (ROI/partial-read
+            # analog, /root/reference/include/nvimgcodec.h:564-574).
+            md = pq.ParquetFile(p).metadata
+            fentry = {"path": p, "bucket": bucket, "rows": md.num_rows}
+            stats = _footer_key_stats(md, key_phys + stat_phys)
+            if stats:
+                fentry["stats"] = stats
+            # key Bloom for SMALL files (delta layers): min/max
+            # ranges can't skip layers that each span the whole
+            # keyspace. One column read of the just-written (page-
+            # cache-hot) file; large files skip — their sorted
+            # ranges already prune, and their blooms would bloat
+            # the manifests. write.key-bloom: False opts out.
+            # only DELTA commits request blooms (key_bloom=True):
+            # CoW files in a key-sorted bucket already prune by
+            # range, and reading every bulk file's key columns
+            # back at commit time would tax the hot path for
+            # nothing
+            if build_blooms and 0 < md.num_rows <= _BLOOM_MAX_ROWS:
+                tbl = pq.read_table(p, columns=key_phys)
+                cols = [tbl.column(c).to_pylist() for c in key_phys]
+                fentry["bloom"] = bloom_build(
+                    (canonical_key(vals) for vals in zip(*cols)),
+                    md.num_rows,
+                )
+            return fentry
+
+        # pyarrow footer reads release the GIL — a thread pool keeps a
+        # large backfill's commit from being driver-serial over 10^3+
+        # files (order preserved by map; small commits stay in-line)
+        if len(targets) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(targets))) as ex:
+                return list(ex.map(stat_one, targets))
+        return [stat_one(t) for t in targets]
 
     def _commit(
         self,
@@ -1347,7 +1370,10 @@ class LakeTable:
         """
         self.refresh()
         next_id = self.current_snapshot().snapshot_id + 1
-        new_files = self._write_data_files(df, next_id, zorder_by=zorder_by)
+        new_files = self._write_data_files(
+            df, next_id, zorder_by=zorder_by,
+            write_partitions=max(1, len(set(touched_buckets))),
+        )
         bset = set(touched_buckets)
         extra = sorted({f["bucket"] for f in new_files} - bset)
         if extra:
@@ -1665,7 +1691,10 @@ class LakeTable:
         (/root/reference/src/image_generic_codec.h:605-638)."""
         self.refresh()
         base = self.current_snapshot()
-        new_files = self._write_data_files(df, base.snapshot_id + 1)
+        new_files = self._write_data_files(
+            df, base.snapshot_id + 1,
+            write_partitions=max(1, len(set(touched_buckets))),
+        )
         bset = set(touched_buckets)
         extra = sorted({f["bucket"] for f in new_files} - bset)
         if extra:
@@ -1829,6 +1858,7 @@ class LakeTable:
         tag: dict | None = None,
         summary: dict | None = None,
         bucketed_under: int | None = None,
+        touched_buckets: list[int] | None = None,
     ) -> Snapshot:
         """Merge-on-read commit: layer pre-resolved winner rows (target
         schema + system order cols + tombstones, one row per key) OVER the
@@ -1853,7 +1883,13 @@ class LakeTable:
         next_id = self.current_snapshot().snapshot_id + 1
         new_files = [
             {**f, "kind": "delta"}
-            for f in self._write_data_files(df, next_id, key_bloom=True)
+            for f in self._write_data_files(
+                df, next_id, key_bloom=True,
+                write_partitions=(
+                    max(1, len(set(touched_buckets)))
+                    if touched_buckets else None
+                ),
+            )
         ]
         s = {"delta_files": len(new_files)}
         s.update(summary or {})

@@ -335,6 +335,7 @@ def merge_into(
                     tag=tag,
                     summary={"upserts": n_upserts, "deletes": n_deletes},
                     bucketed_under=bucketed_under,
+                    touched_buckets=sorted(tset),
                 )
                 return MergeResult(
                     snap, sorted(touched), n_upserts, n_deletes,
@@ -605,6 +606,7 @@ def merge_into_delta(
             tag=tag,
             summary={"upserts": n_upserts, "deletes": n_deletes},
             bucketed_under=bucketed_under,
+            touched_buckets=touched,
         )
     finally:
         batch.unpersist()
