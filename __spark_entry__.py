@@ -1829,6 +1829,50 @@ def q_cdc_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_ocf_split_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-file Avro OCF read with BLOCK-LEVEL parallelism
+    (sources/avro_ocf.py `read_ocf_split`): the change stream is written
+    as ONE container file (shards=1, small blocks), then read back as
+    byte-range tasks that re-implement Hadoop's sync-marker split
+    protocol in pure Python over pyarrow.fs — the driver reads only the
+    file HEADER; each task scans its range for the 16-byte sync marker
+    and decodes exactly the blocks whose preceding sync lands in-range.
+    Oracle = the expected rows computed from `events` directly, so a
+    defect in split ownership (a dropped or double-owned block) breaks
+    the row-count/hash match. Reference analog: ROI-decode of one huge
+    code stream split across workers,
+    /root/reference/src/mmaped_file_io_stream.cpp."""
+    from nvimagecodec_spark.sources.avro_ocf import read_ocf_split, write_ocf
+
+    ch = _changes(spark, sf_dir)
+    after = F.to_json(F.struct("event_type", "value"))
+    src = ch.select(
+        "op",
+        "lsn",
+        ts_micros(F.col("commit_ts")).alias("ts_us"),
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("op") != "D", after).alias("payload"),
+    )
+    out_dir = _register_tmp(tempfile.mkdtemp(prefix="nvics-ocf-split-"))
+    write_ocf(src, out_dir, shards=1, codec="deflate", block_records=512)
+    back = read_ocf_split(spark, out_dir, split_bytes=256 << 10).where(
+        F.col("op").isNotNull()
+    )
+    return back.select(
+        "conv_id",
+        "turn_idx",
+        "lsn",
+        "op",
+        F.lit("avro-ocf-split").alias("src_format"),
+        "ts_us",
+        F.get_json_object("payload", "$.event_type").alias("event_type_out"),
+        F.round(F.get_json_object("payload", "$.value").cast("double") * 100)
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+
 # ------------------------------------------------------------------- TPC-H
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2823,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_codec_headers": q_mm_codec_headers,
         "mm_dicom_transcode": q_mm_dicom_transcode,
         "mm_jpeg_decode": q_mm_jpeg_decode,
+        "cdc_ocf_split_read": q_cdc_ocf_split_read,
         # --- never driver-checked (VERDICT r4 gap list) ---
         "events_incident_windows": q_events_incident_windows,
         "docs_length_percentiles": q_docs_length_percentiles,
@@ -3567,6 +3612,16 @@ def oracle_sql() -> dict[str, str]:
             WITH changes AS ({_CHANGES_SQL})
             SELECT conv_id, turn_idx, lsn, op,
                    'avro-ocf' AS src_format,
+                   epoch_us(commit_ts) AS ts_us,
+                   CASE WHEN op <> 'D' THEN event_type END AS event_type_out,
+                   CASE WHEN op <> 'D'
+                        THEN CAST(ROUND(value * 100) AS BIGINT) END AS value_cents
+            FROM changes
+        """,
+        "cdc_ocf_split_read": f"""
+            WITH changes AS ({_CHANGES_SQL})
+            SELECT conv_id, turn_idx, lsn, op,
+                   'avro-ocf-split' AS src_format,
                    epoch_us(commit_ts) AS ts_us,
                    CASE WHEN op <> 'D' THEN event_type END AS event_type_out,
                    CASE WHEN op <> 'D'

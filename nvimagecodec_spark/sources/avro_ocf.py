@@ -44,12 +44,13 @@ Spark integration (scale notes):
   ``mapInPandas`` decode — the sanctioned Pandas-UDF use case (binary
   container parsing), same shape as the FVID frame parse in
   operators/multimodal.py. The parallelism unit is the FILE (binaryFile
-  delivers whole objects); block-level splits inside one huge file would
-  need the spark-avro jar's sync-scanning input format. The WRITE path
-  therefore shards output into many container files (one per shard), the
-  same many-files contract every other source in this engine scales by —
-  at 1000 executors you point ``shards`` at a multiple of the cluster's
-  parallelism, not at 1.
+  delivers whole objects); for a FEW HUGE files, ``read_ocf_split``
+  re-implements the sync-marker split protocol of Hadoop's Avro input
+  format in pure Python (block-level byte-range tasks via ``pyarrow.fs``
+  — see the split section below). The WRITE path shards output into many
+  container files (one per shard), the same many-files contract every
+  other source in this engine scales by — at 1000 executors you point
+  ``shards`` at a multiple of the cluster's parallelism, not at 1.
 - ``write_ocf``: deterministic ``xxhash64(key) mod shards`` sharding (the
   ``export_jsonl`` convention, operators/transcripts.py:79), one
   container file per shard written from the executor via
@@ -261,10 +262,14 @@ def _read_meta_map(buf: bytes, pos: int) -> tuple[dict[str, bytes], int]:
             pos += vlen
 
 
-def decode_ocf(buf: bytes) -> tuple[list[tuple], int]:
-    """OCF bytes → (rows, dead_records). Raises ValueError only for a
-    malformed HEADER (callers dead-letter the whole file); body damage is
-    contained per-block (module docstring)."""
+def parse_ocf_header(buf: bytes) -> tuple[str, bytes, int]:
+    """OCF header prefix → (codec, sync_marker, header_end_offset).
+
+    Raises ValueError for a malformed header (bad magic, unreadable
+    metadata map, unknown codec, non-CdcEvent schema, truncated sync) —
+    including the case where ``buf`` is merely a too-short PREFIX of a
+    valid header ("truncated varint" / "truncated header sync marker"),
+    which :func:`plan_ocf_splits` uses to grow its probe read."""
     if not buf.startswith(OCF_MAGIC):
         raise ValueError("not an Avro object container file")
     meta, pos = _read_meta_map(buf, len(OCF_MAGIC))
@@ -279,8 +284,29 @@ def decode_ocf(buf: bytes) -> tuple[list[tuple], int]:
         raise ValueError("writer schema does not canonicalize to CdcEvent")
     if pos + SYNC_LEN > len(buf):
         raise ValueError("truncated header sync marker")
-    sync = buf[pos : pos + SYNC_LEN]
-    pos += SYNC_LEN
+    return codec, buf[pos : pos + SYNC_LEN], pos + SYNC_LEN
+
+
+def _decode_block_body(body: bytes, count: int, codec: str) -> list[tuple]:
+    """One (post-framing) block body → its records. Raises on any damage;
+    callers dead-letter the whole block (no per-record framing in Avro)."""
+    if codec == "deflate":
+        body = zlib.decompress(body, wbits=-15)
+    rows: list[tuple] = []
+    bpos, bend = 0, len(body)
+    for _ in range(count):
+        row, bpos = read_record_body(body, bpos, bend)
+        rows.append(row)
+    if bpos != bend:
+        raise ValueError("trailing bytes in block")
+    return rows
+
+
+def decode_ocf(buf: bytes) -> tuple[list[tuple], int]:
+    """OCF bytes → (rows, dead_records). Raises ValueError only for a
+    malformed HEADER (callers dead-letter the whole file); body damage is
+    contained per-block (module docstring)."""
+    codec, sync, pos = parse_ocf_header(buf)
 
     rows: list[tuple] = []
     dead = 0
@@ -302,14 +328,7 @@ def decode_ocf(buf: bytes) -> tuple[list[tuple], int]:
         block_rows: list[tuple] = []
         decode_failed = False
         try:
-            if codec == "deflate":
-                body = zlib.decompress(body, wbits=-15)
-            bpos, bend = 0, len(body)
-            for _ in range(count):
-                row, bpos = read_record_body(body, bpos, bend)
-                block_rows.append(row)
-            if bpos != bend:
-                raise ValueError("trailing bytes in block")
+            block_rows = _decode_block_body(body, count, codec)
         except (ValueError, UnicodeDecodeError, zlib.error):
             decode_failed = True
         if not ok_sync:
@@ -396,6 +415,7 @@ def write_ocf(
     shards: int = 8,
     codec: str = "deflate",
     key_col: str = "conv_id",
+    block_records: int = 4096,
 ) -> DataFrame:
     """CdcEvent DataFrame → ``shards`` container files under ``out_dir``.
 
@@ -440,7 +460,7 @@ def write_ocf(
             )
             for r in pdf.itertuples()
         )
-        blob = encode_ocf(recs, codec=codec, shard=shard)
+        blob = encode_ocf(recs, codec=codec, shard=shard, block_records=block_records)
         path = os.path.join(out_dir, f"part-{shard:05d}.avro")
         tmp = path + ".inprogress"
         with open(tmp, "wb") as f:
@@ -501,3 +521,261 @@ def ocf_changes(parsed: DataFrame) -> DataFrame:
             ),
         ).alias("raw_value"),
     )
+
+
+# -------------------------------------------- single-file block-level splits
+#
+# ``read_ocf`` parallelizes per FILE (binaryFile delivers whole objects);
+# one 50 GB container file would be one task holding 50 GB. This tier
+# closes that gap without the spark-avro jar by re-implementing the
+# sync-marker split protocol of Hadoop's Avro input format:
+#
+# - The DRIVER reads only each file's HEADER (magic + metadata map + sync,
+#   a few KB) — the same bounded-metadata cost class as parquet footer
+#   reads — and cuts the remaining byte range into ``split_bytes`` ranges.
+# - Each EXECUTOR task owns a byte range [s, e): it scans forward from
+#   ``s`` for the 16-byte sync marker and decodes every block whose
+#   *preceding* sync occurrence starts in [s, e), reading past ``e`` to
+#   finish its last block (the standard split-ownership rule, so adjacent
+#   tasks partition the blocks exactly: each block is owned by exactly
+#   one split because each is preceded by exactly one sync occurrence —
+#   the header's trailing sync for the first block). Range reads go
+#   through ``pyarrow.fs`` (local/HDFS/S3/GCS from the URI scheme), so
+#   the scan works executor-side where the JVM Hadoop gateway isn't
+#   reachable from Python workers.
+# - Damage containment is STRONGER than the whole-file reader: where
+#   ``decode_ocf`` must stop a file at a lying size field (no resync
+#   scan), the split scanner RE-SYNCS — scan forward to the next marker
+#   occurrence and continue — so mid-file framing damage costs the
+#   blocks it touches, not the rest of the file.
+#
+# A 16-byte marker colliding with block data is possible in principle
+# (2^-128 per offset — the same accepted risk as the Java implementation);
+# a false positive fails block parse, counts one dead unit and re-syncs,
+# never duplicating or dropping real rows.
+
+SPLIT_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("start", T.LongType()),     # -1 => whole file dead
+        T.StructField("end", T.LongType()),
+        T.StructField("file_len", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("sync", T.BinaryType()),
+    ]
+)
+
+_HEADER_PROBE = 1 << 16       # first header read; doubles up to the cap
+_HEADER_CAP = 1 << 22         # a sane schema-metadata bound
+
+
+def _fs_for(path: str):
+    """Path/URI → (pyarrow FileSystem, fs-relative path)."""
+    import pyarrow.fs as pafs
+
+    if "://" in path or path.startswith("file:/"):
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def plan_ocf_splits(path: str, split_bytes: int = 128 << 20) -> list[tuple]:
+    """Directory or single ``.avro`` file → SPLIT_SCHEMA tuples.
+
+    Driver-side metadata pass: lists files and reads each HEADER only.
+    A file whose header is malformed yields one ``start=-1`` dead-file
+    split (the scan emits its dead-row marker); body bytes are never
+    read here."""
+    import pyarrow.fs as pafs
+
+    if split_bytes < 1:
+        raise ValueError("split_bytes must be >= 1")
+    fs, rel = _fs_for(path)
+    info = fs.get_file_info(rel)
+    if info.type == pafs.FileType.Directory:
+        infos = [
+            i
+            for i in fs.get_file_info(pafs.FileSelector(rel, recursive=True))
+            if i.is_file and i.base_name.endswith(".avro")
+        ]
+    elif info.type == pafs.FileType.File:
+        infos = [info]
+    else:
+        raise FileNotFoundError(path)
+
+    splits: list[tuple] = []
+    for i in sorted(infos, key=lambda x: x.path):
+        fpath, flen = i.path, i.size
+        try:
+            with fs.open_input_file(fpath) as f:
+                probe = _HEADER_PROBE
+                buf = f.read_at(min(probe, flen), 0)
+                while True:
+                    try:
+                        codec, sync, header_end = parse_ocf_header(bytes(buf))
+                        break
+                    except ValueError as e:
+                        grown = "truncated" in str(e) and probe < min(flen, _HEADER_CAP)
+                        if not grown:
+                            raise
+                        probe = min(probe * 2, _HEADER_CAP)
+                        buf = f.read_at(min(probe, flen), 0)
+        except (ValueError, OSError):
+            splits.append((fpath, -1, -1, flen, None, None))
+            continue
+        # ranges partition [header_end - SYNC_LEN, flen): every block's
+        # preceding sync occurrence (incl. the header's trailing sync for
+        # the first block) lands in exactly one range
+        s = header_end - SYNC_LEN
+        while s < flen:
+            e = min(s + max(split_bytes, SYNC_LEN + 1), flen)
+            splits.append((fpath, s, e, flen, codec, sync))
+            s = e
+    return splits
+
+
+def _scan_ocf_split(
+    path: str, start: int, end: int, file_len: int, codec: str, sync: bytes
+) -> tuple[list[tuple], int]:
+    """Decode the blocks owned by byte range [start, end) → (rows, dead).
+
+    Owns a block iff its preceding sync occurrence starts in [start, end).
+    Reads at most one block past ``end``; buffer prefix is dropped as the
+    scan advances, so memory is O(chunk + largest block), not O(range)."""
+    fs, rel = _fs_for(path)
+    chunk = 1 << 22
+    rows: list[tuple] = []
+    dead = 0
+    with fs.open_input_file(rel) as f:
+        base = start            # absolute offset of buf[0]
+        buf = bytearray()
+
+        def ensure(abs_end: int) -> bool:
+            """Grow buf to cover [base, abs_end); False once EOF blocks it."""
+            nonlocal buf
+            abs_end = min(abs_end, file_len)
+            have = base + len(buf)
+            while have < abs_end:
+                n = max(chunk, abs_end - have)
+                got = f.read_at(min(n, file_len - have), have)
+                if not got:
+                    return False
+                buf += got
+                have = base + len(buf)
+            return base + len(buf) >= abs_end
+
+        def find_sync(abs_from: int, abs_limit: int) -> int:
+            """First sync occurrence at offset q with abs_from <= q < abs_limit,
+            else -1. Reads ahead chunk-by-chunk; keeps a 15-byte overlap."""
+            nonlocal base, buf
+            q = max(abs_from, base)
+            while q < abs_limit:
+                ensure(q + chunk)
+                # drop consumed prefix so the buffer stays bounded
+                if q - base > chunk:
+                    buf = buf[q - base :]
+                    base = q
+                idx = bytes(buf).find(sync, q - base)
+                if idx >= 0 and base + idx < abs_limit:
+                    return base + idx
+                scanned_to = base + len(buf) - (SYNC_LEN - 1)
+                if base + len(buf) >= file_len and idx < 0:
+                    return -1
+                if scanned_to <= q:   # no progress possible (EOF tail)
+                    return -1
+                q = scanned_to
+            return -1
+
+        q = find_sync(start, end)
+        while q != -1 and q < end:
+            p = q + SYNC_LEN            # candidate block start
+            if p >= file_len:
+                break
+            # framing: count + size varints, bounds against file length
+            framing = None
+            try:
+                ensure(p + 20)          # two varints worst-case window
+                count, pos = _read_vlong(bytes(buf), p - base)
+                size, pos = _read_vlong(bytes(buf), pos)
+                if count >= 0 and size >= 0 and base + pos + size + SYNC_LEN <= file_len:
+                    framing = (count, size, base + pos)
+            except ValueError:
+                pass
+            if framing is None:
+                # framing lost at p (damage or a false sync positive):
+                # at least one unit dead; RE-SYNC — scan for the next
+                # marker occurrence still owned by this range
+                dead += 1
+                q = find_sync(p, end)
+                continue
+            count, size, body_start = framing
+            ensure(body_start + size + SYNC_LEN)
+            off = body_start - base
+            body = bytes(buf[off : off + size])
+            if bytes(buf[off + size : off + size + SYNC_LEN]) != sync:
+                dead += count           # size field lied; rows untrustworthy
+                q = find_sync(p, end)
+                continue
+            try:
+                rows.extend(_decode_block_body(body, count, codec))
+            except (ValueError, UnicodeDecodeError, zlib.error):
+                dead += count           # framing intact: block dead-letters whole
+            q = body_start + size       # this block's trailing sync
+            # block consumed; drop the prefix before the next iteration
+            if q - base > chunk:
+                buf = buf[q - base :]
+                base = q
+    return rows, dead
+
+
+def parse_ocf_splits(splits_df: DataFrame) -> DataFrame:
+    """SPLIT_SCHEMA rows → CdcEvent rows (column contract identical to
+    :func:`parse_ocf_files`: data rows carry dead_records=0; a split with
+    damage adds one all-null row carrying its dead count; a dead-FILE
+    split yields the single dead_records=-1 marker row)."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for r in pdf.itertuples():
+                if int(r.start) < 0:
+                    out.append((None,) * 6 + (r.path, -1))
+                    continue
+                rows, dead = _scan_ocf_split(
+                    r.path, int(r.start), int(r.end), int(r.file_len),
+                    r.codec, bytes(r.sync),
+                )
+                for row in rows:
+                    out.append(row + (r.path, 0))
+                if dead:
+                    out.append((None,) * 6 + (r.path, dead))
+            cols = list(zip(*out)) if out else [[] for _ in range(8)]
+            yield pd.DataFrame(
+                {
+                    "op": pd.array(cols[0], dtype="object"),
+                    "lsn": pd.array(cols[1], dtype="Int64"),
+                    "ts_us": pd.array(cols[2], dtype="Int64"),
+                    "conv_id": pd.array(cols[3], dtype="object"),
+                    "turn_idx": pd.array(cols[4], dtype="Int32"),
+                    "payload": pd.array(cols[5], dtype="object"),
+                    "src_file": pd.array(cols[6], dtype="object"),
+                    "dead_records": pd.array(cols[7], dtype="Int64"),
+                }
+            )
+
+    return splits_df.mapInPandas(scan, OCF_SCHEMA)
+
+
+def read_ocf_split(
+    spark: SparkSession, path: str, split_bytes: int = 128 << 20
+) -> DataFrame:
+    """Directory or single huge ``.avro`` file → CdcEvent DataFrame with
+    BLOCK-LEVEL parallelism inside each file: one task per ``split_bytes``
+    byte range (vs. :func:`read_ocf`'s one task per file). Same column
+    contract as :func:`parse_ocf_files`."""
+    splits = plan_ocf_splits(path, split_bytes)
+    if not splits:
+        return spark.createDataFrame([], OCF_SCHEMA)
+    sdf = spark.createDataFrame(splits, SPLIT_SCHEMA)
+    # one split per task: the scan is the work unit, not the row count
+    sdf = sdf.repartition(len(splits))
+    return parse_ocf_splits(sdf)

@@ -445,3 +445,183 @@ def test_run_stream_ocf_dead_letters_damaged_shard(spark, tmp_dir):
     # per-block partial-damage counts are pinned by the unit tests)
     assert dmg[0].raw_value.endswith("dead_records=-1")
     assert dmg[0].src_file == "file:" + victim
+
+
+# ----------------------------------------------- single-file block splits
+
+
+def _mk_recs(n, mod=97):
+    return [
+        (
+            "U" if i % 3 else "I",
+            i,
+            1_000_000 + i,
+            f"conv-{i % mod}",
+            i % 5,
+            f'{{"v":{i}}}' if i % 7 else None,
+        )
+        for i in range(n)
+    ]
+
+
+def _scan_all(path, split_bytes):
+    from nvimagecodec_spark.sources.avro_ocf import _scan_ocf_split, plan_ocf_splits
+
+    rows, dead = [], 0
+    splits = plan_ocf_splits(path, split_bytes)
+    for (p, s, e, fl, c, sy) in splits:
+        r, d = _scan_ocf_split(p, s, e, fl, c, sy)
+        rows.extend(r)
+        dead += d
+    return rows, dead, len(splits)
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_split_scan_equals_whole_file_at_any_split_size(tmp_dir, codec):
+    """Block ownership partitions exactly: for every split granularity the
+    union of per-range scans is the whole-file decode, no dupes/drops."""
+    recs = _mk_recs(5000)
+    blob = encode_ocf(recs, codec=codec, block_records=50)  # 100 blocks
+    path = os.path.join(tmp_dir, "big.avro")
+    with open(path, "wb") as f:
+        f.write(blob)
+    whole, dead0 = decode_ocf(blob)
+    assert dead0 == 0
+    for sb in (1, 100, 1000, 7777, 64 << 10, len(blob) * 2):
+        rows, dead, n_splits = _scan_all(path, sb)
+        assert sorted(rows) == sorted(whole), (codec, sb)
+        assert dead == 0
+    assert _scan_all(path, len(blob) * 2)[2] == 1  # degenerate: one split
+
+
+@given(st.integers(min_value=1, max_value=200_000))
+@settings(max_examples=25, deadline=None)
+def test_split_boundary_fuzz(split_bytes):
+    """Random split granularities never duplicate or drop a row."""
+    import tempfile
+
+    recs = _mk_recs(1200)
+    blob = encode_ocf(recs, codec="deflate", block_records=37)
+    d = tempfile.mkdtemp(prefix="ocf-fuzz-")
+    path = os.path.join(d, "f.avro")
+    with open(path, "wb") as f:
+        f.write(blob)
+    whole, _ = decode_ocf(blob)
+    rows, dead, _ = _scan_all(path, split_bytes)
+    assert sorted(rows) == sorted(whole)
+    assert dead == 0
+
+
+def test_split_scan_resyncs_past_lying_size_field(tmp_dir):
+    """The whole-file reader must STOP at a lying size field (no resync);
+    the split scanner recovers every later block via sync-marker rescan —
+    strictly stronger damage containment."""
+    recs = _mk_recs(5000)
+    blob = bytearray(encode_ocf(recs, codec="null", block_records=50))
+    sync = sync_marker(0)
+    occ, i = [], 0
+    while True:
+        j = bytes(blob).find(sync, i)
+        if j < 0:
+            break
+        occ.append(j)
+        i = j + 1
+    # corrupt block 41's SIZE varint (bytes right after its preceding sync)
+    p = occ[40] + 16
+    blob[p : p + 2] = b"\xff\xff"
+    path = os.path.join(tmp_dir, "dmg.avro")
+    with open(path, "wb") as f:
+        f.write(bytes(blob))
+    whole, dead_whole = decode_ocf(bytes(blob))
+    assert len(whole) == 40 * 50  # whole-file reader loses everything after
+    rows, dead, _ = _scan_all(path, 4096)
+    assert len(rows) == 99 * 50  # split scanner loses ONLY the damaged block
+    assert dead >= 1
+
+
+def test_split_scan_body_corruption_costs_one_block(tmp_dir):
+    recs = _mk_recs(5000)
+    blob = bytearray(encode_ocf(recs, codec="null", block_records=50))
+    sync = sync_marker(0)
+    occ, i = [], 0
+    while True:
+        j = bytes(blob).find(sync, i)
+        if j < 0:
+            break
+        occ.append(j)
+        i = j + 1
+    mid = occ[40] + 16 + 6  # inside block 41's body
+    blob[mid : mid + 8] = b"\xff" * 8
+    path = os.path.join(tmp_dir, "dmg2.avro")
+    with open(path, "wb") as f:
+        f.write(bytes(blob))
+    rows, dead, _ = _scan_all(path, 4096)
+    assert len(rows) == 99 * 50
+    assert dead == 50
+
+
+def test_plan_ocf_splits_dead_header_file(tmp_dir):
+    path = os.path.join(tmp_dir, "bad.avro")
+    with open(path, "wb") as f:
+        f.write(b"NOTAVRO" + b"\x00" * 100)
+    from nvimagecodec_spark.sources.avro_ocf import plan_ocf_splits
+
+    splits = plan_ocf_splits(path, 1024)
+    assert len(splits) == 1 and splits[0][1] == -1
+
+
+def test_read_ocf_split_spark_end_to_end(spark, tmp_dir):
+    """One big container file read with block-level parallelism: result
+    and column contract identical to the per-file reader."""
+    from nvimagecodec_spark.sources.avro_ocf import read_ocf_split
+
+    recs = _mk_recs(4000)
+    blob = encode_ocf(recs, codec="deflate", block_records=64)
+    path = os.path.join(tmp_dir, "one-big.avro")
+    with open(path, "wb") as f:
+        f.write(blob)
+    split_df = read_ocf_split(spark, tmp_dir, split_bytes=2048)
+    whole_df = read_ocf(spark, tmp_dir)
+    a = sorted(
+        split_df.where(F.col("op").isNotNull())
+        .select("op", "lsn", "ts_us", "conv_id", "turn_idx", "payload")
+        .collect()
+    )
+    b = sorted(
+        whole_df.where(F.col("op").isNotNull())
+        .select("op", "lsn", "ts_us", "conv_id", "turn_idx", "payload")
+        .collect()
+    )
+    assert a == b and len(a) == 4000
+    # ensure the split path actually fanned out (many ranges over one file)
+    from nvimagecodec_spark.sources.avro_ocf import plan_ocf_splits
+
+    assert len(plan_ocf_splits(tmp_dir, 2048)) > 10
+
+
+def test_read_ocf_split_file_uri_scheme(spark, tmp_dir):
+    """pyarrow.fs routes scheme'd URIs (the cluster path: s3://, hdfs://);
+    file:// exercises the from_uri branch end-to-end."""
+    from nvimagecodec_spark.sources.avro_ocf import read_ocf_split
+
+    recs = _mk_recs(500)
+    blob = encode_ocf(recs, codec="null", block_records=25)
+    path = os.path.join(tmp_dir, "uri.avro")
+    with open(path, "wb") as f:
+        f.write(blob)
+    df = read_ocf_split(spark, "file://" + path, split_bytes=1024)
+    assert df.where(F.col("op").isNotNull()).count() == 500
+
+
+def test_read_ocf_split_dead_file_marker(spark, tmp_dir):
+    from nvimagecodec_spark.sources.avro_ocf import read_ocf_split
+
+    with open(os.path.join(tmp_dir, "bad.avro"), "wb") as f:
+        f.write(b"Obj\x01garbage-metadata")
+    good = encode_ocf(_mk_recs(100), codec="null", block_records=10)
+    with open(os.path.join(tmp_dir, "good.avro"), "wb") as f:
+        f.write(good)
+    df = read_ocf_split(spark, tmp_dir, split_bytes=1024)
+    dead = df.where(F.col("op").isNull()).collect()
+    assert len(dead) == 1 and dead[0]["dead_records"] == -1
+    assert df.where(F.col("op").isNotNull()).count() == 100
