@@ -539,6 +539,12 @@ def _real_decode(payload: bytes):
         if arr.ndim == 2:
             arr = arr[:, :, None]
         return arr, "jpeg"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        # round-5 seam: REAL strip-organized TIFF (none/PackBits/LZW/
+        # Deflate, predictor 2) — operators/tiff_codec.py
+        from nvimagecodec_spark.operators.tiff_codec import decode_tiff
+
+        return decode_tiff(b), "tiff"
     raise ValueError(f"no decoder for magic {b[:4]!r}")
 
 
