@@ -44,9 +44,26 @@ def last_synced_batch_id(table: LakeTable, source_id: str) -> int | None:
 
 def changed_buckets(table: LakeTable, from_id: int, to_id: int) -> list[int]:
     """Buckets whose file sets differ between the two snapshots (manifest
-    diff — no data read)."""
+    diff — no data read).
+
+    Fast path: v2 snapshots name per-bucket manifests by a hash of their
+    CONTENT ("unchanged buckets reuse their existing manifest file
+    byte-for-byte"), so comparing manifest NAMES across the two
+    manifest-LISTS answers the question in O(occupied buckets) without
+    parsing a single manifest — equal names guarantee equal file sets;
+    unequal names at worst over-report a bucket whose re-serialized set
+    happens to match (harmless: the row diff there is empty). Without
+    this, every read_changes call (one per view sync per epoch) fully
+    materialized both snapshots' manifests on the driver — exactly the
+    cost the lazy-manifest tier exists to avoid."""
+    from nvimagecodec_spark.lakehouse.table import _LazyFiles
+
     old = table.snapshot(from_id).files
     new = table.snapshot(to_id).files
+    if isinstance(old, _LazyFiles) and isinstance(new, _LazyFiles):
+        om = {e["bucket"]: e["manifest"] for e in old.entries}
+        nm = {e["bucket"]: e["manifest"] for e in new.entries}
+        return sorted(b for b in set(om) | set(nm) if om.get(b) != nm.get(b))
     by_bucket_old: dict[int, set] = {}
     by_bucket_new: dict[int, set] = {}
     for f in old:

@@ -68,25 +68,20 @@ def _sub_outside_literals(sql: str, mapping: dict[str, str]) -> str:
     ``category = 'text'`` keeps its literal even when ``text`` is also a
     payload column name. Longer names substitute first so a column whose
     name is a prefix of another is never partially rewritten."""
-    segments: list[str] = []
-    last = 0
     ordered = sorted(mapping, key=len, reverse=True)
-    for m in _SQL_LITERAL.finditer(sql):
-        segments.append(sql[last : m.start()])
-        segments.append(None)  # type: ignore[arg-type]  # literal placeholder
-        last = m.end()
-    segments.append(sql[last:])
-    literals = _SQL_LITERAL.findall(sql)
-    out: list[str] = []
-    lit_i = 0
-    for seg in segments:
-        if seg is None:
-            out.append(literals[lit_i])
-            lit_i += 1
-            continue
+
+    def sub(seg: str) -> str:
         for c in ordered:
             seg = re.sub(rf"\b{re.escape(c)}\b", mapping[c], seg)
-        out.append(seg)
+        return seg
+
+    out: list[str] = []
+    last = 0
+    for m in _SQL_LITERAL.finditer(sql):
+        out.append(sub(sql[last : m.start()]))
+        out.append(m.group())  # the literal, verbatim
+        last = m.end()
+    out.append(sub(sql[last:]))
     return "".join(out)
 
 
@@ -217,6 +212,12 @@ class TableReplica:
     # ----------------------------------------------------------- sync
     def last_synced_src_snapshot(self) -> int | None:
         return last_synced_batch_id(self.table, self.SOURCE_ID)
+
+    #: view-protocol alias — TxnCatalog._sync_views duck-types on this name
+    #: to adopt a newer base cursor after an out-of-flip-order concurrent
+    #: commit (the LshBandIndex convention); without it a replica registered
+    #: as a catalog view would raise 'older than last synced' in that race
+    last_synced_base_snapshot = last_synced_src_snapshot
 
     def sync(self, base: LakeTable, to_id: int | None = None) -> MergeResult:
         """Fold source changes since the last sync. Idempotent under the

@@ -210,6 +210,9 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)  # §B.1.1.5 byte stuffing
+        # drop flushed high bits: without this the accumulator grows by
+        # 8 bits per emitted byte and entropy coding turns O(n^2)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -257,6 +260,9 @@ class _BitReader:
             self._fill()
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        # drop consumed high bits — keeps the accumulator word-sized so a
+        # multi-MB scan decodes in O(n), not O(n^2) big-int work
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def huff(self, dec: dict) -> int:

@@ -72,6 +72,7 @@ def _lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             nbits -= 8
             out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1  # keep the accumulator word-sized (O(n) total)
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code, width = 258, 9
@@ -128,6 +129,7 @@ def _lzw_decode(data: bytes) -> bytes:
             nbits += 8
         nbits -= width
         code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1  # drop consumed bits: bounded big-int, O(n)
         if code == _EOI:
             return bytes(out)
         if code == _CLEAR:

@@ -266,10 +266,13 @@ def parse_ocf_header(buf: bytes) -> tuple[str, bytes, int]:
     """OCF header prefix → (codec, sync_marker, header_end_offset).
 
     Raises ValueError for a malformed header (bad magic, unreadable
-    metadata map, unknown codec, non-CdcEvent schema, truncated sync) —
-    including the case where ``buf`` is merely a too-short PREFIX of a
-    valid header ("truncated varint" / "truncated header sync marker"),
-    which :func:`plan_ocf_splits` uses to grow its probe read."""
+    metadata map, unknown codec, non-CdcEvent schema, truncated sync).
+    NOTE: a too-short PREFIX of a valid header may fail with ANY of the
+    parse errors, not just the 'truncated ...' ones (a cut inside a
+    metadata key/value raises 'bad metadata key/value') — callers that
+    probe incrementally (:func:`plan_ocf_splits`) must treat every error
+    except bad magic as possibly-needs-more-bytes until the probe covers
+    the whole header region."""
     if not buf.startswith(OCF_MAGIC):
         raise ValueError("not an Avro object container file")
     meta, pos = _read_meta_map(buf, len(OCF_MAGIC))
@@ -614,8 +617,17 @@ def plan_ocf_splits(path: str, split_bytes: int = 128 << 20) -> list[tuple]:
                         codec, sync, header_end = parse_ocf_header(bytes(buf))
                         break
                     except ValueError as e:
-                        grown = "truncated" in str(e) and probe < min(flen, _HEADER_CAP)
-                        if not grown:
+                        # A short PREFIX of a valid header can fail with
+                        # any parse error, not just 'truncated ...' — a
+                        # probe boundary inside a metadata key/value
+                        # raises 'bad metadata key/value'. So grow on ANY
+                        # error until the probe covers the whole file (or
+                        # the metadata sanity cap); only then is the
+                        # header genuinely malformed. Bad magic is
+                        # decidable from the first 4 bytes — fail fast.
+                        if "not an Avro object container file" in str(e):
+                            raise
+                        if probe >= min(flen, _HEADER_CAP):
                             raise
                         probe = min(probe * 2, _HEADER_CAP)
                         buf = f.read_at(min(probe, flen), 0)

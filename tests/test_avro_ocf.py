@@ -625,3 +625,35 @@ def test_read_ocf_split_dead_file_marker(spark, tmp_dir):
     dead = df.where(F.col("op").isNull()).collect()
     assert len(dead) == 1 and dead[0]["dead_records"] == -1
     assert df.where(F.col("op").isNotNull()).count() == 100
+
+
+def test_plan_ocf_splits_header_with_large_metadata(tmp_dir):
+    """A spec-conforming file may carry arbitrary app metadata; a header
+    larger than the initial 64KB probe must NOT be declared dead when the
+    probe boundary cuts a metadata value (review-caught: the grow loop
+    keyed on 'truncated' error text, which a mid-value cut never says)."""
+    from nvimagecodec_spark.sources.avro_ocf import (
+        _enc_map,
+        plan_ocf_splits,
+        read_ocf_split,
+        sync_marker,
+    )
+
+    recs = _mk_recs(200)
+    body = encode_ocf(recs, codec="null", block_records=50)
+    # rebuild with a ~100KB metadata map (probe is 64KB)
+    meta = {
+        "avro.schema": SCHEMA_JSON.encode(),
+        "avro.codec": b"null",
+        "app.blob": b"\xab" * (100 << 10),
+    }
+    sync = sync_marker(0)
+    hdr_end = body.find(sync) + 16  # original header end
+    rebuilt = OCF_MAGIC + _enc_map(meta) + sync + body[hdr_end:]
+    path = os.path.join(tmp_dir, "bigmeta.avro")
+    with open(path, "wb") as f:
+        f.write(rebuilt)
+    splits = plan_ocf_splits(path, 4096)
+    assert splits and splits[0][1] != -1, "dead-filed a valid header"
+    rows, dead, _ = _scan_all(path, 4096)
+    assert len(rows) == 200 and dead == 0

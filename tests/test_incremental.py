@@ -259,3 +259,45 @@ def test_emit_changes_round_trips_through_the_probe_chain(spark, tmp_dir):
         assert fmt == {fmt_name[enc]}
         upd = next(r for r in parsed if r.conv_id == "c1")
         assert '"text":"v2"' in upd.after and upd.lsn == 100
+
+
+def test_changed_buckets_never_parses_manifests_on_v2(spark, table, monkeypatch):
+    """The fast path diffs content-addressed manifest NAMES across the two
+    manifest-lists; per-bucket manifests must never be parsed (that would
+    re-materialize both snapshots on the driver per view sync — the cost
+    the lazy tier removes). Also pins name-diff == file-set-diff."""
+    from nvimagecodec_spark.lakehouse.table import _LazyFiles
+
+    snap1 = table.current_snapshot().snapshot_id
+    merge_into(
+        table,
+        lww_dedupe(
+            _events(
+                spark,
+                [("U", "c1", 0, 30, "2025-01-01 03:00:00", "i", 0, '{"text":"x"}')],
+            )
+        ),
+    )
+    snap2 = table.current_snapshot().snapshot_id
+    assert isinstance(table.snapshot(snap1).files, _LazyFiles)
+
+    # ground truth from the slow file-set diff
+    def slow(a, b):
+        oa: dict[int, set] = {}
+        ob: dict[int, set] = {}
+        for f in list(table.snapshot(a).files):
+            oa.setdefault(f["bucket"], set()).add(f["path"])
+        for f in list(table.snapshot(b).files):
+            ob.setdefault(f["bucket"], set()).add(f["path"])
+        return sorted(
+            k for k in set(oa) | set(ob) if oa.get(k, set()) != ob.get(k, set())
+        )
+
+    expected = slow(snap1, snap2)
+
+    def boom(self, entry):
+        raise AssertionError("changed_buckets parsed a per-bucket manifest")
+
+    monkeypatch.setattr(_LazyFiles, "_bucket_files", boom)
+    got = changed_buckets(table, snap1, snap2)
+    assert got == expected and got

@@ -332,3 +332,56 @@ def test_view_synced_past_target_by_concurrent_txn_adopts_newer_state(
     )
     idx.table.refresh()
     assert catalog.pinned_snapshot("idx") == idx.table.current_snapshot().snapshot_id
+
+
+def test_replica_view_synced_past_target_adopts_newer_state(
+    spark, tmp_dir, monkeypatch
+):
+    """The out-of-flip-order adoption must work for EVERY registered view
+    type: TableReplica exposes its cursor under last_synced_src_snapshot,
+    and the view-protocol alias last_synced_base_snapshot is what
+    _sync_views duck-types on — without the alias this exact scenario
+    raised 'older than last synced' AFTER txn1's bases published, wedging
+    the catalog (review-caught regression of the chaos-soak race fix)."""
+    from nvimagecodec_spark.lakehouse.replica import TableReplica
+
+    docs = LakeTable.create(
+        spark,
+        os.path.join(tmp_dir, "docs"),
+        SCHEMA,
+        ["conv_id", "turn_idx"],
+        bucket_count=4,
+    )
+    merge_into(docs, _batch(spark, [("a", 0, "I", "red fox")]))
+    catalog = TxnCatalog.create(spark, os.path.join(tmp_dir, "cat"), {"docs": docs})
+    rep = TableReplica.create(spark, os.path.join(tmp_dir, "rep"), docs)
+    catalog.register_view("rep", rep, "docs")
+
+    fired = {"done": False}
+    orig = catalog._sync_views
+
+    def hooked(updated):
+        if not fired["done"]:
+            fired["done"] = True
+            txn2 = catalog.begin("race", 2)
+            txn2.merge(
+                "docs", _batch(spark, [("z", 9, "I", "late zebra")], lsn0=500)
+            )
+            txn2.commit()
+        return orig(updated)
+
+    monkeypatch.setattr(catalog, "_sync_views", hooked)
+    txn1 = catalog.begin("race", 1)
+    txn1.merge("docs", _batch(spark, [("y", 5, "I", "early yak")], lsn0=400))
+    snaps = txn1.commit()  # must NOT raise
+
+    docs.refresh()
+    head = docs.current_snapshot().snapshot_id
+    assert snaps["docs"] == head
+    assert catalog.pinned_snapshot("docs") == head
+    got = _state(catalog.read("docs"))
+    assert got[("y", 5)] == "early yak" and got[("z", 9)] == "late zebra"
+    # replica column-for-column equal to the pinned base
+    a = sorted(map(tuple, catalog.read("docs").collect()))
+    b = sorted(map(tuple, catalog.read("rep").collect()))
+    assert a == b
