@@ -2718,6 +2718,24 @@ def q_mm_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TC.decode_tiffs(TC.attach_tiffs(docs))
 
 
+def q_mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode — Annex G multi-scan Huffman:
+    spectral-selection streams are encoded per document (interleaved DC
+    scan + per-component full-band AC scans) and fully decoded back
+    through the progressive scan machinery (DC/AC first + refinement
+    handlers, EOB runs, per-scan table rebinding). Coefficients are
+    identical to the baseline encoding, so the same closed-form
+    constant-block oracle applies; the decoder's refinement branches are
+    pinned separately against the JDK ImageIO writer's successive-
+    approximation script (tests/test_jpeg_codec.py). Reference analog:
+    progressive detection in /root/reference/src/parsers/jpeg.cpp
+    (num_scans/progressive capability surface)."""
+    from nvimagecodec_spark.operators import jpeg_codec as J
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return J.decode_jpegs(J.attach_jpegs(docs, progressive=True))
+
+
 def q_mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-frame container → every-2nd-frame sample (TIFF-pagination
     analog), Arrow-batched explode."""
@@ -2888,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg_decode": q_mm_jpeg_decode,
         "cdc_ocf_split_read": q_cdc_ocf_split_read,
         "mm_tiff_decode": q_mm_tiff_decode,
+        "mm_jpeg_progressive": q_mm_jpeg_progressive,
         # --- never driver-checked (VERDICT r4 gap list) ---
         "events_incident_windows": q_events_incident_windows,
         "docs_length_percentiles": q_docs_length_percentiles,
@@ -4548,6 +4567,36 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN agg ON m.doc_id = agg.doc_id
         """,
         "mm_jpeg_decode": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(text), 1, 2)) AS INTEGER) % 6 + 2 AS bw,
+                     CAST(('0x' || substring(md5(text), 3, 2)) AS INTEGER) % 6 + 2 AS bh,
+                     CAST(('0x' || substring(md5(text), 5, 2)) AS INTEGER) AS s
+              FROM documents
+            ),
+            blk AS (
+              SELECT m.doc_id,
+                     (m.s + 5 * bxs.bx + 9 * bys.by) % 256 AS v,
+                     bxs.bx AS bx, bys.by AS by
+              FROM m,
+                   UNNEST(generate_series(0, m.bw - 1)) AS bxs(bx),
+                   UNNEST(generate_series(0, m.bh - 1)) AS bys(by)
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(64 * SUM(v) AS BIGINT) AS px_sum,
+                     CAST(MIN(v) AS INTEGER) AS px_min,
+                     CAST(MAX(v) AS INTEGER) AS px_max,
+                     CAST(SUM(v * (bx + 2 * by + 1)) AS BIGINT) AS block_checksum
+              FROM blk GROUP BY doc_id
+            )
+            SELECT m.doc_id, 'jpeg' AS codec,
+                   CAST(m.bw * 8 AS INTEGER) AS width,
+                   CAST(m.bh * 8 AS INTEGER) AS height,
+                   agg.px_sum, agg.px_min, agg.px_max, agg.block_checksum
+            FROM m JOIN agg ON m.doc_id = agg.doc_id
+        """,
+        "mm_jpeg_progressive": """
             WITH m AS (
               SELECT doc_id,
                      CAST(('0x' || substring(md5(text), 1, 2)) AS INTEGER) % 6 + 2 AS bw,

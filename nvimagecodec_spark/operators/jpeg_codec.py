@@ -19,12 +19,19 @@ extension). Everything here is implemented from the public ITU-T T.81
 - 8x8 forward/inverse DCT (§A.3.3) as exact float tensor contractions,
   vectorized across all blocks of an image at once.
 
-Supported subset: baseline sequential (SOF0), 8-bit, grayscale (1
-component) and 4:4:4 YCbCr color (3 components, no subsampling) — the
-encoder only emits these, and the decoder raises ValueError (dead-letter)
-for progressive/subsampled/arithmetic streams, mirroring the reference's
-CAN_DECODE probe rejecting unsupported streams
+Supported subset: baseline sequential (SOF0/SOF1) and PROGRESSIVE
+(SOF2, Annex G Huffman — spectral selection + successive approximation,
+DC/AC first + refinement scans with EOB-run coding; pinned bit-exact
+against the JDK ImageIO writer's 10-scan script in tests), 8-bit,
+grayscale and YCbCr color with 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 sampling.
+The decoder raises ValueError (dead-letter) for arithmetic/hierarchical/
+12-bit/restart-interval streams, mirroring the reference's CAN_DECODE
+probe rejecting unsupported streams
 (/root/reference/src/parsers/jpeg.cpp getImageInfo + capability checks).
+The progressive ENCODER (``encode_jpeg_progressive``) emits the simple
+spectral-selection script (DC scan + one full-band AC scan per
+component), producing coefficients identical to the baseline encoding —
+so progressive decode output is comparable coefficient-for-coefficient.
 
 Scale shape: per-file-independent Arrow-batched ``mapInPandas`` (no
 shuffle); the DCT/dequant stages are numpy tensor ops over all blocks of
@@ -222,13 +229,20 @@ class _BitWriter:
 
 
 class _BitReader:
-    """Entropy-stream bit reader with 0xFF00 de-stuffing."""
+    """Entropy-stream bit reader with 0xFF00 de-stuffing.
 
-    def __init__(self, b: bytes, pos: int):
+    ``stop_at_markers=True`` (progressive scans): ANY real marker ends the
+    entropy segment — the reader pads with zero bits and leaves ``pos``
+    pointing at the marker's 0xFF so the caller can resume the marker
+    walk there. Baseline keeps the strict behavior (only EOI pads;
+    anything else is stream corruption)."""
+
+    def __init__(self, b: bytes, pos: int, stop_at_markers: bool = False):
         self.b = b
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.stop_at_markers = stop_at_markers
 
     def _fill(self):
         while self.nbits <= 24:
@@ -242,8 +256,8 @@ class _BitReader:
                 marker = self.b[self.pos]
                 if marker == 0x00:
                     self.pos += 1
-                elif marker == 0xD9:  # EOI reached while filling: pad
-                    self.pos -= 1
+                elif marker == 0xD9 or self.stop_at_markers:
+                    self.pos -= 1  # point back at the 0xFF; pad zeros
                     byte = 0
                     self.acc = (self.acc << 8) | byte
                     self.nbits += 8
@@ -456,11 +470,14 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75, subsampling: str = "444") ->
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Full baseline JPEG decode → H×W (gray) or H×W×3 (RGB) uint8.
-    Handles 4:4:4, 4:2:0, 4:2:2 and 4:4:0 interleaved chroma sampling
-    (nearest-neighbor upsample). Raises ValueError on anything outside
-    the supported subset (progressive, arithmetic, 12-bit, restart
-    markers, pad-cropped dims, truncated)."""
+    """Full JPEG decode → H×W (gray) or H×W×3 (RGB) uint8: baseline
+    (SOF0/SOF1) and PROGRESSIVE (SOF2 — spectral selection + successive
+    approximation, DC and AC first/refinement scans with EOB runs, the
+    libjpeg 10-scan script included). Handles 4:4:4, 4:2:0, 4:2:2 and
+    4:4:0 interleaved chroma sampling (nearest-neighbor upsample).
+    Raises ValueError on anything outside the supported subset
+    (arithmetic, hierarchical, 12-bit, restart markers, pad-cropped
+    dims, truncated)."""
     b = bytes(b)
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -468,13 +485,21 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     qtabs: dict = {}
     huff_dec: dict = {}
     frame = None
+    progressive = False
+    prog: dict | None = None  # progressive accumulation state
     scan_comps = None
-    while pos + 4 <= len(b):
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"marker sync lost at {pos}")
+        while pos + 2 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1  # optional fill bytes before a marker
         marker = b[pos + 1]
         if marker == 0xD9:
+            if prog is not None:
+                break  # progressive: EOI after the last scan
             raise ValueError("EOI before SOS")
+        if pos + 4 > len(b):
+            break
         (seglen,) = struct.unpack_from(">H", b, pos + 2)
         body = b[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
@@ -503,7 +528,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 _, dec = _code_assign(bits, huffval)
                 huff_dec[(tc, th)] = dec
                 p += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC1, 0xC2):
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise ValueError("only 8-bit precision")
@@ -515,15 +540,28 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     raise ValueError(f"sampling factors {hc}x{vc} unsupported")
                 comps.append((cid, tq, hc, vc))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline SOF unsupported")
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:
-            ns = body[0]
-            scan_comps = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
-            break
+            if not progressive:
+                ns = body[0]
+                scan_comps = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+                break
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            prog, pos = _decode_prog_scan(b, pos, body, frame, qtabs, huff_dec, prog)
         # APPn / COM / others: skipped
+
+    if progressive:
+        if frame is None or prog is None:
+            raise ValueError("missing SOF2 scan data")
+        h, w, comps = frame
+        return _reconstruct(
+            h, w, comps, prog["qcoef"], qtabs, prog["nmx"], prog["nmy"]
+        )
     if frame is None or scan_comps is None:
         raise ValueError("missing SOF0/SOS")
     h, w, comps = frame
@@ -570,11 +608,21 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             qcoef[c][i, k] = _extend(br.bits(t), t)
             k += 1
 
+    return _reconstruct(h, w, comps, qcoef, qtabs, nmx, nmy)
+
+
+def _reconstruct(h, w, comps, qcoef, qtabs, nmx, nmy) -> np.ndarray:
+    """Zigzag coefficient planes → pixels: dequantize, IDCT, upsample,
+    color-convert (shared by the baseline and progressive paths)."""
+    ncomp = len(comps)
+    factors = [(hc, vc) for (_, _, hc, vc) in comps]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
     channels = []
     for c, (cid, tq, hc, vc) in enumerate(comps):
         if tq not in qtabs:
             raise ValueError("component references missing quant table")
-        nat = np.zeros((nblocks[c], 64), dtype=np.int64)
+        nat = np.zeros((qcoef[c].shape[0], 64), dtype=np.int64)
         nat[:, ZIGZAG] = qcoef[c]
         deq = (nat * qtabs[tq].reshape(64)[None, :]).reshape(-1, 8, 8)
         pix = _idct_blocks(deq.astype(np.float64)) + 128.0
@@ -595,23 +643,317 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     return np.clip(_round_half_up(rgb), 0, 255).astype(np.uint8)
 
 
+# ----------------------------------------------------- progressive scans
+
+
+def _decode_prog_scan(b, pos, body, frame, qtabs, huff_dec, prog):
+    """Decode ONE progressive (SOF2) scan's entropy segment starting at
+    ``pos``; returns (updated prog state, position of the next marker).
+
+    Implements Annex G Huffman progressive decoding in full: DC first /
+    refinement (successive-approximation bit appends, two's-complement
+    ``|=`` like the C reference implementations), AC first / refinement
+    with EOB-run coding (EOBn symbols) and the correction-bit walk over
+    nonzero-history coefficients. Reference analog: the progressive
+    detection the parser performs (/root/reference/src/parsers/jpeg.cpp)
+    paired with an actual decode."""
+    h, w, comps = frame
+    ncomp = len(comps)
+    factors = [(hc, vc) for (_, _, hc, vc) in comps]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    if h % (8 * vmax) or w % (8 * hmax):
+        raise ValueError("dims not multiple of MCU size (no pad crop)")
+    nmx, nmy = w // (8 * hmax), h // (8 * vmax)
+    if prog is None:
+        prog = {
+            "qcoef": [
+                np.zeros((nmx * hc * nmy * vc, 64), dtype=np.int64)
+                for (hc, vc) in factors
+            ],
+            "nmx": nmx,
+            "nmy": nmy,
+        }
+    qcoef = prog["qcoef"]
+
+    if not body or len(body) < 4 + 2 * body[0]:
+        raise ValueError("short SOS header")
+    ns = body[0]
+    sel = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+    ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    cidx = []
+    for cid, tds in sel:
+        matches = [i for i, (fcid, _, _, _) in enumerate(comps) if fcid == cid]
+        if not matches:
+            raise ValueError("scan references unknown component")
+        cidx.append((matches[0], tds >> 4, tds & 0xF))
+
+    br = _BitReader(b, pos, stop_at_markers=True)
+    if ss == 0:  # ---- DC scan
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        if ns > 1 and ns != ncomp:
+            raise ValueError("partial interleaved DC scan unsupported")
+        if ns > 1:
+            order = _mcu_block_order(ncomp, factors, nmx, nmy)
+            scan_of = {ci: s for s, (ci, _, _) in enumerate(cidx)}
+        else:
+            ci = cidx[0][0]
+            order = ((ci, i) for i in range(qcoef[ci].shape[0]))
+            scan_of = {ci: 0}
+        if ah == 0:  # first: diff-coded DC values, scaled by 2^Al
+            preds = [0] * ns
+            dctabs = {}
+            for s, (ci, td, _) in enumerate(cidx):
+                if (0, td) not in huff_dec:
+                    raise ValueError("scan references missing Huffman table")
+                dctabs[ci] = huff_dec[(0, td)]
+            for ci, i in order:
+                t = br.huff(dctabs[ci])
+                if t > 11:
+                    raise ValueError("invalid DC category")
+                preds[scan_of[ci]] += _extend(br.bits(t), t)
+                qcoef[ci][i, 0] = preds[scan_of[ci]] << al
+        else:  # refinement: one bit per block (G.1.2.1)
+            p1 = 1 << al
+            for ci, i in order:
+                if br.bits(1):
+                    qcoef[ci][i, 0] |= p1
+    else:  # ---- AC scan (always non-interleaved, one component)
+        if ns != 1:
+            raise ValueError("interleaved AC scan is illegal in progressive")
+        ci, _, ta = cidx[0]
+        if (1, ta) not in huff_dec:
+            raise ValueError("scan references missing Huffman table")
+        ac = huff_dec[(1, ta)]
+        if se > 63 or ss > se:
+            raise ValueError("bad spectral band")
+        block_view = qcoef[ci]
+        eobrun = 0
+        p1, m1 = 1 << al, -1 << al
+        if ah == 0:  # AC first scans (G.1.2.2): values scaled by 2^Al
+            for i in range(block_view.shape[0]):
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                blk = block_view[i]
+                k = ss
+                while k <= se:
+                    rs = br.huff(ac)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    blk[k] = _extend(br.bits(s), s) << al
+                    k += 1
+        else:  # AC refinement (G.1.2.3 / jdphuff decode_mcu_AC_refine)
+            for i in range(block_view.shape[0]):
+                blk = block_view[i]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.huff(ac)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            # r == 15: skip 16 zero-history coefficients
+                            val = 0
+                        else:
+                            if s != 1:
+                                raise ValueError("AC refine magnitude != 1")
+                            val = p1 if br.bits(1) else m1
+                        # advance, emitting correction bits for nonzero
+                        # history coefficients along the way
+                        while k <= se:
+                            coef = blk[k]
+                            if coef != 0:
+                                if br.bits(1) and (coef & p1) == 0:
+                                    blk[k] = coef + (p1 if coef >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # EOB region: only correction bits for nonzero history
+                    while k <= se:
+                        coef = blk[k]
+                        if coef != 0:
+                            if br.bits(1) and (coef & p1) == 0:
+                                blk[k] = coef + (p1 if coef >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+    # realign to the next marker: the reader stops AT the 0xFF of the
+    # first real marker it meets; scan forward in case none was buffered
+    pos = br.pos
+    while pos + 1 < len(b) and not (
+        b[pos] == 0xFF and b[pos + 1] not in (0x00,)
+    ):
+        pos += 1
+    return prog, pos
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 75, subsampling: str = "444"
+) -> bytes:
+    """PROGRESSIVE (SOF2) encode, spectral-selection script: one
+    interleaved DC scan (Ss=0,Se=0,Ah=Al=0), then one full-band AC scan
+    per component (Ss=1,Se=63,Ah=Al=0). Uses only EOB0 so the standard
+    Annex K tables suffice; decoders see a fully legal progressive
+    stream (the JDK's ImageIO reads these files — pinned in tests), and
+    the coefficients are identical to the baseline encoding of the same
+    image, so decode output matches decode(encode_jpeg(arr)) exactly."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ncomp = arr.shape
+    if ncomp not in (1, 3):
+        raise ValueError("1 or 3 channels")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub = subsampling == "420" and ncomp == 3
+    mod = 16 if sub else 8
+    if h % mod or w % mod:
+        raise ValueError(f"dims must be multiples of {mod} (no padding support)")
+    a = arr.astype(np.float64)
+    if ncomp == 3:
+        r, g, bl = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        channels = [
+            0.299 * r + 0.587 * g + 0.114 * bl,
+            -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0,
+        ]
+        if sub:
+            channels[1:] = [
+                ch.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+                for ch in channels[1:]
+            ]
+    else:
+        channels = [a[:, :, 0]]
+    factors = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * ncomp
+
+    q_lum = quant_table(_Q_LUM_BASE, quality)
+    q_chrom = quant_table(_Q_CHROM_BASE, quality)
+    qtabs = [q_lum] + ([q_chrom] if ncomp == 3 else [])
+
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in enumerate(qtabs):
+        out += _seg(0xDB, bytes([tq]) + bytes(int(x) for x in qt[ZIGZAG]))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for c in range(ncomp):
+        hc, vc = factors[c]
+        sof += bytes([c + 1, hc << 4 | vc, 0 if c == 0 else 1])
+    out += _seg(0xC2, sof)  # SOF2: progressive
+    out += _seg(0xC4, _dht_body(0, 0, _DC_LUM))
+    out += _seg(0xC4, _dht_body(1, 0, _AC_LUM))
+    if ncomp == 3:
+        out += _seg(0xC4, _dht_body(0, 1, _DC_CHROM))
+        out += _seg(0xC4, _dht_body(1, 1, _AC_CHROM))
+
+    qcoefs = []
+    for c, ch in enumerate(channels):
+        qt = qtabs[0] if c == 0 else qtabs[1]
+        coef = _fdct_blocks(_to_blocks(ch - 128.0))
+        q = np.sign(coef) * np.floor(np.abs(coef) / qt.reshape(8, 8) + 0.5)
+        qcoefs.append(q.astype(np.int64).reshape(-1, 64)[:, ZIGZAG])
+
+    dc_enc = [_code_assign(*(_DC_LUM if c == 0 else _DC_CHROM))[0] for c in range(ncomp)]
+    ac_enc = [_code_assign(*(_AC_LUM if c == 0 else _AC_CHROM))[0] for c in range(ncomp)]
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    nmx, nmy = w // (8 * hmax), h // (8 * vmax)
+
+    # scan 1: DC, interleaved, full precision
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, (0 if c == 0 else 1) << 4 | 0])
+    sos += bytes([0, 0, 0])
+    out += _seg(0xDA, sos)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for c, i in _mcu_block_order(ncomp, factors, nmx, nmy):
+        diff = int(qcoefs[c][i, 0]) - preds[c]
+        preds[c] = int(qcoefs[c][i, 0])
+        t = _category(diff)
+        code, ln = dc_enc[c][t]
+        bw.put(code, ln)
+        if t:
+            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    out += bw.flush()
+
+    # scans 2..: AC 1-63 per component, full precision, EOB0 only
+    for c in range(ncomp):
+        out += _seg(0xDA, bytes([1, c + 1, (0 if c == 0 else 1)]) + bytes([1, 63, 0]))
+        bw = _BitWriter()
+        for blk in qcoefs[c]:
+            nz = np.nonzero(blk[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            run = 0
+            for k in range(1, last + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_enc[c][0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                t = _category(v)
+                code, ln = ac_enc[c][run << 4 | t]
+                bw.put(code, ln)
+                bw.put(v if v >= 0 else v + (1 << t) - 1, t)
+                run = 0
+            if last < 63:  # EOB0 — an EOB run of exactly one block
+                code, ln = ac_enc[c][0x00]
+                bw.put(code, ln)
+        out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ------------------------------------------------------------ Spark tier
 
 
 def attach_jpegs(
-    df: DataFrame, text_col: str = "text", out_col: str = "jpeg", quality: int = 75
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "jpeg",
+    quality: int = 75,
+    progressive: bool = False,
 ) -> DataFrame:
     """Deterministic grayscale-JPEG fixture generator: dims in blocks
     from the shared md5 formula (bw = hex[0:2]%6+2, bh = hex[2:4]%6+2
     blocks → 16..56 px), every 8x8 block constant with value
     (s + 5*bx + 9*by) % 256 — constant blocks make the lossy round trip
     EXACTLY reproducible in SQL (only the DC coefficient survives, and
-    its quantization is closed-form; see jpeg_block_stats)."""
+    its quantization is closed-form; see jpeg_block_stats).
+    ``progressive=True`` emits SOF2 multi-scan streams instead — same
+    coefficients, so the same oracle contract holds."""
     import hashlib
 
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
     )
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -627,7 +969,7 @@ def attach_jpegs(
                 img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
                     np.uint8
                 )
-                payloads.append(encode_jpeg(img, quality=quality))
+                payloads.append(enc(img, quality=quality))
             out = pdf.copy()
             out[out_col] = payloads
             yield out

@@ -136,7 +136,9 @@ def test_rejects_unsupported_streams():
     good = bytearray(J.encode_jpeg(_blocky(2, 2)))
     with pytest.raises(ValueError):
         J.decode_jpeg(b"\x00\x01not a jpeg")
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF2: the baseline scan header (Ss=0, Se=63) is an
+    # illegal PROGRESSIVE scan (a DC scan must have Se=0), so the now-
+    # supported progressive path still dead-letters this stream
     i = bytes(good).find(b"\xff\xc0")
     prog = good.copy()
     prog[i + 1] = 0xC2
@@ -208,3 +210,119 @@ def test_spark_dead_letter_row(spark):
     )
     r = J.decode_jpegs(df).collect()[0]
     assert r["doc_id"] == 1 and r["codec"] is None and r["px_sum"] is None
+
+
+# ---------------------------------------------------------- progressive
+
+
+@pytest.mark.parametrize(
+    "shape,sub",
+    [((32, 40), "444"), ((32, 40, 3), "444"), ((32, 48, 3), "420"), ((64, 64, 3), "444")],
+)
+def test_progressive_decode_equals_baseline(shape, sub):
+    """The spectral-selection progressive encoding carries coefficients
+    identical to the baseline encoding, so decode output must match
+    BIT-EXACTLY — any slip in scan order, EOB handling, or band
+    bookkeeping shows up as a pixel diff."""
+    rng = np.random.default_rng(sum(shape))
+    arr = rng.integers(0, 256, shape, dtype=np.uint8)
+    dp = J.decode_jpeg(J.encode_jpeg_progressive(arr, subsampling=sub))
+    db = J.decode_jpeg(J.encode_jpeg(arr, subsampling=sub))
+    assert dp.shape == db.shape and (dp == db).all()
+
+
+def test_progressive_rejects_bad_scans():
+    arr = np.zeros((16, 16), dtype=np.uint8)
+    b = bytearray(J.encode_jpeg_progressive(arr))
+    # truncated mid-scan
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(b[: len(b) * 2 // 3]))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=2, max_value=600), st.integers(min_value=1, max_value=255))
+def test_progressive_decode_survives_bitflips(pos, flip):
+    b = bytearray(J.encode_jpeg_progressive(_blocky(2, 2)))
+    b[pos % len(b)] ^= flip
+    try:
+        out = J.decode_jpeg(bytes(b))
+        assert out.dtype == np.uint8
+    except (ValueError, struct.error):
+        pass
+
+
+def _java_write_jpeg(jvm, vals3, progressive, q=0.75):
+    h, w = vals3.shape[:2]
+    bi = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(h):
+        for x in range(w):
+            r, g, b = map(int, vals3[y, x])
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    wr = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    import tempfile
+
+    p = tempfile.mktemp(suffix=".jpg")
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(jvm.java.io.File(p))
+    wr.setOutput(ios)
+    param = wr.getDefaultWriteParam()
+    param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(q)
+    if progressive:
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    wr.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.close()
+    return p
+
+
+def test_java_progressive_decodes_identical_to_java_baseline(spark):
+    """The JDK writer's DEFAULT progressive script uses successive
+    approximation (DC/AC refinement scans) — the full Annex G surface.
+    Same writer + same quality ⇒ identical quantized coefficients, so OUR
+    decode of the progressive file must equal OUR decode of the baseline
+    file bit-for-bit. This pins every refinement-bit branch without any
+    IDCT/upsample tolerance."""
+    import os
+
+    jvm = spark._jvm
+    h, w = 32, 48
+    y, x = np.mgrid[0:h, 0:w]
+    rng = np.random.default_rng(2)
+    for vals in (
+        np.stack([(x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256], axis=2).astype(
+            np.uint8
+        ),
+        rng.integers(0, 256, (h, w, 3), dtype=np.uint8),
+    ):
+        pp = _java_write_jpeg(jvm, vals, True)
+        pb = _java_write_jpeg(jvm, vals, False)
+        bprog = open(pp, "rb").read()
+        assert b"\xff\xc2" in bprog  # really SOF2
+        dp = J.decode_jpeg(bprog)
+        db = J.decode_jpeg(open(pb, "rb").read())
+        assert dp.shape == db.shape and (dp == db).all()
+        os.unlink(pp)
+        os.unlink(pb)
+
+
+def test_java_reads_our_progressive(spark):
+    import os
+    import tempfile
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (32, 40), dtype=np.uint8)
+    p = tempfile.mktemp(suffix=".jpg")
+    with open(p, "wb") as f:
+        f.write(J.encode_jpeg_progressive(arr))
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+    assert img is not None and (img.getWidth(), img.getHeight()) == (40, 32)
+    ras = img.getRaster()
+    ours = J.decode_jpeg(open(p, "rb").read())
+    diffs = [
+        abs(ras.getSample(xx, yy, 0) - int(ours[yy, xx]))
+        for (yy, xx) in [(0, 0), (10, 16), (31, 39), (7, 5), (20, 33)]
+    ]
+    assert max(diffs) <= 2  # independent IDCTs may differ by a hair
+    os.unlink(p)
