@@ -24,8 +24,11 @@ Supported subset: baseline sequential (SOF0/SOF1) and PROGRESSIVE
 DC/AC first + refinement scans with EOB-run coding; pinned bit-exact
 against the JDK ImageIO writer's 10-scan script in tests), 8-bit,
 grayscale and YCbCr color with 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 sampling.
-The decoder raises ValueError (dead-letter) for arithmetic/hierarchical/
-12-bit/restart-interval streams, mirroring the reference's CAN_DECODE
+Restart intervals (DRI + RSTn byte-aligned boundaries, predictor reset)
+are read AND written on the baseline path — the seam camera encoders
+emit and GPU decoders parallelize on. The decoder raises ValueError
+(dead-letter) for arithmetic/hierarchical/12-bit streams (and DRI inside
+progressive scans), mirroring the reference's CAN_DECODE
 probe rejecting unsupported streams
 (/root/reference/src/parsers/jpeg.cpp getImageInfo + capability checks).
 The progressive ENCODER (``encode_jpeg_progressive``) emits the simple
@@ -227,6 +230,14 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # pad with 1-bits (§F.1.2.3)
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-bit pad) and emit RSTn — §B.2.1.2 restart
+        boundary. The caller resets its DC predictors."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 class _BitReader:
     """Entropy-stream bit reader with 0xFF00 de-stuffing.
@@ -256,8 +267,15 @@ class _BitReader:
                 marker = self.b[self.pos]
                 if marker == 0x00:
                     self.pos += 1
-                elif marker == 0xD9 or self.stop_at_markers:
-                    self.pos -= 1  # point back at the 0xFF; pad zeros
+                elif (
+                    marker == 0xD9
+                    or 0xD0 <= marker <= 0xD7
+                    or self.stop_at_markers
+                ):
+                    # EOI / RSTn reached while pre-buffering: pad zeros and
+                    # leave pos at the 0xFF — restart() (or the caller's
+                    # marker walk) consumes the marker itself
+                    self.pos -= 1
                     byte = 0
                     self.acc = (self.acc << 8) | byte
                     self.nbits += 8
@@ -266,6 +284,18 @@ class _BitReader:
                     raise ValueError(f"unexpected marker FF{marker:02X} in scan")
             self.acc = (self.acc << 8) | byte
             self.nbits += 8
+
+    def restart(self, n: int) -> None:
+        """Consume an RSTn boundary: discard pad bits, verify the marker
+        sequence number, resume byte-aligned after it (§E.2.4)."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 2 > len(self.b) or self.b[self.pos] != 0xFF:
+            raise ValueError("expected restart marker")
+        m = self.b[self.pos + 1]
+        if m != 0xD0 + (n & 7):
+            raise ValueError(f"restart marker out of sequence: FF{m:02X}")
+        self.pos += 2
 
     def bits(self, n: int) -> int:
         if n == 0:
@@ -380,11 +410,18 @@ def _mcu_block_order(ncomp, factors, nmx, nmy):
                         yield c, (my * vc + dy) * (nmx * hc) + mx * hc + dx
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 75, subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Baseline sequential JPEG encode of H×W (gray) or H×W×3 (RGB →
     YCbCr) uint8. ``subsampling``: "444" (H,W multiples of 8) or "420"
     (2x2 box-averaged chroma, H,W multiples of 16 — the layout virtually
-    every camera/web JPEG uses)."""
+    every camera/web JPEG uses). ``restart_interval`` N > 0 emits DRI +
+    an RSTn boundary every N MCUs (byte-aligned, DC predictors reset) —
+    the seam camera encoders emit and GPU decoders parallelize on."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -431,6 +468,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75, subsampling: str = "444") ->
     if ncomp == 3:
         out += _seg(0xC4, _dht_body(0, 1, _DC_CHROM))
         out += _seg(0xC4, _dht_body(1, 1, _AC_CHROM))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for c in range(ncomp):
         sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
@@ -455,7 +494,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 75, subsampling: str = "444") ->
     nmx, nmy = w // (8 * hmax), h // (8 * vmax)
     bw = _BitWriter()
     preds = [0] * ncomp
-    for c, i in _mcu_block_order(ncomp, factors, nmx, nmy):
+    bpm = sum(hc * vc for (hc, vc) in factors)  # blocks per MCU
+    rst = 0
+    for j, (c, i) in enumerate(_mcu_block_order(ncomp, factors, nmx, nmy)):
+        if restart_interval and j and j % (bpm * restart_interval) == 0:
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+            preds = [0] * ncomp
         dc_enc = dc_lum_enc if c == 0 else dc_chrom_enc
         ac_enc = ac_lum_enc if c == 0 else ac_chrom_enc
         preds[c] = _encode_channel_coefs(
@@ -488,6 +533,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     progressive = False
     prog: dict | None = None  # progressive accumulation state
     scan_comps = None
+    restart_interval = 0
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"marker sync lost at {pos}")
@@ -544,7 +590,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline SOF unsupported")
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            if len(body) < 2:
+                raise ValueError("short DRI")
+            restart_interval = struct.unpack_from(">H", body)[0]
         elif marker == 0xDA:
             if not progressive:
                 ns = body[0]
@@ -552,6 +600,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 break
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if restart_interval:
+                raise ValueError("restart intervals in progressive scans unsupported")
             prog, pos = _decode_prog_scan(b, pos, body, frame, qtabs, huff_dec, prog)
         # APPn / COM / others: skipped
 
@@ -586,7 +636,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             tables.append((huff_dec[(0, td)], huff_dec[(1, ta)]))
         except KeyError:
             raise ValueError("scan references missing Huffman table")
-    for c, i in _mcu_block_order(ncomp, factors, nmx, nmy):
+    bpm = sum(hc * vc for (hc, vc) in factors)
+    rst = 0
+    for j, (c, i) in enumerate(_mcu_block_order(ncomp, factors, nmx, nmy)):
+        if restart_interval and j and j % (bpm * restart_interval) == 0:
+            br.restart(rst)
+            rst = (rst + 1) & 7
+            preds = [0] * ncomp
         dc_dec, ac_dec = tables[c]
         t = br.huff(dc_dec)
         if t > 11:

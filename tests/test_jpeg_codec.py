@@ -326,3 +326,60 @@ def test_java_reads_our_progressive(spark):
     ]
     assert max(diffs) <= 2  # independent IDCTs may differ by a hair
     os.unlink(p)
+
+
+# ------------------------------------------------------- restart markers
+
+
+@pytest.mark.parametrize("ri", [1, 2, 3, 7])
+def test_restart_interval_roundtrip(ri):
+    """DRI/RSTn: byte-aligned boundaries every ri MCUs with predictor
+    reset — decode must equal the non-restart encoding of the same image
+    bit-for-bit (coefficients are unchanged by restarts)."""
+    rng = np.random.default_rng(ri)
+    for shape, sub in [((32, 40), "444"), ((32, 48, 3), "420")]:
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg(arr, subsampling=sub))
+        b = J.encode_jpeg(arr, subsampling=sub, restart_interval=ri)
+        assert b"\xff\xdd" in b
+        assert (J.decode_jpeg(b) == base).all()
+
+
+def test_restart_marker_out_of_sequence_rejected():
+    arr = np.zeros((32, 40), dtype=np.uint8)
+    b = bytearray(J.encode_jpeg(arr, restart_interval=1))
+    i = bytes(b).find(b"\xff\xd0")
+    assert i > 0
+    b[i + 1] = 0xD5  # wrong sequence number
+    with pytest.raises(ValueError, match="restart marker"):
+        J.decode_jpeg(bytes(b))
+
+
+def test_progressive_with_dri_rejected():
+    arr = np.zeros((16, 16), dtype=np.uint8)
+    b = bytearray(J.encode_jpeg_progressive(arr))
+    i = bytes(b).find(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x02"
+    with pytest.raises(ValueError, match="progressive"):
+        J.decode_jpeg(bytes(b[:i]) + dri + bytes(b[i:]))
+
+
+def test_java_reads_our_restart_files(spark):
+    import os
+    import tempfile
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 256, (32, 40), dtype=np.uint8)
+    for ri in (1, 3):
+        b = J.encode_jpeg(arr, restart_interval=ri)
+        p = tempfile.mktemp(suffix=".jpg")
+        with open(p, "wb") as f:
+            f.write(b)
+        img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+        assert img is not None
+        ras = img.getRaster()
+        ours = J.decode_jpeg(b)
+        for (y, x) in [(0, 0), (10, 16), (31, 39), (7, 5)]:
+            assert abs(ras.getSample(x, y, 0) - int(ours[y, x])) <= 2
+        os.unlink(p)
