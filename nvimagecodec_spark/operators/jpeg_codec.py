@@ -39,8 +39,9 @@ so progressive decode output is comparable coefficient-for-coefficient.
 Scale shape: per-file-independent Arrow-batched ``mapInPandas`` (no
 shuffle); the DCT/dequant stages are numpy tensor ops over all blocks of
 an image simultaneously, only the entropy bitstream walk is sequential
-(as it inherently is — restart intervals are the parallel seam a GPU
-implementation uses; ours emits none).
+(as it inherently is — restart intervals, which this codec reads and
+optionally writes, are exactly the parallel seam a GPU implementation
+splits on).
 """
 
 from __future__ import annotations
@@ -519,10 +520,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     (SOF0/SOF1) and PROGRESSIVE (SOF2 — spectral selection + successive
     approximation, DC and AC first/refinement scans with EOB runs, the
     libjpeg 10-scan script included). Handles 4:4:4, 4:2:0, 4:2:2 and
-    4:4:0 interleaved chroma sampling (nearest-neighbor upsample).
-    Raises ValueError on anything outside the supported subset
-    (arithmetic, hierarchical, 12-bit, restart markers, pad-cropped
-    dims, truncated)."""
+    4:4:0 interleaved chroma sampling (nearest-neighbor upsample),
+    restart intervals, and arbitrary (non-MCU-multiple) dimensions via
+    pad-crop. Raises ValueError on anything outside the supported
+    subset (arithmetic, hierarchical, 12-bit, truncated)."""
     b = bytes(b)
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -621,9 +622,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     factors = [(hc, vc) for (_, _, hc, vc) in comps]
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
-    if h % (8 * vmax) or w % (8 * hmax):
-        raise ValueError("dims not multiple of MCU size (no pad crop)")
-    nmx, nmy = w // (8 * hmax), h // (8 * vmax)
+    # pad-crop: encoders emit whole MCUs; planes decode padded and the
+    # final image crops to (h, w) — real-world JPEGs are rarely multiples
+    nmx = -(-w // (8 * hmax))
+    nmy = -(-h // (8 * vmax))
 
     br = _BitReader(b, pos)
     nblocks = [nmx * hc * nmy * vc for (hc, vc) in factors]
@@ -685,7 +687,7 @@ def _reconstruct(h, w, comps, qcoef, qtabs, nmx, nmy) -> np.ndarray:
         plane = _from_blocks(pix, nmy * vc * 8, nmx * hc * 8)
         if hc != hmax or vc != vmax:  # nearest-neighbor chroma upsample
             plane = np.repeat(np.repeat(plane, vmax // vc, axis=0), hmax // hc, axis=1)
-        channels.append(plane)
+        channels.append(plane[:h, :w])  # pad-crop to the declared frame dims
     if ncomp == 1:
         out = channels[0]
         return np.clip(_round_half_up(out), 0, 255).astype(np.uint8)
@@ -718,9 +720,8 @@ def _decode_prog_scan(b, pos, body, frame, qtabs, huff_dec, prog):
     factors = [(hc, vc) for (_, _, hc, vc) in comps]
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
-    if h % (8 * vmax) or w % (8 * hmax):
-        raise ValueError("dims not multiple of MCU size (no pad crop)")
-    nmx, nmy = w // (8 * hmax), h // (8 * vmax)
+    nmx = -(-w // (8 * hmax))  # pad-crop: see decode_jpeg
+    nmy = -(-h // (8 * vmax))
     if prog is None:
         prog = {
             "qcoef": [
@@ -731,6 +732,17 @@ def _decode_prog_scan(b, pos, body, frame, qtabs, huff_dec, prog):
             "nmy": nmy,
         }
     qcoef = prog["qcoef"]
+
+    def true_block_order(ci):
+        """§A.2.2 non-interleaved order: the component's REAL data units
+        (ceil(comp_dim/8) per axis), skipping the MCU-padding dummy
+        columns/rows of the padded row-major buffer."""
+        hc, vc = factors[ci]
+        cw = -(-w * hc // hmax)
+        chh = -(-h * vc // vmax)
+        bw_t, bh_t = -(-cw // 8), -(-chh // 8)
+        bw_pad = nmx * hc
+        return (by * bw_pad + bx for by in range(bh_t) for bx in range(bw_t))
 
     if not body or len(body) < 4 + 2 * body[0]:
         raise ValueError("short SOS header")
@@ -756,7 +768,7 @@ def _decode_prog_scan(b, pos, body, frame, qtabs, huff_dec, prog):
             scan_of = {ci: s for s, (ci, _, _) in enumerate(cidx)}
         else:
             ci = cidx[0][0]
-            order = ((ci, i) for i in range(qcoef[ci].shape[0]))
+            order = ((ci, i) for i in true_block_order(ci))
             scan_of = {ci: 0}
         if ah == 0:  # first: diff-coded DC values, scaled by 2^Al
             preds = [0] * ns
@@ -789,7 +801,7 @@ def _decode_prog_scan(b, pos, body, frame, qtabs, huff_dec, prog):
         eobrun = 0
         p1, m1 = 1 << al, -1 << al
         if ah == 0:  # AC first scans (G.1.2.2): values scaled by 2^Al
-            for i in range(block_view.shape[0]):
+            for i in true_block_order(ci):
                 if eobrun > 0:
                     eobrun -= 1
                     continue
@@ -812,7 +824,7 @@ def _decode_prog_scan(b, pos, body, frame, qtabs, huff_dec, prog):
                     blk[k] = _extend(br.bits(s), s) << al
                     k += 1
         else:  # AC refinement (G.1.2.3 / jdphuff decode_mcu_AC_refine)
-            for i in range(block_view.shape[0]):
+            for i in true_block_order(ci):
                 blk = block_view[i]
                 k = ss
                 if eobrun == 0:

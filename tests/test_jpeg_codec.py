@@ -383,3 +383,30 @@ def test_java_reads_our_restart_files(spark):
         for (y, x) in [(0, 0), (10, 16), (31, 39), (7, 5)]:
             assert abs(ras.getSample(x, y, 0) - int(ours[y, x])) <= 2
         os.unlink(p)
+
+
+# ----------------------------------------------------- pad-crop (odd dims)
+
+
+def test_pad_crop_odd_dimensions_against_java(spark):
+    """Real-world JPEGs are rarely MCU multiples: decode pads to whole
+    MCUs and crops to the declared frame dims. Java writes odd-dim
+    4:2:0 color files (dummy-block asymmetry between interleaved and
+    non-interleaved scans); our progressive and baseline decodes of the
+    same image must still agree bit-for-bit, at the exact frame size."""
+    jvm = spark._jvm
+    for (h, w) in [(30, 47), (29, 33), (17, 95)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        vals = np.stack(
+            [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=2
+        ).astype(np.uint8)
+        pp = _java_write_jpeg(jvm, vals, True)
+        pb = _java_write_jpeg(jvm, vals, False)
+        dp = J.decode_jpeg(open(pp, "rb").read())
+        db = J.decode_jpeg(open(pb, "rb").read())
+        assert dp.shape == (h, w, 3) == db.shape
+        assert (dp == db).all()
+        import os
+
+        os.unlink(pp)
+        os.unlink(pb)
