@@ -418,9 +418,10 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """Baseline sequential JPEG encode of H×W (gray) or H×W×3 (RGB →
-    YCbCr) uint8. ``subsampling``: "444" (H,W multiples of 8) or "420"
-    (2x2 box-averaged chroma, H,W multiples of 16 — the layout virtually
-    every camera/web JPEG uses). ``restart_interval`` N > 0 emits DRI +
+    YCbCr) uint8. ``subsampling``: "444" or "420"
+    (2x2 box-averaged chroma — the layout virtually every camera/web
+    JPEG uses). Any dimensions: edges replicate to whole MCUs and the
+    decoder pad-crops back. ``restart_interval`` N > 0 emits DRI +
     an RSTn boundary every N MCUs (byte-aligned, DC predictors reset) —
     the seam camera encoders emit and GPU decoders parallelize on."""
     arr = np.asarray(arr)
@@ -433,8 +434,9 @@ def encode_jpeg(
         raise ValueError("subsampling must be '444' or '420'")
     sub = subsampling == "420" and ncomp == 3
     mod = 16 if sub else 8
-    if h % mod or w % mod:
-        raise ValueError(f"dims must be multiples of {mod} (no padding support)")
+    hp, wp = -(-h // mod) * mod, -(-w // mod) * mod
+    if (hp, wp) != (h, w):  # edge-replicate to whole MCUs; SOF keeps h,w
+        arr = np.pad(arr, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
     a = arr.astype(np.float64)
     if ncomp == 3:
         r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
@@ -445,7 +447,7 @@ def encode_jpeg(
         ]
         if sub:  # 2x2 box average of the chroma planes
             channels[1:] = [
-                ch.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+                ch.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
                 for ch in channels[1:]
             ]
     else:
@@ -492,7 +494,7 @@ def encode_jpeg(
 
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
-    nmx, nmy = w // (8 * hmax), h // (8 * vmax)
+    nmx, nmy = wp // (8 * hmax), hp // (8 * vmax)
     bw = _BitWriter()
     preds = [0] * ncomp
     bpm = sum(hc * vc for (hc, vc) in factors)  # blocks per MCU
@@ -898,8 +900,9 @@ def encode_jpeg_progressive(
         raise ValueError("subsampling must be '444' or '420'")
     sub = subsampling == "420" and ncomp == 3
     mod = 16 if sub else 8
-    if h % mod or w % mod:
-        raise ValueError(f"dims must be multiples of {mod} (no padding support)")
+    hp, wp = -(-h // mod) * mod, -(-w // mod) * mod
+    if (hp, wp) != (h, w):  # edge-replicate to whole MCUs; SOF keeps h,w
+        arr = np.pad(arr, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
     a = arr.astype(np.float64)
     if ncomp == 3:
         r, g, bl = a[:, :, 0], a[:, :, 1], a[:, :, 2]
@@ -910,7 +913,7 @@ def encode_jpeg_progressive(
         ]
         if sub:
             channels[1:] = [
-                ch.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+                ch.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
                 for ch in channels[1:]
             ]
     else:
@@ -947,7 +950,7 @@ def encode_jpeg_progressive(
 
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
-    nmx, nmy = w // (8 * hmax), h // (8 * vmax)
+    nmx, nmy = wp // (8 * hmax), hp // (8 * vmax)
 
     # scan 1: DC, interleaved, full precision
     sos = bytes([ncomp])

@@ -125,9 +125,21 @@ def test_420_gray_content_matches_444():
     assert np.abs(o420.astype(int) - o444.astype(int)).max() <= 1
 
 
-def test_420_requires_multiple_of_16():
-    with pytest.raises(ValueError):
-        J.encode_jpeg(np.zeros((24, 24, 3), dtype=np.uint8), subsampling="420")
+def test_any_dims_encode_via_edge_pad():
+    """Non-MCU-multiple inputs edge-replicate to whole MCUs on encode and
+    pad-crop back on decode — every size round-trips at the exact shape,
+    and flat content stays exact (padding adds no new frequencies)."""
+    for (h, w, c, sub) in [(24, 24, 3, "420"), (10, 16, 1, "444"), (1, 1, 1, "444"),
+                           (17, 95, 3, "444"), (30, 47, 3, "420")]:
+        shape = (h, w) if c == 1 else (h, w, c)
+        flat = np.full(shape, 77, dtype=np.uint8)
+        out = J.decode_jpeg(J.encode_jpeg(flat, quality=75, subsampling=sub))
+        assert out.shape == ((h, w) if c == 1 else (h, w, 3))
+        np.testing.assert_array_equal(
+            out if c == 1 else out[:, :, 0], np.full((h, w), 77)
+        )
+        out_p = J.decode_jpeg(J.encode_jpeg_progressive(flat, quality=75, subsampling=sub))
+        assert out_p.shape == out.shape and (out_p == out).all()
 
 
 # ------------------------------------------------------------ rejection
@@ -152,7 +164,7 @@ def test_rejects_unsupported_streams():
     with pytest.raises(ValueError):
         J.decode_jpeg(bytes(good[: len(good) // 2]))  # truncated scan
     with pytest.raises(ValueError):
-        J.encode_jpeg(np.zeros((10, 16), dtype=np.uint8))  # non-x8 dims
+        J.encode_jpeg(np.zeros((8, 8, 2), dtype=np.uint8))  # 2 channels
 
 
 @settings(max_examples=50, deadline=None)
