@@ -249,12 +249,19 @@ class _BitReader:
     walk there. Baseline keeps the strict behavior (only EOI pads;
     anything else is stream corruption)."""
 
-    def __init__(self, b: bytes, pos: int, stop_at_markers: bool = False):
+    def __init__(
+        self,
+        b: bytes,
+        pos: int,
+        stop_at_markers: bool = False,
+        allow_restarts: bool = False,
+    ):
         self.b = b
         self.pos = pos
         self.acc = 0
         self.nbits = 0
         self.stop_at_markers = stop_at_markers
+        self.allow_restarts = allow_restarts
 
     def _fill(self):
         while self.nbits <= 24:
@@ -270,9 +277,14 @@ class _BitReader:
                     self.pos += 1
                 elif (
                     marker == 0xD9
-                    or 0xD0 <= marker <= 0xD7
+                    or (0xD0 <= marker <= 0xD7 and self.allow_restarts)
                     or self.stop_at_markers
                 ):
+                    # An RSTn in a stream with NO restart interval is
+                    # corruption, not a boundary — only pad past it when
+                    # the frame declared DRI (review-caught: tolerating
+                    # it unconditionally silently zero-decoded the rest
+                    # of a DRI-stripped stream)
                     # EOI / RSTn reached while pre-buffering: pad zeros and
                     # leave pos at the 0xFF — restart() (or the caller's
                     # marker walk) consumes the marker itself
@@ -365,36 +377,49 @@ def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
     )
 
 
+def _emit_dc(bw: _BitWriter, blk, dc_enc, pred: int) -> int:
+    """DC differential + category emission for one block; returns the
+    new predictor."""
+    diff = int(blk[0]) - pred
+    t = _category(diff)
+    code, ln = dc_enc[t]
+    bw.put(code, ln)
+    if t:
+        bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    return int(blk[0])
+
+
+def _emit_ac_band(bw: _BitWriter, blk, ac_enc) -> None:
+    """AC 1..63 run/size emission with ZRL + trailing EOB for one block —
+    baseline AC semantics, which is ALSO each progressive full-band AC
+    scan's per-block coding (the trailing EOB being an EOB0 run)."""
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        t = _category(v)
+        code, ln = ac_enc[run << 4 | t]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << t) - 1, t)
+        run = 0
+    if last < 63:
+        code, ln = ac_enc[0x00]  # EOB
+        bw.put(code, ln)
+
+
 def _encode_channel_coefs(qcoef: np.ndarray, bw: _BitWriter, dc_enc, ac_enc, pred: int) -> int:
     """Huffman-encode quantized zigzag coefficients (N, 64)."""
     for blk in qcoef:
-        diff = int(blk[0]) - pred
-        pred = int(blk[0])
-        t = _category(diff)
-        code, ln = dc_enc[t]
-        bw.put(code, ln)
-        if t:
-            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
-        run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for k in range(1, last + 1):
-            v = int(blk[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_enc[0xF0]  # ZRL
-                bw.put(code, ln)
-                run -= 16
-            t = _category(v)
-            code, ln = ac_enc[run << 4 | t]
-            bw.put(code, ln)
-            bw.put(v if v >= 0 else v + (1 << t) - 1, t)
-            run = 0
-        if last < 63:
-            code, ln = ac_enc[0x00]  # EOB
-            bw.put(code, ln)
+        pred = _emit_dc(bw, blk, dc_enc, pred)
+        _emit_ac_band(bw, blk, ac_enc)
     return pred
 
 
@@ -411,19 +436,12 @@ def _mcu_block_order(ncomp, factors, nmx, nmy):
                         yield c, (my * vc + dy) * (nmx * hc) + mx * hc + dx
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 75,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline sequential JPEG encode of H×W (gray) or H×W×3 (RGB →
-    YCbCr) uint8. ``subsampling``: "444" or "420"
-    (2x2 box-averaged chroma — the layout virtually every camera/web
-    JPEG uses). Any dimensions: edges replicate to whole MCUs and the
-    decoder pad-crops back. ``restart_interval`` N > 0 emits DRI +
-    an RSTn boundary every N MCUs (byte-aligned, DC predictors reset) —
-    the seam camera encoders emit and GPU decoders parallelize on."""
+def _encode_setup(arr, quality, subsampling):
+    """Shared front half of both encoders: validate, edge-pad to whole
+    MCUs (SOF keeps the true dims), YCbCr convert + chroma box-average,
+    forward-DCT + quantize. Returns
+    (h, w, hp, wp, ncomp, factors, qtabs, qcoefs) — qcoefs[c] is the
+    component's PADDED plane, row-major, zigzag order."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -453,24 +471,53 @@ def encode_jpeg(
     else:
         channels = [a[:, :, 0]]
     factors = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * ncomp
+    qtabs = [quant_table(_Q_LUM_BASE, quality)]
+    if ncomp == 3:
+        qtabs.append(quant_table(_Q_CHROM_BASE, quality))
+    qcoefs = []
+    for c, ch in enumerate(channels):
+        qt = qtabs[0] if c == 0 else qtabs[1]
+        coef = _fdct_blocks(_to_blocks(ch - 128.0))
+        q = np.sign(coef) * np.floor(np.abs(coef) / qt.reshape(8, 8) + 0.5)
+        qcoefs.append(q.astype(np.int64).reshape(-1, 64)[:, ZIGZAG])
+    return h, w, hp, wp, ncomp, factors, qtabs, qcoefs
 
-    q_lum = quant_table(_Q_LUM_BASE, quality)
-    q_chrom = quant_table(_Q_CHROM_BASE, quality)
-    qtabs = [q_lum] + ([q_chrom] if ncomp == 3 else [])
 
-    out = bytearray(b"\xff\xd8")  # SOI
+def _encode_headers(h, w, ncomp, factors, qtabs, sof_marker):
+    """SOI + DQT + SOF(sof_marker) + the Annex K DHTs."""
+    out = bytearray(b"\xff\xd8")
     for tq, qt in enumerate(qtabs):
         out += _seg(0xDB, bytes([tq]) + bytes(int(x) for x in qt[ZIGZAG]))
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for c in range(ncomp):
         hc, vc = factors[c]
         sof += bytes([c + 1, hc << 4 | vc, 0 if c == 0 else 1])
-    out += _seg(0xC0, sof)
+    out += _seg(sof_marker, sof)
     out += _seg(0xC4, _dht_body(0, 0, _DC_LUM))
     out += _seg(0xC4, _dht_body(1, 0, _AC_LUM))
     if ncomp == 3:
         out += _seg(0xC4, _dht_body(0, 1, _DC_CHROM))
         out += _seg(0xC4, _dht_body(1, 1, _AC_CHROM))
+    return out
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JPEG encode of H×W (gray) or H×W×3 (RGB →
+    YCbCr) uint8. ``subsampling``: "444" or "420"
+    (2x2 box-averaged chroma — the layout virtually every camera/web
+    JPEG uses). Any dimensions: edges replicate to whole MCUs and the
+    decoder pad-crops back. ``restart_interval`` N > 0 emits DRI +
+    an RSTn boundary every N MCUs (byte-aligned, DC predictors reset) —
+    the seam camera encoders emit and GPU decoders parallelize on."""
+    h, w, hp, wp, ncomp, factors, qtabs, qcoefs = _encode_setup(
+        arr, quality, subsampling
+    )
+    out = _encode_headers(h, w, ncomp, factors, qtabs, 0xC0)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
@@ -483,14 +530,6 @@ def encode_jpeg(
     ac_lum_enc, _ = _code_assign(*_AC_LUM)
     dc_chrom_enc, _ = _code_assign(*_DC_CHROM)
     ac_chrom_enc, _ = _code_assign(*_AC_CHROM)
-
-    # quantize every channel up front (vectorized), then interleave MCUs
-    qcoefs = []
-    for c, ch in enumerate(channels):
-        qt = qtabs[0] if c == 0 else qtabs[1]
-        coef = _fdct_blocks(_to_blocks(ch - 128.0))
-        q = np.sign(coef) * np.floor(np.abs(coef) / qt.reshape(8, 8) + 0.5)
-        qcoefs.append(q.astype(np.int64).reshape(-1, 64)[:, ZIGZAG])
 
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
@@ -526,7 +565,15 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     restart intervals, and arbitrary (non-MCU-multiple) dimensions via
     pad-crop. Raises ValueError on anything outside the supported
     subset (arithmetic, hierarchical, 12-bit, truncated)."""
-    b = bytes(b)
+    try:
+        return _decode_jpeg_inner(bytes(b))
+    except IndexError as e:
+        # unguarded segment-body reads on malformed markers surface as
+        # IndexError; the public contract is ValueError = dead-letter
+        raise ValueError(f"malformed marker segment: {e}")
+
+
+def _decode_jpeg_inner(b: bytes) -> np.ndarray:
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -629,7 +676,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     nmx = -(-w // (8 * hmax))
     nmy = -(-h // (8 * vmax))
 
-    br = _BitReader(b, pos)
+    br = _BitReader(b, pos, allow_restarts=restart_interval > 0)
     nblocks = [nmx * hc * nmy * vc for (hc, vc) in factors]
     qcoef = [np.zeros((n, 64), dtype=np.int64) for n in nblocks]
     preds = [0] * ncomp
@@ -889,61 +936,18 @@ def encode_jpeg_progressive(
     Annex K tables suffice; decoders see a fully legal progressive
     stream (the JDK's ImageIO reads these files — pinned in tests), and
     the coefficients are identical to the baseline encoding of the same
-    image, so decode output matches decode(encode_jpeg(arr)) exactly."""
-    arr = np.asarray(arr)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, ncomp = arr.shape
-    if ncomp not in (1, 3):
-        raise ValueError("1 or 3 channels")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    sub = subsampling == "420" and ncomp == 3
-    mod = 16 if sub else 8
-    hp, wp = -(-h // mod) * mod, -(-w // mod) * mod
-    if (hp, wp) != (h, w):  # edge-replicate to whole MCUs; SOF keeps h,w
-        arr = np.pad(arr, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
-    a = arr.astype(np.float64)
-    if ncomp == 3:
-        r, g, bl = a[:, :, 0], a[:, :, 1], a[:, :, 2]
-        channels = [
-            0.299 * r + 0.587 * g + 0.114 * bl,
-            -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0,
-        ]
-        if sub:
-            channels[1:] = [
-                ch.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
-                for ch in channels[1:]
-            ]
-    else:
-        channels = [a[:, :, 0]]
-    factors = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * ncomp
+    image, so decode output matches decode(encode_jpeg(arr)) exactly.
 
-    q_lum = quant_table(_Q_LUM_BASE, quality)
-    q_chrom = quant_table(_Q_CHROM_BASE, quality)
-    qtabs = [q_lum] + ([q_chrom] if ncomp == 3 else [])
-
-    out = bytearray(b"\xff\xd8")
-    for tq, qt in enumerate(qtabs):
-        out += _seg(0xDB, bytes([tq]) + bytes(int(x) for x in qt[ZIGZAG]))
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
-    for c in range(ncomp):
-        hc, vc = factors[c]
-        sof += bytes([c + 1, hc << 4 | vc, 0 if c == 0 else 1])
-    out += _seg(0xC2, sof)  # SOF2: progressive
-    out += _seg(0xC4, _dht_body(0, 0, _DC_LUM))
-    out += _seg(0xC4, _dht_body(1, 0, _AC_LUM))
-    if ncomp == 3:
-        out += _seg(0xC4, _dht_body(0, 1, _DC_CHROM))
-        out += _seg(0xC4, _dht_body(1, 1, _AC_CHROM))
-
-    qcoefs = []
-    for c, ch in enumerate(channels):
-        qt = qtabs[0] if c == 0 else qtabs[1]
-        coef = _fdct_blocks(_to_blocks(ch - 128.0))
-        q = np.sign(coef) * np.floor(np.abs(coef) / qt.reshape(8, 8) + 0.5)
-        qcoefs.append(q.astype(np.int64).reshape(-1, 64)[:, ZIGZAG])
+    §A.2.2 asymmetry (review-caught): the interleaved DC scan covers the
+    full MCU-padded grid INCLUDING dummy padding blocks, but each
+    non-interleaved AC scan covers only the component's REAL data units
+    (ceil(comp_dim/8) per axis) — emitting the padding blocks there
+    would desynchronize every spec-compliant decoder on subsampled
+    non-MCU-multiple images."""
+    h, w, hp, wp, ncomp, factors, qtabs, qcoefs = _encode_setup(
+        arr, quality, subsampling
+    )
+    out = _encode_headers(h, w, ncomp, factors, qtabs, 0xC2)
 
     dc_enc = [_code_assign(*(_DC_LUM if c == 0 else _DC_CHROM))[0] for c in range(ncomp)]
     ac_enc = [_code_assign(*(_AC_LUM if c == 0 else _AC_CHROM))[0] for c in range(ncomp)]
@@ -952,7 +956,7 @@ def encode_jpeg_progressive(
     vmax = max(f[1] for f in factors)
     nmx, nmy = wp // (8 * hmax), hp // (8 * vmax)
 
-    # scan 1: DC, interleaved, full precision
+    # scan 1: DC, interleaved, full precision — MCU-padded traversal
     sos = bytes([ncomp])
     for c in range(ncomp):
         sos += bytes([c + 1, (0 if c == 0 else 1) << 4 | 0])
@@ -961,40 +965,21 @@ def encode_jpeg_progressive(
     bw = _BitWriter()
     preds = [0] * ncomp
     for c, i in _mcu_block_order(ncomp, factors, nmx, nmy):
-        diff = int(qcoefs[c][i, 0]) - preds[c]
-        preds[c] = int(qcoefs[c][i, 0])
-        t = _category(diff)
-        code, ln = dc_enc[c][t]
-        bw.put(code, ln)
-        if t:
-            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        preds[c] = _emit_dc(bw, qcoefs[c][i], dc_enc[c], preds[c])
     out += bw.flush()
 
-    # scans 2..: AC 1-63 per component, full precision, EOB0 only
+    # scans 2..: AC 1-63 per component over the TRUE block grid
     for c in range(ncomp):
         out += _seg(0xDA, bytes([1, c + 1, (0 if c == 0 else 1)]) + bytes([1, 63, 0]))
         bw = _BitWriter()
-        for blk in qcoefs[c]:
-            nz = np.nonzero(blk[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            run = 0
-            for k in range(1, last + 1):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_enc[c][0xF0]
-                    bw.put(code, ln)
-                    run -= 16
-                t = _category(v)
-                code, ln = ac_enc[c][run << 4 | t]
-                bw.put(code, ln)
-                bw.put(v if v >= 0 else v + (1 << t) - 1, t)
-                run = 0
-            if last < 63:  # EOB0 — an EOB run of exactly one block
-                code, ln = ac_enc[c][0x00]
-                bw.put(code, ln)
+        hc, vc = factors[c]
+        cw = -(-(w * hc) // hmax)   # §A.1.1 component dims: ceil(dim*Hi/Hmax)
+        chh = -(-(h * vc) // vmax)
+        bw_t, bh_t = -(-cw // 8), -(-chh // 8)
+        bw_pad = nmx * hc
+        for by in range(bh_t):
+            for bx in range(bw_t):
+                _emit_ac_band(bw, qcoefs[c][by * bw_pad + bx], ac_enc[c])
         out += bw.flush()
 
     out += b"\xff\xd9"
@@ -1076,19 +1061,23 @@ def decode_jpegs(
             for did, payload in zip(pdf[id_col], pdf[binary_col]):
                 try:
                     arr = decode_jpeg(bytes(payload))
-                except (ValueError, struct.error):
-                    rows.append((int(did),) + (None,) * 7)
-                    continue
-                h, w = arr.shape[:2]
-                a = arr.astype(np.int64)
-                if a.ndim == 2:
-                    a = a[:, :, None]
-                blocks = a[:, :, 0].reshape(h // 8, 8, w // 8, 8)
-                bmean = blocks.mean(axis=(1, 3))
-                bx = np.arange(w // 8, dtype=np.int64)[None, :]
-                by = np.arange(h // 8, dtype=np.int64)[:, None]
-                rows.append(
-                    (
+                    h, w = arr.shape[:2]
+                    a = arr.astype(np.int64)
+                    if a.ndim == 2:
+                        a = a[:, :, None]
+                    # partial edge blocks (pad-cropped dims) average over
+                    # their REAL pixels: zero-pad values + a count plane
+                    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
+                    ap = np.zeros((h8, w8), dtype=np.int64)
+                    ap[:h, :w] = a[:, :, 0]
+                    cnt = np.zeros((h8, w8), dtype=np.int64)
+                    cnt[:h, :w] = 1
+                    bsum = ap.reshape(h8 // 8, 8, w8 // 8, 8).sum(axis=(1, 3))
+                    bcnt = cnt.reshape(h8 // 8, 8, w8 // 8, 8).sum(axis=(1, 3))
+                    bmean = bsum / bcnt
+                    bx = np.arange(w8 // 8, dtype=np.int64)[None, :]
+                    by = np.arange(h8 // 8, dtype=np.int64)[:, None]
+                    row = (
                         int(did),
                         "jpeg",
                         w,
@@ -1098,7 +1087,11 @@ def decode_jpegs(
                         int(a.max()),
                         int(_round_half_up(bmean * (bx + 2 * by + 1)).sum()),
                     )
-                )
+                except (ValueError, struct.error, IndexError):
+                    # IndexError: unguarded body[...] reads on malformed
+                    # marker segments must dead-letter, not fail the task
+                    row = (int(did),) + (None,) * 7
+                rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in _DECODE_SCHEMA.fields])
 
     return df.select(id_col, binary_col).mapInPandas(batches, schema=_DECODE_SCHEMA)

@@ -422,3 +422,83 @@ def test_pad_crop_odd_dimensions_against_java(spark):
 
         os.unlink(pp)
         os.unlink(pb)
+
+
+def test_progressive_odd_420_nonflat_matches_baseline():
+    """Review-caught corruption: non-interleaved AC scans must cover the
+    TRUE ceil-block grid, not the MCU-padded grid — on 420 inputs whose
+    dims are not multiples of 16, emitting padding blocks desyncs every
+    spec decoder. Non-flat content at such dims must still match the
+    baseline decode bit-for-bit."""
+    rng = np.random.default_rng(6)
+    for (h, w, sub) in [(24, 24, "420"), (30, 47, "420"), (17, 95, "420")]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        dp = J.decode_jpeg(J.encode_jpeg_progressive(arr, subsampling=sub))
+        db = J.decode_jpeg(J.encode_jpeg(arr, subsampling=sub))
+        assert dp.shape == (h, w, 3) and (dp == db).all()
+
+
+def test_java_reads_our_odd_420_progressive(spark):
+    """The true-grid AC scans must also satisfy an independent decoder."""
+    import os
+    import tempfile
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    p = tempfile.mktemp(suffix=".jpg")
+    with open(p, "wb") as f:
+        f.write(J.encode_jpeg_progressive(arr, subsampling="420"))
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+    assert img is not None and (img.getWidth(), img.getHeight()) == (24, 24)
+    ours = J.decode_jpeg(open(p, "rb").read())
+    for (yy, xx) in [(0, 0), (12, 12), (23, 23)]:
+        rgb = img.getRGB(xx, yy)
+        jpx = np.array([(rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255])
+        assert np.abs(jpx - ours[yy, xx].astype(int)).max() <= 24  # upsample diff
+    os.unlink(p)
+
+
+def test_restart_marker_without_dri_rejected():
+    """An RSTn in a stream whose frame declared NO restart interval is
+    corruption — the decoder must dead-letter, not zero-pad onward
+    (review-caught silent-garbage path)."""
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 256, (32, 40), dtype=np.uint8)
+    b = bytearray(J.encode_jpeg(arr, restart_interval=2))
+    i = bytes(b).find(b"\xff\xdd")
+    del b[i : i + 6]  # strip the DRI segment, keep the RSTn boundaries
+    with pytest.raises(ValueError, match="unexpected marker"):
+        J.decode_jpeg(bytes(b))
+
+
+def test_spark_stats_survive_odd_dims_and_malformed(spark):
+    """decode_jpegs: arbitrary-dimension decodables get partial-block
+    stats (not a reshape crash), malformed segments dead-letter as NULL
+    rows (incl. IndexError paths) — one bad payload never fails the
+    batch."""
+    import pandas as _pd
+
+    rng = np.random.default_rng(9)
+    odd = J.encode_jpeg(rng.integers(0, 256, (20, 20), dtype=np.uint8))
+    good = J.encode_jpeg(_blocky(2, 2))
+    bad_sof = bytearray(good)
+    i = bytes(bad_sof).find(b"\xff\xc0")
+    bad_sof[i + 2 : i + 4] = (2).to_bytes(2, "big")  # empty SOF body
+    df = spark.createDataFrame(
+    _pd.DataFrame({"doc_id": [1, 2, 3],
+                   "jpeg": [odd, good, bytes(bad_sof)]})
+    )
+    rows = {r["doc_id"]: r for r in J.decode_jpegs(df).collect()}
+    assert rows[1]["codec"] == "jpeg" and rows[1]["width"] == 20
+    assert rows[2]["codec"] == "jpeg"
+    assert rows[3]["codec"] is None  # dead-lettered, batch survived
+    # partial-block checksum: 20x20 -> 3x3 block grid, edge blocks 8x4/4x8/4x4
+    arr = J.decode_jpeg(odd)
+    h = w = 20
+    tot = 0.0
+    for by in range(3):
+        for bx in range(3):
+            blk = arr[by * 8 : min((by + 1) * 8, h), bx * 8 : min((bx + 1) * 8, w)]
+            tot += np.floor(blk.mean() * (bx + 2 * by + 1) + 0.5)
+    assert rows[1]["block_checksum"] == int(tot)
