@@ -38,10 +38,13 @@ so progressive decode output is comparable coefficient-for-coefficient.
 
 Scale shape: per-file-independent Arrow-batched ``mapInPandas`` (no
 shuffle); the DCT/dequant stages are numpy tensor ops over all blocks of
-an image simultaneously, only the entropy bitstream walk is sequential
-(as it inherently is — restart intervals, which this codec reads and
-optionally writes, are exactly the parallel seam a GPU implementation
-splits on).
+an image simultaneously. The entropy bitstream walk is sequential per
+SEGMENT: restart intervals are the parallel seam a GPU implementation
+splits on, and ``decode_jpeg_distributed`` makes that seam real here —
+one huge restart-interval image fans out as Spark tasks (driver reads
+header + boundary offsets only; each task decodes its inter-restart MCU
+range independently and ships back int16 coefficients), bit-identical
+to the single-task decode.
 """
 
 from __future__ import annotations
@@ -58,7 +61,10 @@ __all__ = [
     "ZIGZAG",
     "quant_table",
     "encode_jpeg",
+    "encode_jpeg_progressive",
     "decode_jpeg",
+    "decode_jpeg_distributed",
+    "plan_jpeg_restart_segments",
     "attach_jpegs",
     "decode_jpegs",
     "jpeg_block_stats",
@@ -574,6 +580,41 @@ def decode_jpeg(b: bytes) -> np.ndarray:
 
 
 def _decode_jpeg_inner(b: bytes) -> np.ndarray:
+    (qtabs, huff_dec, frame, progressive, prog, scan_comps,
+     restart_interval, pos) = _walk_markers(b)
+    if progressive:
+        if frame is None or prog is None:
+            raise ValueError("missing SOF2 scan data")
+        h, w, comps = frame
+        return _reconstruct(
+            h, w, comps, prog["qcoef"], qtabs, prog["nmx"], prog["nmy"]
+        )
+    if frame is None or scan_comps is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w, comps = frame
+    ncomp = len(comps)
+    if ncomp not in (1, 3) or len(scan_comps) != ncomp:
+        raise ValueError("1 or 3 interleaved components only")
+    factors = [(hc, vc) for (_, _, hc, vc) in comps]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    # pad-crop: encoders emit whole MCUs; planes decode padded and the
+    # final image crops to (h, w) — real-world JPEGs are rarely multiples
+    nmx = -(-w // (8 * hmax))
+    nmy = -(-h // (8 * vmax))
+    nblocks = [nmx * hc * nmy * vc for (hc, vc) in factors]
+    qcoef = [np.zeros((n, 64), dtype=np.int64) for n in nblocks]
+    _decode_baseline_range(
+        b, pos, factors, nmx, nmy, scan_comps, huff_dec,
+        restart_interval, qcoef, 0, nmx * nmy,
+    )
+    return _reconstruct(h, w, comps, qcoef, qtabs, nmx, nmy)
+
+
+def _walk_markers(b: bytes):
+    """Marker walk to the first baseline SOS (or through every
+    progressive scan): returns (qtabs, huff_dec, frame, progressive,
+    prog_state, scan_comps, restart_interval, entropy_pos)."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -654,31 +695,23 @@ def _decode_jpeg_inner(b: bytes) -> np.ndarray:
                 raise ValueError("restart intervals in progressive scans unsupported")
             prog, pos = _decode_prog_scan(b, pos, body, frame, qtabs, huff_dec, prog)
         # APPn / COM / others: skipped
+    return (qtabs, huff_dec, frame, progressive, prog, scan_comps,
+            restart_interval, pos)
 
-    if progressive:
-        if frame is None or prog is None:
-            raise ValueError("missing SOF2 scan data")
-        h, w, comps = frame
-        return _reconstruct(
-            h, w, comps, prog["qcoef"], qtabs, prog["nmx"], prog["nmy"]
-        )
-    if frame is None or scan_comps is None:
-        raise ValueError("missing SOF0/SOS")
-    h, w, comps = frame
-    ncomp = len(comps)
-    if ncomp not in (1, 3) or len(scan_comps) != ncomp:
-        raise ValueError("1 or 3 interleaved components only")
-    factors = [(hc, vc) for (_, _, hc, vc) in comps]
-    hmax = max(f[0] for f in factors)
-    vmax = max(f[1] for f in factors)
-    # pad-crop: encoders emit whole MCUs; planes decode padded and the
-    # final image crops to (h, w) — real-world JPEGs are rarely multiples
-    nmx = -(-w // (8 * hmax))
-    nmy = -(-h // (8 * vmax))
 
+def _decode_baseline_range(
+    b, pos, factors, nmx, nmy, scan_comps, huff_dec,
+    restart_interval, qcoef, mcu_lo, mcu_hi, rst_seq=None,
+):
+    """Decode MCUs [mcu_lo, mcu_hi) of a baseline interleaved scan whose
+    entropy data begins at ``pos`` with FRESH DC predictors — true at
+    scan start and immediately after any RSTn boundary, which is exactly
+    what makes restart intervals the parallel seam: each inter-restart
+    segment decodes independently of every other (the GPU decoders'
+    strategy, and :func:`decode_jpeg_distributed`'s unit of work).
+    Fills ``qcoef`` in place at GLOBAL block indices."""
+    ncomp = len(factors)
     br = _BitReader(b, pos, allow_restarts=restart_interval > 0)
-    nblocks = [nmx * hc * nmy * vc for (hc, vc) in factors]
-    qcoef = [np.zeros((n, 64), dtype=np.int64) for n in nblocks]
     preds = [0] * ncomp
     tables = []
     for c, (cid, tds) in enumerate(scan_comps):
@@ -687,35 +720,39 @@ def _decode_jpeg_inner(b: bytes) -> np.ndarray:
             tables.append((huff_dec[(0, td)], huff_dec[(1, ta)]))
         except KeyError:
             raise ValueError("scan references missing Huffman table")
-    bpm = sum(hc * vc for (hc, vc) in factors)
-    rst = 0
-    for j, (c, i) in enumerate(_mcu_block_order(ncomp, factors, nmx, nmy)):
-        if restart_interval and j and j % (bpm * restart_interval) == 0:
-            br.restart(rst)
-            rst = (rst + 1) & 7
+    if rst_seq is None:
+        rst_seq = (mcu_lo // restart_interval) & 7 if restart_interval else 0
+    for m in range(mcu_lo, mcu_hi):
+        if restart_interval and m != mcu_lo and m % restart_interval == 0:
+            br.restart(rst_seq)
+            rst_seq = (rst_seq + 1) & 7
             preds = [0] * ncomp
-        dc_dec, ac_dec = tables[c]
-        t = br.huff(dc_dec)
-        if t > 11:
-            raise ValueError("invalid DC category")
-        preds[c] += _extend(br.bits(t), t)
-        qcoef[c][i, 0] = preds[c]
-        k = 1
-        while k < 64:
-            rs = br.huff(ac_dec)
-            if rs == 0x00:
-                break
-            if rs == 0xF0:
-                k += 16
-                continue
-            run, t = rs >> 4, rs & 0xF
-            k += run
-            if k > 63:
-                raise ValueError("AC run past block end")
-            qcoef[c][i, k] = _extend(br.bits(t), t)
-            k += 1
-
-    return _reconstruct(h, w, comps, qcoef, qtabs, nmx, nmy)
+        my, mx = divmod(m, nmx)
+        for c in range(ncomp):
+            hc, vc = factors[c]
+            dc_dec, ac_dec = tables[c]
+            for dy in range(vc):
+                for dx in range(hc):
+                    i = (my * vc + dy) * (nmx * hc) + mx * hc + dx
+                    t = br.huff(dc_dec)
+                    if t > 11:
+                        raise ValueError("invalid DC category")
+                    preds[c] += _extend(br.bits(t), t)
+                    qcoef[c][i, 0] = preds[c]
+                    k = 1
+                    while k < 64:
+                        rs = br.huff(ac_dec)
+                        if rs == 0x00:
+                            break
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        run, t = rs >> 4, rs & 0xF
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        qcoef[c][i, k] = _extend(br.bits(t), t)
+                        k += 1
 
 
 def _reconstruct(h, w, comps, qcoef, qtabs, nmx, nmy) -> np.ndarray:
@@ -984,6 +1021,160 @@ def encode_jpeg_progressive(
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ----------------------------------------- distributed single-image decode
+
+
+def plan_jpeg_restart_segments(b: bytes):
+    """Driver-side plan for ONE huge baseline JPEG: headers + RSTn
+    boundary scan → per-segment work units ``(k, header_bytes,
+    segment_bytes, mcu_lo, mcu_hi)``, or None when the stream has no
+    restart interval (or is progressive) and must decode single-task.
+
+    Restart markers are unambiguous at the byte level: inside entropy
+    data every 0xFF is stuffed as FF 00, so a bare FF D0–D7 IS a
+    boundary. Each inter-restart segment starts byte-aligned with fresh
+    DC predictors, so segments decode independently — the same seam the
+    reference's GPU decoder parallelizes on (nvjpeg batched decode), here
+    re-expressed as Spark tasks (the read_ocf_split pattern applied to a
+    code stream instead of a container)."""
+    b = bytes(b)
+    (qtabs, huff_dec, frame, progressive, prog, scan_comps,
+     restart_interval, pos) = _walk_markers(b)
+    if progressive or not restart_interval or frame is None or scan_comps is None:
+        return None
+    h, w, comps = frame
+    factors = [(hc, vc) for (_, _, hc, vc) in comps]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    nmx = -(-w // (8 * hmax))
+    nmy = -(-h // (8 * vmax))
+    n_mcu = nmx * nmy
+    bounds = []
+    i = pos
+    while i + 1 < len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        m2 = b[i + 1]
+        if m2 == 0x00:
+            i += 2
+            continue
+        if 0xD0 <= m2 <= 0xD7:
+            bounds.append(i)
+            i += 2
+            continue
+        break  # EOI / next marker: entropy data ends here
+    header = b[:pos]
+    starts = [pos] + [q + 2 for q in bounds]
+    ends = bounds + [i]
+    segs = []
+    for k, (s0, e0) in enumerate(zip(starts, ends)):
+        lo = k * restart_interval
+        if lo >= n_mcu:
+            break
+        hi = min(lo + restart_interval, n_mcu)
+        segs.append((k, header, b[s0:e0], lo, hi))
+    return segs
+
+
+def _decode_segment(header: bytes, seg: bytes, lo: int, hi: int):
+    """One segment's work: re-walk the (small) header, decode MCUs
+    [lo, hi) from the segment's entropy bytes, return per-component
+    (global_block_indices int64, coefficients int16 (n, 64) zigzag).
+    The full-plane zero arrays are lazy (calloc) — only the segment's
+    pages materialize."""
+    (qtabs, huff_dec, frame, progressive, prog, scan_comps,
+     restart_interval, pos) = _walk_markers(header)
+    h, w, comps = frame
+    factors = [(hc, vc) for (_, _, hc, vc) in comps]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    nmx = -(-w // (8 * hmax))
+    nmy = -(-h // (8 * vmax))
+    qcoef = [
+        np.zeros((nmx * hc * nmy * vc, 64), dtype=np.int64)
+        for (hc, vc) in factors
+    ]
+    # FFD9 tail gives the bit reader its end-of-data pad cushion
+    _decode_baseline_range(
+        seg + b"\xff\xd9", 0, factors, nmx, nmy, scan_comps, huff_dec,
+        restart_interval, qcoef, lo, hi,
+    )
+    out = []
+    for c, (hc, vc) in enumerate(factors):
+        idxs = []
+        for m in range(lo, hi):
+            my, mx = divmod(m, nmx)
+            for dy in range(vc):
+                for dx in range(hc):
+                    idxs.append((my * vc + dy) * (nmx * hc) + mx * hc + dx)
+        ia = np.array(idxs, dtype=np.int64)
+        out.append((ia, qcoef[c][ia].astype(np.int16)))
+    return out
+
+
+def decode_jpeg_distributed(spark, b: bytes, min_segments: int = 2) -> np.ndarray:
+    """Decode ONE baseline restart-interval JPEG with SEGMENT-LEVEL
+    parallelism: the driver reads only the header + boundary offsets;
+    each Spark task gets the (small) header plus its own entropy
+    segment, decodes its MCU range independently, and ships back
+    quantized int16 coefficients; the driver assembles the planes and
+    runs the shared dequant/IDCT/upsample. Streams without restarts (or
+    progressive) fall back to the single-task :func:`decode_jpeg` —
+    output is bit-identical either way (pinned in tests)."""
+    from pyspark.sql import types as _T
+
+    b = bytes(b)
+    plan = plan_jpeg_restart_segments(b)
+    if not plan or len(plan) < min_segments:
+        return decode_jpeg(b)
+    (qtabs, huff_dec, frame, _, _, scan_comps, restart_interval, pos) = _walk_markers(b)
+    h, w, comps = frame
+    factors = [(hc, vc) for (_, _, hc, vc) in comps]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    nmx = -(-w // (8 * hmax))
+    nmy = -(-h // (8 * vmax))
+
+    seg_schema = _T.StructType([
+        _T.StructField("k", _T.IntegerType()),
+        _T.StructField("header", _T.BinaryType()),
+        _T.StructField("seg", _T.BinaryType()),
+        _T.StructField("lo", _T.IntegerType()),
+        _T.StructField("hi", _T.IntegerType()),
+    ])
+    out_schema = _T.StructType([
+        _T.StructField("k", _T.IntegerType()),
+        _T.StructField("comp", _T.IntegerType()),
+        _T.StructField("idxs", _T.BinaryType()),
+        _T.StructField("coefs", _T.BinaryType()),
+    ])
+
+    def task(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                parts = _decode_segment(
+                    bytes(r.header), bytes(r.seg), int(r.lo), int(r.hi)
+                )
+                for c, (ia, ca) in enumerate(parts):
+                    rows.append((int(r.k), c, ia.tobytes(), ca.tobytes()))
+            yield pd.DataFrame(rows, columns=["k", "comp", "idxs", "coefs"])
+
+    sdf = spark.createDataFrame(plan, seg_schema).repartition(len(plan))
+    collected = sdf.mapInPandas(task, out_schema).collect()
+
+    qcoef = [
+        np.zeros((nmx * hc * nmy * vc, 64), dtype=np.int64)
+        for (hc, vc) in factors
+    ]
+    for row in collected:
+        ia = np.frombuffer(row["idxs"], dtype=np.int64)
+        ca = np.frombuffer(row["coefs"], dtype=np.int16).reshape(-1, 64)
+        qcoef[row["comp"]][ia] = ca.astype(np.int64)
+    return _reconstruct(h, w, comps, qcoef, qtabs, nmx, nmy)
 
 
 # ------------------------------------------------------------ Spark tier

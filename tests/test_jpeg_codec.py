@@ -502,3 +502,67 @@ def test_spark_stats_survive_odd_dims_and_malformed(spark):
             blk = arr[by * 8 : min((by + 1) * 8, h), bx * 8 : min((bx + 1) * 8, w)]
             tot += np.floor(blk.mean() * (bx + 2 * by + 1) + 0.5)
     assert rows[1]["block_checksum"] == int(tot)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=70),
+    st.integers(min_value=1, max_value=70),
+    st.sampled_from([1, 3]),
+    st.sampled_from(["444", "420"]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_progressive_equals_baseline_property(h, w, c, sub, seed):
+    """Property: for ANY dims/channels/subsampling/content, the
+    spectral-selection progressive stream decodes identically to the
+    baseline stream (same coefficients by construction). Catches scan
+    grid / EOB / padding slips on shapes no hand-picked case covers."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if c == 1 else (h, w, c)
+    arr = rng.integers(0, 256, shape, dtype=np.uint8)
+    dp = J.decode_jpeg(J.encode_jpeg_progressive(arr, subsampling=sub))
+    db = J.decode_jpeg(J.encode_jpeg(arr, subsampling=sub))
+    assert dp.shape == db.shape and (dp == db).all()
+
+
+# -------------------------------------------- distributed segment decode
+
+
+def test_plan_jpeg_restart_segments_shape():
+    rng = np.random.default_rng(10)
+    arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    b = J.encode_jpeg(arr, restart_interval=7)
+    plan = J.plan_jpeg_restart_segments(b)
+    assert plan is not None and len(plan) == -(-64 // 7)  # ceil(n_mcu/ri)
+    # task byte economy: header + segment ≪ whole file for every task
+    header_len = len(plan[0][1])
+    assert all(len(p[1]) == header_len for p in plan)
+    assert sum(len(p[2]) for p in plan) < len(b)
+    lo_hi = [(p[3], p[4]) for p in plan]
+    assert lo_hi[0][0] == 0 and lo_hi[-1][1] == 64
+    assert all(a[1] == b2[0] for a, b2 in zip(lo_hi, lo_hi[1:]))  # exact cover
+    # no restarts -> no plan
+    assert J.plan_jpeg_restart_segments(J.encode_jpeg(arr)) is None
+
+
+@pytest.mark.parametrize(
+    "shape,sub,ri",
+    [((128, 160), "444", 10), ((96, 128, 3), "420", 4), ((30, 47, 3), "420", 2)],
+)
+def test_distributed_decode_equals_single_task(spark, shape, sub, ri):
+    """Segment-level Spark decode of ONE image must be bit-identical to
+    the single-task decode — restart boundaries reset DC predictors, so
+    every inter-restart segment is independent (the GPU decoders' seam,
+    re-expressed as tasks; read_ocf_split's pattern over a code stream)."""
+    rng = np.random.default_rng(sum(shape))
+    arr = rng.integers(0, 256, shape, dtype=np.uint8)
+    b = J.encode_jpeg(arr, subsampling=sub, restart_interval=ri)
+    single = J.decode_jpeg(b)
+    dist = J.decode_jpeg_distributed(spark, b)
+    assert dist.shape == single.shape and (dist == single).all()
+
+
+def test_distributed_decode_falls_back_without_restarts(spark):
+    rng = np.random.default_rng(11)
+    b = J.encode_jpeg(rng.integers(0, 256, (32, 40), dtype=np.uint8))
+    assert (J.decode_jpeg_distributed(spark, b) == J.decode_jpeg(b)).all()
